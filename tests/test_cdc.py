@@ -1,0 +1,155 @@
+"""CDC engine tests (SURVEY.md §5 test plan item 3): full-vs-incremental
+replay equivalence, exactly-once under duplicate batches, resume from
+checkpoint, salted-vs-window LWW equivalence, schema drift auto-mapping, and
+per-row sha256 parity against a single-threaded oracle replay."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentine_spark.cdc import (
+    KEY_COLS,
+    LakeTable,
+    apply_batch,
+    lww_dedup,
+    lww_dedup_window,
+    oracle_replay,
+    replay,
+    resume_replay,
+    synth_change_stream,
+)
+
+N_EVENTS = 6_000
+N_KEYS = 700
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return synth_change_stream(spark, N_EVENTS, N_KEYS, seed=42).cache()
+
+
+def make_lake(spark, tmp_path, name, **kw):
+    return LakeTable.create(str(tmp_path / name), spark, n_buckets=kw.pop("n_buckets", 8))
+
+
+def test_lww_salted_equals_window(stream):
+    a = lww_dedup(stream, n_salts=16).orderBy(*KEY_COLS).collect()
+    b = lww_dedup_window(stream).orderBy(*KEY_COLS).collect()
+    assert a == b
+    # exactly one row per key
+    keys = {tuple(r[k] for k in KEY_COLS) for r in a}
+    assert len(keys) == len(a)
+
+
+def test_replay_matches_oracle(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "oracle_lake")
+    replay(lake, stream, batch_lsns=1500)
+
+    state = {tuple(r[k] for k in KEY_COLS): r.asDict() for r in lake.read().collect()}
+    expected = oracle_replay(stream.collect())
+
+    assert set(state) == set(expected)
+    for key, row in expected.items():
+        got = state[key]
+        # per-row content sha256 invariant (BASELINE.json input_hint)
+        exp_sha = hashlib.sha256((row["content"] or "").encode()).hexdigest()
+        got_sha = hashlib.sha256((got["content"] or "").encode()).hexdigest()
+        assert exp_sha == got_sha, key
+        assert got["lang"] == row["lang"]
+
+
+def test_single_batch_equals_many_batches(spark, tmp_path, stream):
+    one = make_lake(spark, tmp_path, "one_batch")
+    replay(one, stream, batch_lsns=N_EVENTS + 1)
+    many = make_lake(spark, tmp_path, "many_batches")
+    replay(many, stream, batch_lsns=500)
+    assert one.state_checksum() == many.state_checksum()
+
+
+def test_exactly_once_duplicate_batch(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "dup_lake")
+    batch = stream.where(F.col("lsn") < 3000)
+    first = apply_batch(lake, batch, "b0")
+    before = lake.state_checksum()
+    second = apply_batch(lake, batch, "b0")  # duplicate delivery
+    assert second.get("skipped") is True
+    assert lake.state_checksum() == before
+    assert first["version"] == lake.version
+
+
+def test_resume_from_checkpoint(spark, tmp_path, stream):
+    # full replay vs kill-and-resume must converge to identical state
+    full = make_lake(spark, tmp_path, "full_lake")
+    replay(full, stream, batch_lsns=1000)
+
+    partial = make_lake(spark, tmp_path, "partial_lake")
+    replay(partial, stream.where(F.col("lsn") < 2500), batch_lsns=1000,
+           batch_id_prefix="pre")
+    assert partial.watermarks()  # checkpoints recorded
+    resume_replay(partial, stream, batch_lsns=1000, batch_id_prefix="resume")
+    assert partial.state_checksum() == full.state_checksum()
+
+
+def test_deletes_remove_rows(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "del_lake")
+    replay(lake, stream, batch_lsns=2000)
+    deleted_keys = {
+        tuple(r[k] for k in KEY_COLS)
+        for r in lww_dedup(stream).where(F.col("op") == "delete").collect()
+    }
+    live_keys = {tuple(r[k] for k in KEY_COLS) for r in lake.read().collect()}
+    assert deleted_keys and not (deleted_keys & live_keys)
+
+
+def test_schema_drift_rename(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "drift_lake")
+    apply_batch(lake, stream.where(F.col("lsn") < 3000), "seed")
+    before = {f.name for f in lake.schema.fields}
+
+    drifted = (
+        stream.where((F.col("lsn") >= 3000) & (F.col("lsn") < 4500))
+        .withColumnRenamed("content", "source_text")
+        .withColumnRenamed("lang", "language")
+    )
+    commit = apply_batch(lake, drifted, "drifted")
+    assert commit.get("drift_mapping") == {"source_text": "content", "language": "lang"}
+    assert {f.name for f in lake.schema.fields} == before  # renamed, not evolved
+
+    # final state identical to applying the un-drifted batch
+    clean = make_lake(spark, tmp_path, "clean_lake")
+    apply_batch(clean, stream.where(F.col("lsn") < 3000), "seed")
+    apply_batch(clean, stream.where((F.col("lsn") >= 3000) & (F.col("lsn") < 4500)), "b1")
+    assert lake.state_checksum() == clean.state_checksum()
+
+
+def test_schema_drift_new_column_evolves(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "evolve_lake")
+    apply_batch(lake, stream.where(F.col("lsn") < 2000), "seed")
+    with_new = stream.where((F.col("lsn") >= 2000) & (F.col("lsn") < 3000)).withColumn(
+        "n_lines", F.length("content") - F.length(F.regexp_replace("content", "\n", ""))
+    )
+    apply_batch(lake, with_new, "b-new")
+    assert "n_lines" in {f.name for f in lake.schema.fields}
+    df = lake.read()
+    assert df.where(F.col("n_lines").isNotNull()).count() > 0
+    # rows from the pre-evolution snapshot serve nulls
+    assert df.where(F.col("n_lines").isNull()).count() > 0
+
+
+def test_time_travel_versions(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "tt_lake")
+    apply_batch(lake, stream.where(F.col("lsn") < 2000), "b0")
+    v1 = lake.version
+    count_v1 = lake.read().count()
+    apply_batch(lake, stream.where((F.col("lsn") >= 2000) & (F.col("lsn") < 4000)), "b1")
+    assert lake.version > v1
+    assert lake.read(version=v1).count() == count_v1
+
+
+def test_generator_determinism(spark):
+    a = synth_change_stream(spark, 500, 100, seed=7).collect()
+    b = synth_change_stream(spark, 500, 100, seed=7).collect()
+    assert sorted(a, key=lambda r: r["lsn"]) == sorted(b, key=lambda r: r["lsn"])
+    c = synth_change_stream(spark, 500, 100, seed=8).collect()
+    assert sorted(a, key=lambda r: r["lsn"]) != sorted(c, key=lambda r: r["lsn"])

@@ -1,0 +1,57 @@
+"""CDC / incremental-ingest engine (the BASELINE.json north star):
+binlog/WAL-style change-stream replay -> key-partitioned MERGE upserts into an
+Iceberg-style lake table, exactly-once, resumable, skew-salted, with
+Valentine-matcher schema evolution."""
+
+from .apply import (
+    apply_batch,
+    batch_watermarks,
+    lww_dedup,
+    lww_dedup_window,
+    oracle_replay,
+    replay,
+    resume_replay,
+)
+from .drift import resolve_drift
+from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
+from .lake import LakeTable, bucket_expr
+
+__all__ = [
+    "LakeTable",
+    "bucket_expr",
+    "apply_batch",
+    "replay",
+    "resume_replay",
+    "lww_dedup",
+    "lww_dedup_window",
+    "batch_watermarks",
+    "oracle_replay",
+    "resolve_drift",
+    "synth_base_table",
+    "synth_change_stream",
+    "KEY_COLS",
+    "PAYLOAD_COLS",
+    "STREAM_COLS",
+]
+
+
+def demo_replay(n_events: int = 20_000, n_keys: int = 2_000, tmpdir: str | None = None):
+    """Small end-to-end demo used by the verify recipe: generate a stream,
+    replay it, print the state checksum."""
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    root = tmpdir or tempfile.mkdtemp(prefix="lake_demo_")
+    lake = LakeTable.create(f"{root}/repo_files", spark, n_buckets=8)
+    stream = synth_change_stream(spark, n_events, n_keys)
+    commits = replay(lake, stream, batch_lsns=n_events // 4)
+    print("commits:", [c.get("version") for c in commits])
+    print("state:", lake.state_checksum())
+    return lake

@@ -149,6 +149,37 @@ class DistributionBased:
                     matches.update(Match(t[0], t[1], s[0], s[1], sim).to_dict)
         return matches
 
+    def get_pairwise_similarities(
+        self,
+        source: DataFrame,
+        target: DataFrame,
+        source_name: str = "table_1",
+        target_name: str = "table_2",
+    ) -> Dict[MatchKey, float]:
+        """Phase-1-only variant: all cross-table pair similarities
+        ``1/(1+EMD)`` without the clustering stages.  Used by the CDC drift
+        cascade to match renamed columns whose value sets are DISJOINT but
+        identically distributed (where the full algorithm's intersection-EMD
+        phase would, by design, split them)."""
+        profile = profile_table(source, source_name).unionByName(
+            profile_table(target, target_name)
+        )
+        ranked = self._global_ranks(profile)
+        profiles_df = self._column_profiles(ranked)
+        cols_present = {
+            (r["table_name"], r["column_name"])
+            for r in profiles_df.select("table_name", "column_name").collect()
+        }
+        src_cols = [(source_name, c) for c in source.columns if (source_name, c) in cols_present]
+        tgt_cols = [(target_name, c) for c in target.columns if (target_name, c) in cols_present]
+        pairs = [(s, t) for s in src_cols for t in tgt_cols]
+        emds = self._pair_emds(profiles_df, pairs, intersection=False)
+        out: Dict[MatchKey, float] = {}
+        for (s, t), emd in emds.items():
+            if discovery.is_finite(emd):
+                out[((s[0], s[1]), (t[0], t[1]))] = 1.0 / (1.0 + emd)
+        return out
+
     # ------------------------------------------------------------------
 
     @staticmethod
