@@ -1,38 +1,734 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()``
+exposes one callable per implemented operator (SURVEY.md §2 + the
+training-data pipeline operators); ``oracle_sql()`` gives the DuckDB-
+equivalent SQL the driver cross-checks at sf0.01.
+
+Parity conventions shared by every query/oracle pair:
+  * float aggregates rounded (2-6 decimals) so summation-order noise can
+    never flip the driver's value hash;
+  * timestamps surfaced as epoch seconds (bigint) — engine-neutral;
+  * hash-based operators use md5 (bit-identical in Spark and DuckDB);
+  * every computed column aliased identically on both sides.
+Stateful / iterative operators (full DistributionBased, SimilarityFlooding,
+Cupid, the CDC replay-into-lake) have no SQL image and are registered
+WITHOUT an oracle -> driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _drifted_customer(cust: DataFrame) -> DataFrame:
+    return (
+        cust.withColumnRenamed("c_name", "customer_name")
+        .withColumnRenamed("c_acctbal", "account_balance")
+        .withColumnRenamed("c_mktsegment", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: revenue per nation where supplier and customer
+    share the nation (broadcast dims, one fact shuffle)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import topk_by
+
+    orders = _t(spark, sf_dir, "orders")
+    return topk_by(orders, "o_totalprice", 10, "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed event ops
+# ---------------------------------------------------------------------------
+
+def events_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import latest_event_per_user
+
+    ev = _t(spark, sf_dir, "events")
+    out = latest_event_per_user(ev)
+    return out.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch"), "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_EVENTS_LWW_SQL = """
+SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_epoch, event_type,
+       round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_seq", "n_events",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "total_value",
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ids AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS start_epoch, floor(epoch(max(ts)))::BIGINT AS end_epoch,
+       round(sum(value), 6) AS total_value
+FROM ids GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# matcher-derived operators over the star schema
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL_VIEW = """
+WITH drifted AS (
+  SELECT c_custkey, c_name AS customer_name, c_nationkey,
+         c_acctbal AS account_balance, c_mktsegment AS segment
+  FROM customer
+)
+"""
+
+_CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+_DRIFT_COLS = ["c_custkey", "customer_name", "c_nationkey", "account_balance", "segment"]
+
+
+def jaccard_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JaccardDistanceMatcher(Exact) run as a query: customer vs a
+    renamed copy; output one row per nonzero-similarity column pair."""
+    from valentine_spark import JaccardDistanceMatcher, StringDistanceFunction
+
+    cust = _t(spark, sf_dir, "customer")
+    drift = _drifted_customer(cust)
+    matches = JaccardDistanceMatcher(distance_fun=StringDistanceFunction.Exact).get_matches(
+        cust, drift, "customer", "drifted"
+    )
+    rows = [(s[1], t[1], round(sim, 6)) for (s, t), sim in matches.items()]
+    return spark.createDataFrame(rows, "s_col string, t_col string, sim double")
+
+
+def _jaccard_oracle_sql() -> str:
+    selects = []
+    for s in _CUST_COLS:
+        for t, t_orig in zip(_DRIFT_COLS, _CUST_COLS):
+            selects.append(
+                f"""SELECT '{s}' AS s_col, '{t}' AS t_col,
+  round(
+    (SELECT count(*) FROM (SELECT DISTINCT CAST({s} AS VARCHAR) v FROM customer) a
+       JOIN (SELECT DISTINCT CAST({t_orig} AS VARCHAR) v FROM customer) b USING (v)) * 1.0 /
+    ((SELECT count(DISTINCT CAST({s} AS VARCHAR)) FROM customer)
+     + (SELECT count(DISTINCT CAST({t_orig} AS VARCHAR)) FROM customer)
+     - (SELECT count(*) FROM (SELECT DISTINCT CAST({s} AS VARCHAR) v FROM customer) a
+          JOIN (SELECT DISTINCT CAST({t_orig} AS VARCHAR) v FROM customer) b USING (v))), 6) AS sim"""
+            )
+    return (
+        "SELECT s_col, t_col, sim FROM (" + " UNION ALL ".join(selects) + ") WHERE sim > 0"
+    )
+
+
+def global_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global dense value ranking over the union corpus of two numeric
+    columns (the rank substrate of DistributionBased)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_acctbal").alias("value_num"))
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_acctbal").alias("value_num"))
+    corpus = cust.unionByName(sup).distinct()
+    return corpus.withColumn(
+        "rank", F.row_number().over(Window.orderBy("value_num")).cast("long")
+    )
+
+
+_RANKS_SQL = """
+SELECT value_num, row_number() OVER (ORDER BY value_num) AS rank
+FROM (SELECT DISTINCT c_acctbal AS value_num FROM customer
+      UNION SELECT DISTINCT s_acctbal FROM supplier)
+"""
+
+
+def quantile_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: equi-depth 16-bucket histogram of events.value (deterministic
+    ntile with unique tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.withColumn("bucket", F.ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+_QHIST_SQL = """
+SELECT bucket, count(*) AS n, round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM (SELECT value, ntile(16) OVER (ORDER BY value, event_id) AS bucket FROM events)
+GROUP BY bucket
+"""
+
+
+def emd_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: 1-D EMD between the value distributions of click vs view events,
+    as the CDF-L1 identity over 32 equi-width buckets."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    bucketed = ev.withColumn(
+        "bucket", F.least(F.floor(F.col("value") / 31.25).cast("int"), F.lit(31))
+    )
+    counts = (
+        bucketed.groupBy("bucket")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    totals = ev.groupBy().pivot("event_type", ["click", "view"]).agg(F.count(F.lit(1)))
+    t = totals.collect()[0]
+    n_click, n_view = t["click"] or 1, t["view"] or 1
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = counts.withColumn("cdf_click", F.sum(F.col("click") / n_click).over(w)).withColumn(
+        "cdf_view", F.sum(F.col("view") / n_view).over(w)
+    )
+    return cdf.agg(
+        F.round(F.sum(F.abs(F.col("cdf_click") - F.col("cdf_view"))) / 32.0, 6).alias("emd")
+    )
+
+
+_EMD_SQL = """
+WITH b AS (
+  SELECT least(CAST(floor(value / 31.25) AS INT), 31) AS bucket, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+), counts AS (
+  SELECT bucket,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+  FROM b GROUP BY bucket
+), cdf AS (
+  SELECT bucket,
+    sum(click * 1.0 / (SELECT count(*) FROM b WHERE event_type = 'click'))
+        OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cdf_click,
+    sum(view * 1.0 / (SELECT count(*) FROM b WHERE event_type = 'view'))
+        OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cdf_view
+  FROM counts
+)
+SELECT round(sum(abs(cdf_click - cdf_view)) / 32.0, 6) AS emd FROM cdf
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+WITH d AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+      FROM d GROUP BY text_hash)
+SELECT doc_id, d.text_hash, group_size, doc_id <> canonical_id AS is_dup
+FROM d JOIN g ON d.text_hash = g.text_hash
+"""
+
+_SHINGLE_SQL = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, j, {n}) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {n} + 1, 1)))::INT AS j
+        FROM documents)
+)"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=8, threshold=0.8)
+
+
+_NGRAM_SQL = (
+    "WITH " + _SHINGLE_SQL.format(n=8) + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= 0.8
+"""
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=8, k=4, bands=4)
+
+
+_MINHASH_SQL = (
+    "WITH " + _SHINGLE_SQL.format(n=8) + """,
+hashes AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS i) g
+  GROUP BY doc_id, i
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM hashes a JOIN hashes b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+"""
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=16)
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks
+), per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+_TOKENS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+       length(text) AS n_chars,
+       round(length(replace(text, ' ', '')) * 1.0 /
+             greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
+         AS avg_token_len
+FROM documents
+"""
+
+_STOP_EN = ["the", "and", "of", "to", "is"]
+
+
+def _count_sql(haystack: str, needle: str) -> str:
+    return f"(length({haystack}) - length(replace({haystack}, '{needle}', ''))) / {len(needle)}"
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _quality_oracle_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop_hits = " + ".join(_count_sql(padded, f" {w} ") for w in _STOP_EN)
+    punct = " + ".join(_count_sql("text", p) for p in [".", ",", "!", "?", ";"])
+    return f"""
+WITH feats AS (
+  SELECT doc_id, length(text) AS n_chars,
+         ({stop_hits}) AS stop_hits,
+         ({punct}) AS punct,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+), scores AS (
+  SELECT doc_id, n_chars, stop_hits,
+         punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         least(n_chars / 500.0, 1.0) AS length_score,
+         least(stop_hits * 1.0 / greatest(n_tokens, 1) * 5.0, 1.0) AS stop_score
+  FROM feats
+)
+SELECT doc_id, n_chars, round(stop_hits, 6) AS stopword_hits,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(0.4 * length_score + 0.4 * stop_score +
+             0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0
+                    ELSE greatest(0.0, 1.0 - (punct_ratio - 0.1) * 5.0) END), 6) AS quality
+FROM scores
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle_sql() -> str:
+    from valentine_spark.operators.text import LANG_MARKERS
+
+    padded = "(' ' || lower(text) || ' ')"
+    score_exprs = {
+        lang: "(" + " + ".join(_count_sql(padded, f" {w} ") for w in words) + ")"
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = f"greatest({score_exprs['en']}, {score_exprs['de']}, {score_exprs['fr']}, {score_exprs['es']})"
+    pred = f"""CASE WHEN {best} <= 0 THEN 'unknown'
+        WHEN {score_exprs['en']} = {best} THEN 'en'
+        WHEN {score_exprs['de']} = {best} THEN 'de'
+        WHEN {score_exprs['fr']} = {best} THEN 'fr'
+        ELSE 'es' END"""
+    cols = ", ".join(f"round({score_exprs[l]}, 6) AS score_{l}" for l in ("en", "de", "fr", "es"))
+    return f"SELECT doc_id, {cols}, {pred} AS pred_lang FROM documents"
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"), n=16)
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, min(md5(substr(text, j, 16))) AS fingerprint
+FROM (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 16 + 1, 1)))::INT AS j
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=3, n_queries=5)
+
+
+_COSINE_CORE = """
+  SELECT q.query_id, c.vec_id,
+         round(
+           (SELECT sum(x.a * x.b) FROM (SELECT unnest(q.qv::DOUBLE[]) AS a,
+                                               unnest(c.embedding::DOUBLE[]) AS b) x)
+           / (sqrt((SELECT sum(a.a * a.a) FROM (SELECT unnest(q.qv::DOUBLE[]) AS a) a))
+              * sqrt((SELECT sum(b.b * b.b) FROM (SELECT unnest(c.embedding::DOUBLE[]) AS b) b))),
+           6) AS score
+"""
+
+_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS ({_COSINE_CORE}
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM pairs) WHERE rank <= 3
+"""
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=3, n_queries=5, bits=3)
+
+
+_CELL_SQL = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)"
+)
+
+_IVF_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_CELL_SQL} AS cell
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings),
+pairs AS ({_COSINE_CORE}
+  FROM q JOIN c ON q.cell = c.cell WHERE c.vec_id <> q.query_id)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM pairs) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC primitives
+# ---------------------------------------------------------------------------
+
+def cdc_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's salted two-phase max_by LWW over a change stream derived
+    from the events table; oracle is the equivalent row_number window."""
+    from valentine_spark.cdc import lww_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    stream = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    winners = lww_dedup(stream, n_salts=8)
+    return winners.where(F.col("op") != "delete").select(
+        "repo", "path", "commit", "lang", "content", F.col("lsn").alias("last_lsn")
+    )
+
+
+_CDC_LWW_SQL = """
+WITH stream AS (
+  SELECT event_id AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit", lang, content, lsn AS last_lsn
+FROM winners WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful end-to-end: synthesize a deterministic change stream, replay
+    it through the exactly-once lake in micro-batches, return final state.
+    No SQL image (filesystem-stateful) -> rows-only driver check."""
+    from valentine_spark.cdc import LakeTable, replay, synth_change_stream
+
+    root = tempfile.mkdtemp(prefix="entry_lake_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    stream = synth_change_stream(spark, 4000, 500, seed=42)
+    replay(lake, stream, batch_lsns=1000)
+    state = lake.read()
+    return state.select(
+        "repo", "path", "commit", "lang", F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha")
+    )
+
+
+def matcher_distribution_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DistributionBased matcher (iterative clustering; rows-only)."""
+    from valentine_spark import DistributionBased
+
+    cust = _t(spark, sf_dir, "customer")
+    matches = DistributionBased().get_matches(cust, _drifted_customer(cust), "customer", "drifted")
+    rows = [(s[1], t[1], round(sim, 6)) for (s, t), sim in matches.items()]
+    return spark.createDataFrame(rows, "s_col string, t_col string, sim double")
+
+
+def matcher_cupid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark import Cupid
+
+    cust = _t(spark, sf_dir, "customer")
+    matches = Cupid().get_matches(cust, _drifted_customer(cust), "customer", "drifted")
+    rows = [(s[1], t[1], round(sim, 6)) for (s, t), sim in matches.items()]
+    return spark.createDataFrame(rows, "s_col string, t_col string, sim double")
+
+
+def matcher_similarity_flooding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark import SimilarityFlooding
+
+    cust = _t(spark, sf_dir, "customer")
+    matches = SimilarityFlooding().get_matches(cust, _drifted_customer(cust), "customer", "drifted")
+    rows = [(s[1], t[1], round(sim, 6)) for (s, t), sim in matches.items()]
+    return spark.createDataFrame(rows, "s_col string, t_col string, sim double")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-ish pricing summary at sf0.001."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "topk_orders": topk_orders,
+        "events_lww": events_lww,
+        "sessionize_events": sessionize_events,
+        "jaccard_exact_drift": jaccard_exact_drift,
+        "global_value_ranks": global_value_ranks,
+        "quantile_histogram_events": quantile_histogram_events,
+        "emd_click_vs_view": emd_click_vs_view,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "text_token_counts": text_token_counts,
+        "text_quality_scores": text_quality_scores,
+        "text_language_id": text_language_id,
+        "text_fingerprints": text_fingerprints,
+        "embedding_cosine_topk": embedding_cosine_topk,
+        "embedding_ivf_topk": embedding_ivf_topk,
+        "cdc_lww_stream": cdc_lww_stream,
+        "cdc_replay_state": cdc_replay_state,
+        "matcher_distribution_based": matcher_distribution_based,
+        "matcher_cupid": matcher_cupid,
+        "matcher_similarity_flooding": matcher_similarity_flooding,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_segment_revenue": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "topk_orders": _TOPK_SQL,
+        "events_lww": _EVENTS_LWW_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "jaccard_exact_drift": _jaccard_oracle_sql(),
+        "global_value_ranks": _RANKS_SQL,
+        "quantile_histogram_events": _QHIST_SQL,
+        "emd_click_vs_view": _EMD_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _NGRAM_SQL,
+        "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "text_token_counts": _TOKENS_SQL,
+        "text_quality_scores": _quality_oracle_sql(),
+        "text_language_id": _langid_oracle_sql(),
+        "text_fingerprints": _FINGERPRINT_SQL,
+        "embedding_cosine_topk": _COSINE_SQL,
+        "embedding_ivf_topk": _IVF_SQL,
+        "cdc_lww_stream": _CDC_LWW_SQL,
+        # cdc_replay_state / matcher_* : intentionally no oracle (stateful /
+        # iterative, non-SQL-expressible) -> rows-only check.
+    }

@@ -1,0 +1,103 @@
+"""Unit tests for pipeline operators not fully covered by the oracle gate:
+multimodal plumbing, simhash pair blocking, embedding near-dup, planted
+duplicates through minhash/ngram dedup."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from valentine_spark.operators import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from valentine_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tonight")),  # near dup
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["doc_id"]: r.asDict() for r in exact_duplicates(docs).collect()}
+    assert out[0]["group_size"] == 2 and out[1]["is_dup"] and not out[0]["is_dup"]
+    assert out[3]["group_size"] == 2 and out[4]["is_dup"]
+    assert out[5]["group_size"] == 1 and not out[5]["is_dup"]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, k=8, bands=4).collect()}
+    assert (0, 1) in pairs and (3, 4) in pairs
+    assert (0, 3) not in pairs and (0, 5) not in pairs
+
+
+def test_simhash_identical_and_near(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    assert 0 <= fp[0] < (1 << 16)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=4).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    vecs.append((6, [1.0, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # near vec 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = cosine_topk(df, k=1, n_queries=1).collect()
+    assert top[0]["vec_id"] == 6 and top[0]["score"] > 0.99
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 4.001]),  # near dup
+        (2, [-1.0, 5.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, threshold=0.99, bits=2).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synth_media_table(spark, 64)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 64
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # deterministic across runs
+    again = extract_features(synth_media_table(spark, 64)).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media_table(spark, 64)
+    plan = frame_sample_plan(media, every_ms=5000)
+    videos = media.where(F.col("kind") == "video").count()
+    assert plan.count() >= videos  # at least frame 0 per video
+    assert plan.select("media_id").distinct().count() == videos

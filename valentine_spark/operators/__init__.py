@@ -1,0 +1,34 @@
+"""Large-scale training-data pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing, windowed event ops)."""
+
+from .dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
+from .text import doc_fingerprints, language_id, quality_scores, token_counts
+from .window_ops import latest_event_per_user, sessionize, topk_by
+
+__all__ = [
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "cosine_topk",
+    "ivf_topk",
+    "sign_bucket",
+    "embedding_neardup_pairs",
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "doc_fingerprints",
+    "latest_event_per_user",
+    "sessionize",
+    "topk_by",
+]

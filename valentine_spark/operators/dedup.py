@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All are pure DataFrame programs (whole-stage codegen, no Python in the data
+plane) designed around their shuffle profile at 100 TB:
+
+  * exact:      1 shuffle (hash agg on digest); map-side partial agg.
+  * n-gram Jaccard: shingle explode (no shuffle) -> distinct (1 shuffle) ->
+    self equi-join ON shingle (1 shuffle) -> pair agg (1 shuffle).  The join
+    key is the shingle, so common shingles fan out — at scale, drop
+    ultra-frequent shingles first (a classic df-cut, exposed as
+    ``max_shingle_df``).
+  * MinHash+LSH: signatures are ONE aggregation over the shingle explode
+    (k min-hashes computed as k columns of the same group-by, not k passes);
+    candidate generation is an equi-join on (band_id, band_signature) —
+    only near-duplicates ever meet, which is the point of LSH at scale.
+  * SimHash: token explode -> per-(doc, bit) signed counts -> 16-bit
+    fingerprint; near-dup pairs via fingerprint band join + popcount filter.
+
+Hashes are md5-based so a SQL oracle (DuckDB) can reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) — distinct character n-grams; short texts yield the text
+    itself as the single shingle."""
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(transform(sequence(1, greatest(length({text_col}) - {n} + 1, 1)), "
+            f"i -> substring({text_col}, i, {n})))"
+        ).alias("shingle"),
+    ).distinct()
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per document: its content digest, duplicate-group size and
+    whether it is a non-canonical duplicate (not the min id of its group)."""
+    digests = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    groups = digests.groupBy("text_hash").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
+    )
+    return (
+        digests.join(groups, "text_hash")
+        .select(
+            id_col,
+            "text_hash",
+            "group_size",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Document pairs (a < b) with shingle-set Jaccard >= threshold.
+    ``max_shingle_df`` drops shingles shared by more than that many docs —
+    the standard frequency cut that bounds join fan-out at scale."""
+    sh = _shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    k: int = 8,
+) -> DataFrame:
+    """(id, sig array<string>): k min-hashes, hash i = min over shingles of
+    md5(i || ':' || shingle).  One explode + ONE aggregation (k mins as k
+    aggregate columns)."""
+    sh = _shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on at least one LSH band
+    (band = rows/bands consecutive signature entries, concatenated)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_cols = [
+        F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.expr(
+            "explode(array(" + ", ".join(
+                f"struct({b} as band_id, band{b} as band_sig)" for b in range(bands)
+            ) + "))"
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("b.band_id"), F.col("b.band_sig"))
+    a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
+    b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash long): token-multiset SimHash over ``bits`` bits; token
+    hash = first 8 hex chars of md5 as int."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias("tok"),
+    )
+    hashed = tokens.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    per_bit = (
+        hashed.select(F.col(id_col), "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        .withColumn("sign", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+    Implemented as a self-join on the fingerprint's high byte (a 1-band
+    blocking key) + popcount filter; at scale use multiple rotated bands."""
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    blocked = fp.withColumn("block", F.shiftright(F.col("simhash"), bits // 2))
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed through ``mapInPandas`` (Arrow-batched).
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake behind ``decode_stub`` (clearly marked; swap in
+PIL/librosa on a real cluster).  Everything Spark-side — schema, batch
+shape, partition sizing, UDF signatures — is real and tested:
+
+  * media rows are (media_id, kind, payload:binary, meta:struct);
+  * ``extract_features`` streams Arrow batches through a pandas iterator,
+    emitting fixed-width feature vectors — the shape of any real
+    decode/resize/frame-sample stage;
+  * partition sizing note: binary payloads make rows wide; repartition by
+    target batch bytes (``spark.sql.files.maxPartitionBytes``) before the
+    UDF so each Arrow batch fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+
+
+def synth_media_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media: payload = repeated sha-derived bytes."""
+    return spark.range(n_rows).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64(F.lit(seed), "id"), 3) + 1).cast("int"),
+        ).alias("kind"),
+        F.to_binary(F.sha2(F.concat(F.lit(seed), F.col("id")), 256), F.lit("hex")).alias("payload"),
+        (F.pmod(F.xxhash64(F.lit(seed ^ 1), "id"), 1920) + 1).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(F.lit(seed ^ 2), "id"), 1080) + 1).cast("int").alias("height"),
+        (F.pmod(F.xxhash64(F.lit(seed ^ 3), "id"), 60000) + 1).cast("int").alias("duration_ms"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str) -> np.ndarray:
+    """STUB for the codec step (no image/audio libs in this container).
+    Deterministic: features derived from a sha256 of the payload.  Replace
+    with a real decoder (PIL.Image.open / soundfile.read / pyav) in
+    production — the calling plumbing is identical."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return (np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32) / 255.0)[:8]
+
+
+def extract_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction: the real Spark plumbing around the
+    stubbed codec.  Output: fixed 8-dim float feature per media row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats: List[np.ndarray] = [
+                decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: expands each video row into the frame
+    timestamps a decoder would extract (the expensive decode itself is the
+    stub above).  Pure JVM explode — demonstrates pre-decode fan-out sizing."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

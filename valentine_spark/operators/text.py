@@ -1,0 +1,102 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All whole-stage-codegen column expressions (no
+UDFs), with counting formulated as replace-length arithmetic so a SQL oracle
+reproduces results bit-for-bit (no regex-dialect drift between engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker stopwords per language for the n-gram/stopword-ratio language ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+
+def _count_occurrences(col, needle: str):
+    """# occurrences of needle = (len(s) - len(replace(s, needle, ''))) / len(needle)."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def _padded_lower(text_col: str):
+    return F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of letters / digits /
+    single punctuation counted separately via replace arithmetic)."""
+    ws_tokens = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    spaces = _count_occurrences(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        ws_tokens.alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round((F.length(text_col) - spaces) / F.greatest(ws_tokens, F.lit(1)), 6).alias("avg_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, stopword presence,
+    punctuation balance — the usual pretraining quality gates."""
+    text = F.col(text_col)
+    padded = _padded_lower(text_col)
+    n_chars = F.length(text)
+    stop_hits = sum(
+        (_count_occurrences(padded, f" {w} ") for w in LANG_MARKERS["en"]),
+        F.lit(0).cast("double"),
+    )
+    n_tokens = F.size(F.filter(F.split(text, " "), lambda x: x != ""))
+    punct = sum(
+        (_count_occurrences(text, p) for p in [".", ",", "!", "?", ";"]),
+        F.lit(0).cast("double"),
+    )
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (punct_ratio - 0.1) * 5.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        F.round(stop_hits, 6).alias("stopword_hits"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round((0.4 * length_score + 0.4 * stop_score + 0.2 * punct_score), 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: per language, count marker-word hits;
+    predict the argmax (deterministic tie-break: en > de > fr > es order)."""
+    padded = _padded_lower(text_col)
+    scores = {
+        lang: sum((_count_occurrences(padded, f" {w} ") for w in words), F.lit(0).cast("double"))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in ("en", "de", "fr", "es"):
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df.select(
+        F.col(id_col),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in ("en", "de", "fr", "es")],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def doc_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 16
+) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum md5 over all character
+    n-grams (winnowing with window = whole doc) — stable under content moves,
+    cheap to compare across corpora."""
+    sh = df.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(transform(sequence(1, greatest(length({text_col}) - {n} + 1, 1)), "
+            f"i -> substring({text_col}, i, {n})))"
+        ).alias("shingle"),
+    )
+    return sh.groupBy(id_col).agg(F.min(F.md5("shingle")).alias("fingerprint"))
