@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling proxy (BASELINE.md measurement plan): run the
+IDENTICAL CDC replay on the IDENTICAL input at local[8] and local[32] in
+fresh JVMs, report events/sec at both, scaling efficiency R32/(4*R8), and
+assert the final table-state checksums are identical.
+
+Usage: python BENCH/scaling_run.py [n_events] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+cpus = int(sys.argv[1]); n = int(sys.argv[2])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "16g")
+         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+from valentine_spark.cdc import LakeTable, replay, synth_change_stream
+root = tempfile.mkdtemp(prefix=f"scaling_{{cpus}}_")
+# JIT/codegen warmup on a 5% slice (identical at both levels)
+warm = LakeTable.create(os.path.join(root, "warm"), spark, n_buckets=8)
+replay(warm, synth_change_stream(spark, n // 20, n // 200), batch_lsns=n // 40)
+stream = synth_change_stream(spark, n, n // 10)
+# best-of-3: the sandbox host carries unrelated background load; the
+# minimum wall time is the least-contended estimate of the job's true cost
+walls = []
+state = None
+n_trials = int(os.environ.get("SCALING_TRIALS", "3"))
+for trial in range(n_trials):
+    lake = LakeTable.create(os.path.join(root, f"t{{trial}}"), spark, n_buckets=64)
+    t0 = time.time()
+    replay(lake, stream, batch_lsns=n // 4)
+    walls.append(time.time() - t0)
+    state = lake.state_checksum()
+wall = min(walls)
+print("RESULT " + json.dumps({{"cpus": cpus, "wall": wall, "walls": walls,
+                               "rate": n / wall,
+                               "rows": state["rows"], "checksum": str(state["checksum"])}}))
+"""
+
+
+def run_level(repo: str, cpus: int, n_events: int) -> dict:
+    """Pin the whole JVM (workers, GC, shuffle threads, OS scheduling) to
+    exactly ``cpus`` physical CPUs via taskset — local[8] on an unrestricted
+    32-core box would otherwise borrow the idle cores' memory bandwidth and
+    GC parallelism, under-stating the true cost of the smaller "cluster"."""
+    script = WORKER.format(repo=repo)
+    cmd = [sys.executable, "-c", script, str(cpus), str(n_events)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd,
+        capture_output=True, text=True, timeout=3000,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 4_000_000
+    r8 = run_level(repo, 8, n_events)
+    r32 = run_level(repo, 32, n_events)
+    eff = r32["rate"] / (4 * r8["rate"])
+    result = {
+        "n_events": n_events,
+        "local8": {k: round(v, 2) if isinstance(v, float) else v for k, v in r8.items()},
+        "local32": {k: round(v, 2) if isinstance(v, float) else v for k, v in r32.items()},
+        "scaling_efficiency": round(eff, 3),
+        "state_match": r8["checksum"] == r32["checksum"] and r8["rows"] == r32["rows"],
+    }
+    print(json.dumps(result, indent=2))
+    if "--json" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

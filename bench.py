@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and the CDC
+replay throughput benchmark, printing ONE JSON line:
+
+  {"metric": "suite_wall_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "cdc_events_per_sec": R, "cdc_events": N_EVENTS}
+
+Environment knobs:
+  SPARK_GRAFT_SF_DIR      parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[] parallelism + shuffle partitions (default 32)
+  SPARK_GRAFT_CDC_EVENTS  CDC replay size (default 2_000_000)
+  SPARK_GRAFT_SKIP_CDC    set to skip the replay benchmark
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_nation_revenue",
+    "topk_orders",
+    "events_lww",
+    "sessionize_events",
+    "quantile_histogram_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "cdc_lww_stream",
+]
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("valentine-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Force full computation without sink overhead."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_queries(spark: SparkSession, sf_dir: str) -> dict:
+    queries = entry_mod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def run_cdc_replay(spark: SparkSession, n_events: int, n_buckets: int = 64) -> dict:
+    from valentine_spark.cdc import LakeTable, replay, synth_change_stream
+
+    root = tempfile.mkdtemp(prefix="bench_lake_")
+    # warmup (JIT + codegen) on a small slice
+    warm = LakeTable.create(os.path.join(root, "warm"), spark, n_buckets=8)
+    replay(warm, synth_change_stream(spark, 100_000, 10_000), batch_lsns=50_000)
+
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=n_buckets)
+    stream = synth_change_stream(spark, n_events, max(n_events // 10, 1))
+    t0 = time.time()
+    replay(lake, stream, batch_lsns=max(n_events // 4, 1))
+    wall = time.time() - t0
+    state = lake.state_checksum()
+    return {
+        "cdc_wall_seconds": round(wall, 3),
+        "cdc_events_per_sec": round(n_events / wall, 1),
+        "cdc_events": n_events,
+        "cdc_final_rows": state["rows"],
+        "cdc_state_checksum": str(state["checksum"]),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = build_session(cpus)
+    try:
+        # suite warmup: run the cheapest query once to pay JIT/codegen
+        materialize(entry_mod.queries()["q1_pricing_summary"](spark, sf_dir))
+
+        t0 = time.time()
+        timings = run_queries(spark, sf_dir)
+        suite_wall = round(time.time() - t0, 3)
+
+        extras = {}
+        if not os.environ.get("SPARK_GRAFT_SKIP_CDC"):
+            extras = run_cdc_replay(spark, n_events)
+            timings["cdc_replay"] = extras["cdc_wall_seconds"]
+
+        result = {
+            "metric": "suite_wall_seconds",
+            "value": round(suite_wall + extras.get("cdc_wall_seconds", 0.0), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": cpus,
+            **extras,
+        }
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,9 @@ def make_lake(spark, tmp_path, name, **kw):
 def test_lww_salted_equals_window(stream):
     a = lww_dedup(stream, n_salts=16).orderBy(*KEY_COLS).collect()
     b = lww_dedup_window(stream).orderBy(*KEY_COLS).collect()
+    c = lww_dedup(stream, n_salts=1).orderBy(*KEY_COLS).collect()
     assert a == b
+    assert c == b
     # exactly one row per key
     keys = {tuple(r[k] for k in KEY_COLS) for r in a}
     assert len(keys) == len(a)

@@ -1,0 +1,77 @@
+"""Plan audits: the optimizer properties we rely on at 100 TB, asserted on
+the actual physical plans (SURVEY.md §4 'what Catalyst gives us')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from valentine_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = E.q3_segment_revenue(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = E.q1_pricing_summary(spark, sf_dir)
+    scans = scan_columns(df)
+    assert scans, "no scans found"
+    # lineitem has 11 columns; q1 needs only 5
+    assert all(len(cols) <= 6 for cols in scans), scans
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    df = E.q5_nation_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_profile_unpivot_single_scan(spark, sf_dir):
+    """The column profiler must read the table ONCE (Expand over one scan),
+    not once per column."""
+    from valentine_spark.sources.profiles import profile_table
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    prof = profile_table(cust, "customer")
+    import re
+
+    text = explain_str(prof)
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", text)
+    assert len(scan_nodes) == 1, text
+    assert "Expand" in text
+
+
+def test_lww_agg_is_partial(spark):
+    """The LWW max_by aggregation must show a partial (map-side) phase —
+    the structural skew defense."""
+    from valentine_spark.cdc import lww_dedup, synth_change_stream
+
+    import re
+
+    stream = synth_change_stream(spark, 1000, 100)
+    plan = explain_str(lww_dedup(stream))
+    # two aggregate nodes = partial (map-side) + final; max_by with a struct
+    # ordering compiles to SortAggregate, still with a partial phase
+    agg_nodes = re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan)
+    assert len(agg_nodes) >= 2, plan
+    assert "partial" in plan.lower()
+    # and exactly one exchange: single shuffle, no window-style global sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_lsn_slice_pushdown(spark, tmp_path):
+    """Replay's LSN-range filters must push to a parquet-backed stream scan."""
+    from valentine_spark.cdc import synth_change_stream
+
+    p = str(tmp_path / "stream_pq")
+    synth_change_stream(spark, 2000, 300).write.parquet(p)
+    stream = spark.read.parquet(p)
+    sliced = stream.where((F.col("lsn") >= 500) & (F.col("lsn") < 1000))
+    pushed = pushed_filters(sliced)
+    assert any("lsn" in f and "GreaterThanOrEqual" in f for f in pushed), pushed

@@ -1,0 +1,9 @@
+from .checks import explain_str, has_broadcast_join, has_partial_aggregate, pushed_filters, scan_columns
+
+__all__ = [
+    "explain_str",
+    "pushed_filters",
+    "scan_columns",
+    "has_broadcast_join",
+    "has_partial_aggregate",
+]

@@ -1,0 +1,102 @@
+"""Structured Streaming front-end for the CDC engine: tail a change stream
+(file drop-zone, Kafka, or a rate-source synthesizer) and apply each
+micro-batch through the exactly-once LWW+MERGE pipeline via ``foreachBatch``.
+
+Exactly-once composition: Structured Streaming's checkpoint guarantees each
+micro-batch is delivered with a stable ``batch_id``; ``apply_batch`` is
+idempotent under that id (lake manifest check), so retries/replays after
+failure commit at most once.  This is the standard foreachBatch idempotent-
+sink pattern, with the idempotence implemented by the lake rather than
+assumed.
+
+The batch-mode ``replay`` (cdc/apply.py) remains the deterministic/bench
+path; this module is the long-running tail.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..cdc.apply import apply_batch
+from ..cdc.generator import STREAM_COLS, _content_expr, _h, _pmod, _repo_expr, LANGS
+from ..cdc.lake import LakeTable
+
+STREAM_DDL = (
+    "lsn long, op_ts timestamp, op string, repo string, path string, "
+    "commit string, lang string, content string"
+)
+
+
+def stream_from_files(spark: SparkSession, drop_dir: str, fmt: str = "parquet") -> DataFrame:
+    """Tail a drop-zone directory of change-event files (the WAL-shipping
+    pattern).  Schema is fixed -> no inference scan."""
+    reader = spark.readStream.schema(STREAM_DDL)
+    return reader.parquet(drop_dir) if fmt == "parquet" else reader.format(fmt).load(drop_dir)
+
+
+def synth_rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 10_000,
+    n_keys: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Rate-source-backed synthetic change stream (same field derivations as
+    the batch generator, keyed on the rate source's monotonic value)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    lsn = F.col("value")
+    key_id = _pmod(_h(seed ^ 6, lsn), n_keys)
+    op_roll = _pmod(_h(seed ^ 8, lsn), 10_000)
+    op = (
+        F.when(op_roll < 500, F.lit("delete"))
+        .when(op_roll < 3500, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    is_delete = op == "delete"
+    return rate.select(
+        lsn.alias("lsn"),
+        F.col("timestamp").alias("op_ts"),
+        op.alias("op"),
+        _repo_expr(seed, key_id, 500, 3, 0.5).alias("repo"),
+        F.concat(F.lit("src/dir"), _pmod(_h(seed ^ 3, key_id), 50), F.lit("/file_"), key_id, F.lit(".py")).alias("path"),
+        F.lpad(F.conv(F.abs(_h(seed ^ 4, key_id, F.lit(0))).cast("string"), 10, 16), 40, "0").alias("commit"),
+        F.when(is_delete, F.lit(None).cast("string"))
+        .otherwise(F.element_at(F.array(*[F.lit(l) for l in LANGS]), (_pmod(_h(seed ^ 5, key_id), len(LANGS)) + 1).cast("int")))
+        .alias("lang"),
+        F.when(is_delete, F.lit(None).cast("string")).otherwise(_content_expr(seed, key_id, lsn)).alias("content"),
+    )
+
+
+def stream_apply(
+    stream: DataFrame,
+    lake: LakeTable,
+    checkpoint_dir: str,
+    trigger_seconds: Optional[int] = None,
+    matcher=None,
+    n_salts: int = 1,
+    available_now: bool = False,
+):
+    """Start the streaming apply: every micro-batch goes through drift
+    resolution + LWW + exactly-once MERGE.  Returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently available then stops
+    (the catch-up/backfill trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_batch(
+            lake,
+            batch_df,
+            batch_id=f"stream-{batch_id}",
+            matcher=matcher,
+            n_salts=n_salts,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
