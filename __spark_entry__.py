@@ -247,6 +247,125 @@ def _jaccard_oracle_sql() -> str:
     )
 
 
+def _corrupted_names(cust: DataFrame) -> DataFrame:
+    """Every third customer name truncated by two chars — a fuzzy-matchable
+    drift column with collisions (exercises J3's asymmetric probe logic)."""
+    return cust.select(
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.substring(F.col("c_name"), 1, F.length("c_name") - 2),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("cust_label")
+    )
+
+
+def jaccard_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JaccardDistanceMatcher with fuzzy Levenshtein (threshold 0.95) between
+    c_name and its corrupted variant — the J3 theta-join path."""
+    from valentine_spark import JaccardDistanceMatcher
+
+    cust = _t(spark, sf_dir, "customer")
+    matches = JaccardDistanceMatcher(threshold_dist=0.95).get_matches(
+        cust.select("c_name"), _corrupted_names(cust), "customer", "drifted"
+    )
+    rows = [(s[1], t[1], round(sim, 6)) for (s, t), sim in matches.items()]
+    return spark.createDataFrame(rows, "s_col string, t_col string, sim double")
+
+
+def _fuzzy_oracle(cond: str) -> str:
+    # reference probe-side choice: set1 = smaller distinct set (the corrupted
+    # variant collapses collisions, so it is always strictly smaller here)
+    return f"""
+WITH a AS (SELECT DISTINCT c_name AS v FROM customer),
+b AS (SELECT DISTINCT CASE WHEN c_custkey % 3 = 0
+                           THEN substr(c_name, 1, length(c_name) - 2)
+                           ELSE c_name END AS v FROM customer),
+inter AS (SELECT count(*) AS n FROM b p
+          WHERE EXISTS (SELECT 1 FROM a q WHERE {cond}))
+SELECT 'c_name' AS s_col, 'cust_label' AS t_col,
+       round((SELECT n FROM inter) * 1.0 /
+             ((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+              - (SELECT n FROM inter)), 6) AS sim
+"""
+
+
+_JACCARD_FUZZY_SQL = _fuzzy_oracle(
+    "1.0 - levenshtein(p.v, q.v) * 1.0 / greatest(length(p.v), length(q.v), 1) >= 0.95"
+)
+
+
+def jaccard_jaro_winkler_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair via the Jaro-Winkler pandas-UDF path (raw-similarity
+    threshold 0.99; DuckDB's jaro_winkler_similarity is bit-identical)."""
+    from valentine_spark import JaccardDistanceMatcher, StringDistanceFunction
+
+    cust = _t(spark, sf_dir, "customer")
+    matches = JaccardDistanceMatcher(
+        threshold_dist=0.99, distance_fun=StringDistanceFunction.JaroWinkler
+    ).get_matches(cust.select("c_name"), _corrupted_names(cust), "customer", "drifted")
+    rows = [(s[1], t[1], round(sim, 6)) for (s, t), sim in matches.items()]
+    return spark.createDataFrame(rows, "s_col string, t_col string, sim double")
+
+
+_JACCARD_JW_SQL = _fuzzy_oracle("jaro_winkler_similarity(p.v, q.v) >= 0.99")
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x part rollup (the last otherwise-unused dimension table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        )
+    )
+
+
+_BRAND_SQL = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items, round(avg(p_retailprice), 6) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4, bits=4)
+
+
+_NEARDUP_CELL = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+_NEARDUP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, {_NEARDUP_CELL} AS cell FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         (SELECT sum(x.p * x.q) FROM (SELECT unnest(a.embedding::DOUBLE[]) AS p,
+                                             unnest(b.embedding::DOUBLE[]) AS q) x)
+         / (sqrt((SELECT sum(p.p * p.p) FROM (SELECT unnest(a.embedding::DOUBLE[]) AS p) p))
+            * sqrt((SELECT sum(q.q * q.q) FROM (SELECT unnest(b.embedding::DOUBLE[]) AS q) q))),
+         6) AS score
+FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(
+         (SELECT sum(x.p * x.q) FROM (SELECT unnest(a.embedding::DOUBLE[]) AS p,
+                                             unnest(b.embedding::DOUBLE[]) AS q) x)
+         / (sqrt((SELECT sum(p.p * p.p) FROM (SELECT unnest(a.embedding::DOUBLE[]) AS p) p))
+            * sqrt((SELECT sum(q.q * q.q) FROM (SELECT unnest(b.embedding::DOUBLE[]) AS q) q))),
+         6) >= 0.4
+"""
+
+
 def global_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: global dense value ranking over the union corpus of two numeric
     columns (the rank substrate of DistributionBased)."""
@@ -685,6 +804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lww": events_lww,
         "sessionize_events": sessionize_events,
         "jaccard_exact_drift": jaccard_exact_drift,
+        "jaccard_fuzzy_name": jaccard_fuzzy_name,
+        "jaccard_jaro_winkler_name": jaccard_jaro_winkler_name,
+        "brand_revenue": brand_revenue,
+        "embedding_neardup": embedding_neardup,
         "global_value_ranks": global_value_ranks,
         "quantile_histogram_events": quantile_histogram_events,
         "emd_click_vs_view": emd_click_vs_view,
@@ -715,6 +838,10 @@ def oracle_sql() -> dict[str, str]:
         "events_lww": _EVENTS_LWW_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "jaccard_exact_drift": _jaccard_oracle_sql(),
+        "jaccard_fuzzy_name": _JACCARD_FUZZY_SQL,
+        "jaccard_jaro_winkler_name": _JACCARD_JW_SQL,
+        "brand_revenue": _BRAND_SQL,
+        "embedding_neardup": _NEARDUP_SQL,
         "global_value_ranks": _RANKS_SQL,
         "quantile_histogram_events": _QHIST_SQL,
         "emd_click_vs_view": _EMD_SQL,

@@ -95,13 +95,21 @@ def synth_change_stream(
     delete_fraction: float = 0.05,
     start_lsn: int = 0,
     t0: str = "2026-01-01 00:00:00",
+    hot_key_fraction: float = 0.0,
 ) -> DataFrame:
     """An ordered change stream over ``n_keys`` logical keys.  lsn is dense
     and strictly increasing; op_ts is monotone non-decreasing (1s per 1000
-    lsn) so ties exercise the lsn tie-break of the LWW window."""
+    lsn) so ties exercise the lsn tie-break of the LWW window.
+
+    ``hot_key_fraction``: that fraction of ALL events hit key 0 — the
+    single-hot-key pathology used by the skew benchmarks (distinct from
+    ``hot_fraction`` which concentrates REPOS, not keys)."""
     ev = spark.range(n_events).select((F.col("id") + start_lsn).alias("lsn"))
     lsn = F.col("lsn")
     key_id = _pmod(_h(seed ^ 6, lsn), n_keys)
+    if hot_key_fraction > 0:
+        hot_roll = _pmod(_h(seed ^ 9, lsn), 10_000)
+        key_id = F.when(hot_roll < int(hot_key_fraction * 10_000), F.lit(0)).otherwise(key_id)
     # version counts how many times this key was touched up to this lsn —
     # approximated deterministically by hashing (key, lsn); only used to vary
     # content between updates.

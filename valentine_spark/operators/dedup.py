@@ -25,16 +25,18 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) — distinct character n-grams; short texts yield the text
-    itself as the single shingle."""
-    return df.select(
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True) -> DataFrame:
+    """(id, shingle) — character n-grams; short texts yield the text itself
+    as the single shingle.  ``distinct=False`` skips the dedup shuffle for
+    consumers whose aggregate is duplicate-insensitive (min-hash)."""
+    out = df.select(
         F.col(id_col),
         F.expr(
             f"explode(transform(sequence(1, greatest(length({text_col}) - {n} + 1, 1)), "
             f"i -> substring({text_col}, i, {n})))"
         ).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
