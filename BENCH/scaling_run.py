@@ -20,13 +20,22 @@ import json, os, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 cpus = int(sys.argv[1]); n = int(sys.argv[2])
-spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+builder = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "16g")
          .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
          .config("spark.ui.enabled", "false")
-         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+         .config("spark.ui.showConsoleProgress", "false"))
+# SCALING_TMPFS: keep lake + shuffle on a RAM disk — the sandbox has ONE
+# shared physical disk for both "cluster sizes", whereas a real cluster
+# scales disks with executors; tmpfs isolates the CPU-scaling property.
+tmpfs = os.environ.get("SCALING_TMPFS")
+if tmpfs:
+    os.makedirs(tmpfs, exist_ok=True)
+    tempfile.tempdir = tmpfs
+    builder = builder.config("spark.local.dir", os.path.join(tmpfs, "spark_local"))
+spark = builder.getOrCreate()
 from valentine_spark.cdc import LakeTable, replay, synth_change_stream
 root = tempfile.mkdtemp(prefix=f"scaling_{{cpus}}_")
 # JIT/codegen warmup on a 5% slice (identical at both levels)

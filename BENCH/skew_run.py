@@ -37,7 +37,7 @@ def main() -> None:
     )
     from valentine_spark.cdc import lww_dedup, lww_dedup_window, synth_change_stream
 
-    stream = synth_change_stream(spark, n, n // 10, hot_key_fraction=0.5)
+    stream = synth_change_stream(spark, n, n // 10, hot_key_fraction=float(os.environ.get("SKEW_HOT", "0.5")))
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -51,7 +51,7 @@ def main() -> None:
     for make in variants.values():
         noop(make().limit(1))
 
-    out = {"n_events": n, "hot_key_fraction": 0.5}
+    out = {"n_events": n, "hot_key_fraction": float(os.environ.get("SKEW_HOT", "0.5"))}
     for name, make in variants.items():
         best = float("inf")
         for _ in range(2):
