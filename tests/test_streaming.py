@@ -53,3 +53,115 @@ def test_stream_apply_available_now(spark, tmp_path, drop_zone):
     )
     q2.awaitTermination(120)
     assert lake.version == v
+
+
+def test_stateful_repo_stats(spark, tmp_path, drop_zone):
+    """applyInPandasWithState custom operator: running per-repo stats over
+    two availableNow drains accumulate across micro-batches via GroupState."""
+    from pyspark.sql import functions as F
+
+    from valentine_spark.streaming import run_repo_stats
+
+    drop_dir, stream = drop_zone
+    q = run_repo_stats(
+        stream_from_files(spark, drop_dir),
+        checkpoint_dir=str(tmp_path / "stats_ckpt"),
+        query_name="repo_stats_test",
+    )
+    q.awaitTermination(120)
+
+    # latest update per repo from the memory sink
+    sink = spark.table("repo_stats_test")
+    latest = {r["repo"]: r.asDict() for r in sink.collect()}
+
+    expected = {
+        r["repo"]: r.asDict()
+        for r in stream.groupBy("repo")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("op") == "insert").cast("long")).alias("n_inserts"),
+            F.sum((F.col("op") == "update").cast("long")).alias("n_updates"),
+            F.sum((F.col("op") == "delete").cast("long")).alias("n_deletes"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(expected)
+    for repo, exp in expected.items():
+        got = latest[repo]
+        for k in ("n_events", "n_inserts", "n_updates", "n_deletes", "max_lsn"):
+            assert got[k] == exp[k], (repo, k, got[k], exp[k])
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path, drop_zone):
+    """Watermarked tumbling windows over event time: every closed window's
+    counts equal the batch groupBy over the same window buckets."""
+    from pyspark.sql import functions as F
+
+    from valentine_spark.streaming import run_windowed_counts
+
+    drop_dir, stream = drop_zone
+    q = run_windowed_counts(
+        stream_from_files(spark, drop_dir),
+        checkpoint_dir=str(tmp_path / "win_ckpt"),
+        query_name="win_counts_test",
+        window_duration="1 second",
+        lateness="0 seconds",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["op"]): (r["n_events"], r["max_lsn"])
+        for r in spark.table("win_counts_test").collect()
+    }
+    assert got, "no windows finalized"
+
+    expected_df = (
+        stream.groupBy(F.window("op_ts", "1 second").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("lsn").alias("m"))
+        .select(F.col("w.start").alias("s"), "op", "n", "m")
+    )
+    expected = {(r["s"], r["op"]): (r["n"], r["m"]) for r in expected_df.collect()}
+    # every emitted (closed) window matches the batch computation; the last
+    # window may be unclosed and absent from the append-mode output
+    for key, val in got.items():
+        assert expected[key] == val, key
+    assert len(got) >= len(expected) - 5  # only trailing windows may be open
+
+
+def test_stateful_stats_survive_restart(spark, tmp_path, drop_zone):
+    """GroupState must accumulate across query RESTARTS (recoverable
+    foreachBatch-parquet sink; the memory sink cannot recover)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from valentine_spark.streaming import run_repo_stats
+
+    drop_dir, stream = drop_zone
+    # fresh private drop dir: first half only
+    drop2 = str(tmp_path / "drop2")
+    import os
+
+    os.makedirs(drop2)
+    files = sorted(glob.glob(f"{drop_dir}/*.parquet"))
+    shutil.copy(files[0], drop2)
+
+    sink = str(tmp_path / "stats_sink")
+    ck = str(tmp_path / "stats_ck")
+    q = run_repo_stats(stream_from_files(spark, drop2), ck, sink_path=sink)
+    q.awaitTermination(120)
+
+    for f in files[1:]:
+        shutil.copy(f, drop2)
+    q = run_repo_stats(stream_from_files(spark, drop2), ck, sink_path=sink)
+    q.awaitTermination(120)
+
+    latest = {
+        r["repo"]: r["n"]
+        for r in spark.read.parquet(sink).groupBy("repo").agg(F.max("n_events").alias("n")).collect()
+    }
+    expected = {
+        r["repo"]: r["n"] for r in stream.groupBy("repo").agg(F.count("*").alias("n")).collect()
+    }
+    assert latest == expected

@@ -1,3 +1,13 @@
+from .stateful import repo_stats_stream, run_repo_stats
 from .stream import stream_apply, stream_from_files, synth_rate_stream
+from .windows import run_windowed_counts, windowed_op_counts
 
-__all__ = ["stream_apply", "stream_from_files", "synth_rate_stream"]
+__all__ = [
+    "stream_apply",
+    "stream_from_files",
+    "synth_rate_stream",
+    "repo_stats_stream",
+    "run_repo_stats",
+    "windowed_op_counts",
+    "run_windowed_counts",
+]
