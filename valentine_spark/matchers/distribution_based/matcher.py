@@ -8,8 +8,9 @@ SURVEY.md §3.2):
      ``distinct`` → range-partitioned global sort on (numeric-prefix, byte
      order) → ``row_number``.  This reproduces the reference's external
      ``sort -n`` + LC_ALL=C tie order (clustering_utils.py:259-305): GNU
-     ``sort -n`` keys on the leading numeric prefix (strtod semantics, 0 for
-     non-numeric) and falls back to bytewise comparison; Spark's default
+     ``sort -n`` keys on the leading decimal prefix (sign + digits + optional
+     fraction, NO exponent — that is ``sort -g``; 0 for non-numeric) and
+     falls back to bytewise comparison; Spark's default
      UTF8_BINARY string ordering is exactly C-locale bytewise order.
      Values that coarsen to the same ``convert_data_type`` key collapse to
      their max rank (dict-insertion later-wins in the reference).
@@ -52,7 +53,7 @@ from .kernels import (
     rank_counts,
 )
 
-_NUMERIC_PREFIX = r"^[ \t]*([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?)"
+_NUMERIC_PREFIX = r"^[ \t]*([+-]?(\d+(\.\d*)?|\.\d+))"
 
 _PROFILE_SCHEMA = (
     "table_name string, column_name string, size long, min double, "

@@ -160,9 +160,29 @@ class JaccardDistanceMatcher:
             )
         )
 
-        cand = probe.join(build, "pair_id")
+        if self.distance_fun in _NORMALIZED and threshold > 0.5:
+            # Length-bucket BLOCKING (not just a post-filter): normalized
+            # sim >= t implies min_len >= t * max_len, i.e. the length ratio
+            # lies in [t, 1/t].  Bucketing lengths on a log scale with base
+            # 1/t, matching values differ by at most one bucket — so the
+            # probe side explodes to 3 candidate buckets and the join runs
+            # on (pair_id, bucket) instead of pair_id alone.  This bounds
+            # the per-pair fan-out to values of comparable length: the
+            # difference between |v1| x |v2| and near-linear at 100 TB.
+            import math as _math
+
+            log_base = _math.log(1.0 / threshold)
+            bucket = F.floor(F.log(F.greatest(F.length("bv"), F.lit(1))) / log_base)
+            build = build.withColumn("_lb", bucket.cast("long"))
+            p_bucket = F.floor(F.log(F.greatest(F.length("pv"), F.lit(1))) / log_base).cast("long")
+            probe = probe.withColumn(
+                "_lb", F.explode(F.array(p_bucket - 1, p_bucket, p_bucket + 1))
+            )
+            cand = probe.join(build, ["pair_id", "_lb"]).drop("_lb")
+        else:
+            cand = probe.join(build, "pair_id")
         if self.distance_fun in _NORMALIZED:
-            # length-band prune implied by normalized distance >= threshold
+            # exact length-band prune implied by normalized distance >= t
             band = F.abs(F.length("pv") - F.length("bv")) <= (1.0 - threshold) * F.greatest(
                 F.length("pv"), F.length("bv")
             )
