@@ -50,7 +50,7 @@ n_trials = int(os.environ.get("SCALING_TRIALS", "3"))
 for trial in range(n_trials):
     lake = LakeTable.create(os.path.join(root, f"t{{trial}}"), spark, n_buckets=64)
     t0 = time.time()
-    replay(lake, stream, batch_lsns=n // 4)
+    replay(lake, stream, batch_lsns=n // 4, max_lsn=n - 1)
     walls.append(time.time() - t0)
     state = lake.state_checksum()
 wall = min(walls)

@@ -86,12 +86,12 @@ def run_cdc_replay(spark: SparkSession, n_events: int, n_buckets: int = 64) -> d
     root = tempfile.mkdtemp(prefix="bench_lake_")
     # warmup (JIT + codegen) on a small slice
     warm = LakeTable.create(os.path.join(root, "warm"), spark, n_buckets=8)
-    replay(warm, synth_change_stream(spark, 100_000, 10_000), batch_lsns=50_000)
+    replay(warm, synth_change_stream(spark, 100_000, 10_000), batch_lsns=50_000, max_lsn=99_999)
 
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=n_buckets)
     stream = synth_change_stream(spark, n_events, max(n_events // 10, 1))
     t0 = time.time()
-    replay(lake, stream, batch_lsns=max(n_events // 4, 1))
+    replay(lake, stream, batch_lsns=max(n_events // 4, 1), max_lsn=n_events - 1)
     wall = time.time() - t0
     state = lake.state_checksum()
     return {

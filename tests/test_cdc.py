@@ -155,3 +155,48 @@ def test_generator_determinism(spark):
     assert sorted(a, key=lambda r: r["lsn"]) == sorted(b, key=lambda r: r["lsn"])
     c = synth_change_stream(spark, 500, 100, seed=8).collect()
     assert sorted(a, key=lambda r: r["lsn"]) != sorted(c, key=lambda r: r["lsn"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lww_property_random_streams(spark, seed):
+    """Property check on adversarial random streams (duplicate op_ts values,
+    shuffled arrival order): all three LWW formulations agree with a
+    brute-force python reduction."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for lsn in range(400):
+        key = rng.randrange(25)
+        rows.append(
+            (
+                lsn,
+                # coarse timestamps -> many (key, op_ts) ties, lsn breaks them
+                f"2026-01-01 00:00:{rng.randrange(30):02d}",
+                rng.choice(["insert", "update", "delete"]),
+                f"r{key % 5}",
+                f"p{key}",
+                "c0",
+                "py",
+                f"content-{lsn}",
+            )
+        )
+    rng.shuffle(rows)  # arrival order != lsn order
+    df = spark.createDataFrame(
+        rows, "lsn long, op_ts string, op string, repo string, path string, commit string, lang string, content string"
+    ).withColumn("op_ts", F.to_timestamp("op_ts"))
+
+    got_agg = {(r["repo"], r["path"], r["commit"]): r["lsn"] for r in lww_dedup(df).collect()}
+    got_salt = {(r["repo"], r["path"], r["commit"]): r["lsn"] for r in lww_dedup(df, n_salts=7).collect()}
+    got_win = {(r["repo"], r["path"], r["commit"]): r["lsn"] for r in lww_dedup_window(df).collect()}
+
+    best = {}
+    for r in df.collect():
+        key = (r["repo"], r["path"], r["commit"])
+        cand = (r["op_ts"], r["lsn"])
+        if key not in best or cand > best[key]:
+            best[key] = cand
+    expected = {k: v[1] for k, v in best.items()}
+    assert got_agg == expected
+    assert got_salt == expected
+    assert got_win == expected

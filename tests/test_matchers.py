@@ -119,3 +119,27 @@ def test_pandas_inputs_accepted(authors_pd):
     df1, df2 = authors_pd
     res = valentine_match(df1, df2, JaccardDistanceMatcher(distance_fun=StringDistanceFunction.Exact))
     assert len(res) > 0
+
+
+@pytest.mark.parametrize("formula", ["basic", "formula_a", "formula_b", "formula_c"])
+def test_similarity_flooding_formulas(authors, formula):
+    df1, df2 = authors
+    res = valentine_match(df1, df2, SimilarityFlooding(formula=formula))
+    assert len(res) > 0
+    assert all(v >= 0 for v in res.values())
+
+
+def test_similarity_flooding_inverse_product(authors):
+    df1, df2 = authors
+    res = valentine_match(df1, df2, SimilarityFlooding(coeff_policy="inverse_product"))
+    assert len(res) > 0
+    name_pairs = {(s[1], t[1]) for (s, t) in res.keys()}
+    assert ("EID", "EID") in name_pairs
+
+
+def test_similarity_flooding_rejects_unknown(authors):
+    df1, df2 = authors
+    with pytest.raises(ValueError):
+        valentine_match(df1, df2, SimilarityFlooding(formula="nope"))
+    with pytest.raises(ValueError):
+        valentine_match(df1, df2, SimilarityFlooding(coeff_policy="nope"))
