@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-class Coma:
+from . import BaseMatcher
+
+
+class Coma(BaseMatcher):
     def __init__(
         self,
         max_n: int = 0,

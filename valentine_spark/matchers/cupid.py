@@ -211,7 +211,10 @@ def compute_ssim(s_leaves, t_leaves, sims, th_accept: float = 0.5) -> float:
     return (len(s_strong) + len(t_strong)) / (len(s_leaves) + len(t_leaves))
 
 
-class Cupid:
+from . import BaseMatcher
+
+
+class Cupid(BaseMatcher):
     def __init__(
         self,
         leaf_w_struct: float = 0.2,

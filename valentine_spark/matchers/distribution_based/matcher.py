@@ -76,7 +76,10 @@ def _canon_expr():
     )
 
 
-class DistributionBased:
+from .. import BaseMatcher
+
+
+class DistributionBased(BaseMatcher):
     def __init__(
         self,
         threshold1: float = 0.15,

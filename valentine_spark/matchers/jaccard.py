@@ -58,7 +58,10 @@ _NORMALIZED = {
 }
 
 
-class JaccardDistanceMatcher:
+from . import BaseMatcher
+
+
+class JaccardDistanceMatcher(BaseMatcher):
     def __init__(
         self,
         threshold_dist: float = 0.8,

@@ -163,7 +163,10 @@ def _propagation_graph(g1: DiGraph, g2: DiGraph, cg: DiGraph, policy: str) -> Di
     return pg
 
 
-class SimilarityFlooding:
+from . import BaseMatcher
+
+
+class SimilarityFlooding(BaseMatcher):
     def __init__(self, coeff_policy: str = "inverse_average", formula: str = "formula_c"):
         self.coeff_policy = coeff_policy
         self.formula = formula
