@@ -82,15 +82,20 @@ def run_level(repo: str, cpus: int, n_events: int) -> dict:
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 4_000_000
-    r8 = run_level(repo, 8, n_events)
-    r32 = run_level(repo, 32, n_events)
-    eff = r32["rate"] / (4 * r8["rate"])
+    # --cpus A,B picks the N / 4N pair (default 8,32); e.g. --cpus 4,16
+    lo_cpus, hi_cpus = 8, 32
+    if "--cpus" in sys.argv:
+        lo_cpus, hi_cpus = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
+    factor = hi_cpus / lo_cpus
+    r_lo = run_level(repo, lo_cpus, n_events)
+    r_hi = run_level(repo, hi_cpus, n_events)
+    eff = r_hi["rate"] / (factor * r_lo["rate"])
     result = {
         "n_events": n_events,
-        "local8": {k: round(v, 2) if isinstance(v, float) else v for k, v in r8.items()},
-        "local32": {k: round(v, 2) if isinstance(v, float) else v for k, v in r32.items()},
+        f"local{lo_cpus}": {k: round(v, 2) if isinstance(v, float) else v for k, v in r_lo.items()},
+        f"local{hi_cpus}": {k: round(v, 2) if isinstance(v, float) else v for k, v in r_hi.items()},
         "scaling_efficiency": round(eff, 3),
-        "state_match": r8["checksum"] == r32["checksum"] and r8["rows"] == r32["rows"],
+        "state_match": r_lo["checksum"] == r_hi["checksum"] and r_lo["rows"] == r_hi["rows"],
     }
     print(json.dumps(result, indent=2))
     if "--json" in sys.argv:

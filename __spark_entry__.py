@@ -198,6 +198,50 @@ FROM ids GROUP BY user_id, session_seq
 """
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-to-click attribution: each purchase joined to the user's most
+    recent click at-or-before it (as-of join; union+window formulation vs
+    DuckDB's native ASOF LEFT JOIN as the oracle)."""
+    from valentine_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_on="ts", right_on="ts",
+        right_cols=["click_event_id"], suffix="_click",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("value", 6).alias("value"),
+        F.coalesce(F.unix_timestamp("ts_click"), F.lit(-1)).alias("click_ts_epoch"),
+        F.coalesce(F.col("click_event_id_click"), F.lit(-1)).alias("click_event_id"),
+    )
+
+
+_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, floor(epoch(p.ts))::BIGINT AS ts_epoch,
+       round(p.value, 6) AS value,
+       coalesce(floor(epoch(c.ts))::BIGINT, -1) AS click_ts_epoch,
+       coalesce(c.click_event_id, -1) AS click_event_id
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # matcher-derived operators over the star schema
 # ---------------------------------------------------------------------------
@@ -803,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": topk_orders,
         "events_lww": events_lww,
         "sessionize_events": sessionize_events,
+        "events_asof_attribution": events_asof_attribution,
         "jaccard_exact_drift": jaccard_exact_drift,
         "jaccard_fuzzy_name": jaccard_fuzzy_name,
         "jaccard_jaro_winkler_name": jaccard_jaro_winkler_name,
@@ -837,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _TOPK_SQL,
         "events_lww": _EVENTS_LWW_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "events_asof_attribution": _ASOF_SQL,
         "jaccard_exact_drift": _jaccard_oracle_sql(),
         "jaccard_fuzzy_name": _JACCARD_FUZZY_SQL,
         "jaccard_jaro_winkler_name": _JACCARD_JW_SQL,

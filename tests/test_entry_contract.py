@@ -52,7 +52,8 @@ def _norm(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: row tuples may contain None, which plain tuple < can't order
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 ORACLES = entry_mod.oracle_sql()

@@ -101,3 +101,50 @@ def test_frame_sample_plan(spark):
     videos = media.where(F.col("kind") == "video").count()
     assert plan.count() >= videos  # at least frame 0 per video
     assert plan.select("media_id").distinct().count() == videos
+
+
+def test_asof_join_semantics(spark):
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3"), (3, 10, "p4")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 100, "b"), (1, 200, "c"), (2, 60, "d")],
+        "k long, t long, tag string",
+    )
+    out = {
+        r["name"]: (r["t_matched"], r["tag_matched"])
+        for r in asof_join(left, right, on=["k"], left_on="t").collect()
+    }
+    assert out["p1"] == (100, "b")  # equal timestamp counts (inclusive)
+    assert out["p2"] == (200, "c")  # latest at-or-before
+    assert out["p3"] == (None, None)  # right row is AFTER the left row
+    assert out["p4"] == (None, None)  # key has no right rows at all
+
+
+def test_asof_join_duplicate_ts_deterministic(spark):
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 90, "x"), (1, 90, "z"), (1, 90, "y")], "k long, t long, tag string"
+    )
+    rows = asof_join(left, right, on=["k"], left_on="t").collect()
+    assert rows[0]["tag_matched"] == "z"  # max payload struct wins the tie
+
+
+def test_asof_join_tolerance(spark):
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 500)], "k long, t long")
+    right = spark.createDataFrame([(1, 90, "a")], "k long, t long, tag string")
+    out = {
+        r["t"]: r["tag_matched"]
+        for r in asof_join(
+            left, right, on=["k"], left_on="t", tolerance_seconds=50
+        ).collect()
+    }
+    assert out[100] == "a"  # within 50s lookback
+    assert out[500] is None  # match exists but is too old

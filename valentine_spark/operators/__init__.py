@@ -1,6 +1,7 @@
 """Large-scale training-data pipeline operators (dedup, similarity search,
 text analysis, multimodal plumbing, windowed event ops)."""
 
+from .asof import asof_join
 from .dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
@@ -14,6 +15,7 @@ from .text import doc_fingerprints, language_id, quality_scores, token_counts
 from .window_ops import latest_event_per_user, sessionize, topk_by
 
 __all__ = [
+    "asof_join",
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_signatures",

@@ -1,0 +1,101 @@
+"""As-of (point-in-time) join — new construction; the reference has no
+temporal joins (SURVEY.md §2.3 note: "as-of/apply-ordered join ... none
+present in the reference; to be built new").
+
+``asof_join(left, right, on, ...)`` attaches, to every left row, the most
+recent right row of the same key whose timestamp is at-or-before the left
+row's timestamp (the semantics of pandas ``merge_asof`` / DuckDB
+``ASOF LEFT JOIN`` with ``right.ts <= left.ts``).
+
+Spark-first formulation — union + running ``last`` window, NOT a range join:
+
+  * both sides are tagged and unioned, then a single window per key ordered
+    by (timestamp, side) carries the latest right-side payload forward onto
+    each left row (``last(_r, ignorenulls=True)`` over unbounded-preceding);
+  * ONE shuffle on the join key, cost O(n log n_partition) for the per-key
+    sort — no quadratic candidate explosion, unlike the naive
+    ``left.ts >= right.ts`` theta-join whose candidate set is O(|L|x|R|)
+    per key before taking the max;
+  * hot keys behave like any window hot key (bounded by per-key volume, and
+    the payload struct is carried, not recomputed); at 100 TB the shuffle is
+    the only scale cost and it is the same shuffle a MERGE/LWW already pays;
+  * right rows at equal (key, timestamp) resolve deterministically to the
+    max payload struct (ties ordered by the struct itself).
+
+Tie semantics: a right row with timestamp EQUAL to the left row's counts as
+"before" (inclusive), matching DuckDB ``ON r.ts <= l.ts`` — the right side
+of the union sorts before the left side at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "_asof_is_left"
+_TS = "_asof_t"
+_PAYLOAD = "_asof_r"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_on: str = "ts",
+    right_on: Optional[str] = None,
+    right_cols: Optional[List[str]] = None,
+    suffix: str = "_matched",
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right_on <= left_on``
+    per key.  Unmatched left rows keep nulls (left-join semantics).
+
+    ``right_cols``: right payload columns to attach (default: all non-key,
+    non-timestamp columns).  Attached columns are named ``{col}{suffix}``;
+    the matched right timestamp is ``{right_on}{suffix}``.
+
+    ``tolerance_seconds``: if set, matches older than this lookback window
+    are nulled out (pandas ``merge_asof(tolerance=...)``).
+    """
+    on = list(on)
+    right_on = right_on or left_on
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_on]
+
+    # right side: key + payload struct (timestamp first => deterministic
+    # max-struct tie-break for duplicate (key, ts) rows)
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_on).alias(_TS),
+        F.lit(False).alias(_SIDE),
+        F.struct(F.col(right_on).alias(right_on), *[F.col(c) for c in right_cols]).alias(_PAYLOAD),
+    )
+    l = left.select(
+        "*",
+        F.col(left_on).alias(_TS),
+        F.lit(True).alias(_SIDE),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # materialize the window BEFORE filtering to left rows — a filter first
+    # would remove the right rows the window carries forward
+    carried = unioned.withColumn("_asof_m", F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    matched = F.col("_asof_m")
+    if tolerance_seconds is not None:
+        in_window = (
+            F.col(_TS).cast("double") - matched.getField(right_on).cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        matched = F.when(in_window, matched)
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(matched.getField(right_on).alias(f"{right_on}{suffix}"))
+    out_cols += [matched.getField(c).alias(f"{c}{suffix}") for c in right_cols]
+    return carried.where(F.col(_SIDE)).select(*out_cols)
