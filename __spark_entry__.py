@@ -719,6 +719,15 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
+def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with trained coarse centroids (distributed Lloyd's k-means on the
+    driver-loop/DataFrame split); rows-only: the training loop is iterative
+    and not SQL-expressible."""
+    from valentine_spark.operators import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(_t(spark, sf_dir, "embeddings"), k=3, n_cells=8, max_iter=5)
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.operators import ivf_topk
 
@@ -866,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": text_fingerprints,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ivf_topk": embedding_ivf_topk,
+        "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "matcher_distribution_based": matcher_distribution_based,

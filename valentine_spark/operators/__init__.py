@@ -2,6 +2,7 @@
 text analysis, multimodal plumbing, windowed event ops)."""
 
 from .asof import asof_join
+from .kmeans import ivf_kmeans_topk, kmeans_assign, kmeans_fit
 from .dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
@@ -16,6 +17,9 @@ from .window_ops import latest_event_per_user, sessionize, topk_by
 
 __all__ = [
     "asof_join",
+    "kmeans_fit",
+    "kmeans_assign",
+    "ivf_kmeans_topk",
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_signatures",

@@ -1,0 +1,188 @@
+"""Distributed Lloyd's k-means over an embedding column — the learned-
+centroid upgrade of IVF partitioning (``similarity.ivf_topk`` uses sign
+buckets; real IVF trains coarse centroids).
+
+Spark-first shape (no MLlib, no RDDs, no per-row Python):
+
+  * **assign** is a pure JVM expression: the k current centroids are inlined
+    as literal nested arrays, each row computes k squared distances with
+    ``zip_with``/``aggregate`` folds and takes ``array_min`` over
+    (distance, idx) structs — whole-stage-codegen'd, no shuffle;
+  * **update** is one narrow aggregation: ``posexplode`` the (small, fixed)
+    vector dimension, ``groupBy(cluster, pos).avg`` — a single shuffle of
+    k x dim x partitions partial sums (map-side combine), then a k x dim
+    collect to the driver for the next iteration's literals;
+  * the centroid state lives on the driver between iterations (k x dim
+    doubles — tiny), exactly like the matcher-results split in SURVEY.md §1.2:
+    big data stays distributed, small state stays local.
+
+Scale: per iteration cost = one scan + one k*dim-wide shuffle, independent of
+k*n pairings; at 100 TB the scan dominates and parallelizes linearly.  The
+iteration count is bounded (``max_iter``) and convergence is measured by
+centroid drift on the driver.
+
+Determinism: init picks the k vectors with the smallest ``xxhash64(id, seed)``
+(a seeded, order-independent choice); averages are rounded to 9 dp each
+round so partition summation order cannot drift the fixpoint.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+_CLUSTER = "cluster"
+
+
+def _centroid_lits(centroids: List[List[float]]):
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _dist_structs(vec_col: str, centroids: List[List[float]]):
+    cents = _centroid_lits(centroids)
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            i.alias("idx"),
+        ),
+    )
+
+
+def _nearest_expr(vec_col: str, centroids: List[List[float]]):
+    """Index of the nearest centroid (squared L2), as a JVM-only expression."""
+    return F.array_min(_dist_structs(vec_col, centroids)).getField("idx")
+
+
+def _min_dist_expr(vec_col: str, centroids: List[List[float]]):
+    """Squared distance to the nearest current centroid (JVM expression)."""
+    return F.array_min(_dist_structs(vec_col, centroids)).getField("dist")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> Tuple[List[List[float]], int]:
+    """Returns (centroids as k x dim floats, iterations run)."""
+    vecs = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    # farthest-point init (deterministic k-means++ flavor): seed point by
+    # hash, then k-1 scans each adding the point farthest from the current
+    # centroid set — avoids the merged-cluster local optimum a pure random
+    # pick of k points is prone to.  k is small (coarse IVF cells), so k-1
+    # extra scans are cheap relative to the Lloyd iterations.
+    first = (
+        vecs.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError(f"need >= {k} vectors to fit k={k}, got 0")
+    centroids = [[float(x) for x in first[0][vec_col]]]
+    while len(centroids) < k:
+        far = (
+            vecs.select(id_col, vec_col, _min_dist_expr(vec_col, centroids).alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        nxt = [float(x) for x in far[0][vec_col]]
+        if far[0]["_d"] == 0.0 and any(nxt == c for c in centroids):
+            raise ValueError(f"need >= {k} distinct vectors to fit k={k}")
+        centroids.append(nxt)
+
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        assigned = vecs.withColumn(_CLUSTER, _nearest_expr(vec_col, centroids))
+        means = (
+            assigned.select(_CLUSTER, F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy(_CLUSTER, "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict = {}
+        for r in means:
+            by_cluster.setdefault(r[_CLUSTER], {})[r["pos"]] = r["m"]
+        for c, posmap in by_cluster.items():
+            new_centroids[c] = [posmap[p] for p in sorted(posmap)]
+        drift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if drift <= tol:
+            break
+    return centroids, iters
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    out_col: str = _CLUSTER,
+) -> DataFrame:
+    """One JVM-expression pass adding the nearest-centroid index."""
+    return df.withColumn(out_col, _nearest_expr(vec_col, centroids))
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: Optional[DataFrame] = None,
+    k: int = 3,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF with trained coarse centroids: join queries only against corpus
+    vectors in the same Voronoi cell, then cosine top-k within the cell.
+    Same output shape as ``similarity.ivf_topk`` (query_id, vec_id, score,
+    rank); recall depends on cell quality — single-probe, like ivf_topk."""
+    from pyspark.sql.window import Window
+
+    from .similarity import _dot, _norm
+
+    centroids, _ = kmeans_fit(
+        corpus, k=n_cells, max_iter=max_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    if queries is None:
+        queries = corpus.where(F.col(id_col) < 5)
+    q = kmeans_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids, vec_col="q_vec", out_col="_cell",
+    )
+    c = kmeans_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+        centroids, vec_col="c_vec", out_col="_cell",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "_cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
