@@ -415,9 +415,11 @@ def global_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (the rank substrate of DistributionBased)."""
     cust = _t(spark, sf_dir, "customer").select(F.col("c_acctbal").alias("value_num"))
     sup = _t(spark, sf_dir, "supplier").select(F.col("s_acctbal").alias("value_num"))
+    from valentine_spark.utils.ranking import distributed_row_number
+
     corpus = cust.unionByName(sup).distinct()
-    return corpus.withColumn(
-        "rank", F.row_number().over(Window.orderBy("value_num")).cast("long")
+    return distributed_row_number(corpus, ["value_num"], rank_col="rank").withColumn(
+        "rank", F.col("rank").cast("long")
     )
 
 

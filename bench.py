@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "topk_orders",
     "events_lww",
     "sessionize_events",
+    "events_asof_attribution",
     "quantile_histogram_events",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -75,3 +75,18 @@ def test_lsn_slice_pushdown(spark, tmp_path):
     sliced = stream.where((F.col("lsn") >= 500) & (F.col("lsn") < 1000))
     pushed = pushed_filters(sliced)
     assert any("lsn" in f and "GreaterThanOrEqual" in f for f in pushed), pushed
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join must be ONE key exchange + window — no join node, no
+    range/cross explosion (the property that keeps it linear at 100 TB)."""
+    import re
+
+    df = E.events_asof_attribution(spark, sf_dir)
+    text = explain_str(df)
+    assert "Window" in text
+    # exactly one exchange carries user_id (the asof key); the only other
+    # exchanges allowed are for the tiny clicks-dedup aggregation upstream
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoop", text), text
+    key_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", text)
+    assert len(key_exchanges) <= 2, text  # dedup agg + asof window

@@ -69,3 +69,30 @@ def test_global_ranks_match_unix_sort(spark):
         check=True,
     ).stdout.decode().splitlines()
     assert ours_order == ref_sorted, (ours_order, ref_sorted)
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """Two-phase rank == bare global-window rank, at any partitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from valentine_spark.utils.ranking import distributed_row_number
+
+    vals = [(float(x),) for x in [5, 1, 9, 3, 7, 2, 8, 0, 6, 4, 10, -3, 2.5]]
+    df = spark.createDataFrame(vals, "v double").repartition(7)
+    got = {
+        r["v"]: r["rank"]
+        for r in distributed_row_number(df, ["v"], num_partitions=5).collect()
+    }
+    want = {
+        r["v"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(Window.orderBy("v"))).collect()
+    }
+    assert got == want
+
+
+def test_distributed_row_number_empty(spark):
+    from valentine_spark.utils.ranking import distributed_row_number
+
+    df = spark.createDataFrame([], "v double")
+    assert distributed_row_number(df, ["v"]).count() == 0

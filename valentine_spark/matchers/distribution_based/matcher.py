@@ -195,10 +195,12 @@ class DistributionBased(BaseMatcher):
             "sort_num",
             F.when(extracted == "", F.lit(0.0)).otherwise(extracted.cast("double")),
         )
-        ranked = keyed.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col("sort_num"), F.col("value"))).cast("double"),
-        )
+        from ...utils.ranking import distributed_row_number
+
+        # distributed two-phase global rank — NOT a bare Window.orderBy,
+        # which would serialize the whole corpus through one task
+        ranked = distributed_row_number(keyed, ["sort_num", "value"], rank_col="rank")
+        ranked = ranked.withColumn("rank", F.col("rank").cast("double"))
         # collapse to convert_data_type keys, later (= max) rank wins
         canon_ranks = (
             ranked.withColumn("value_num", F.expr("try_cast(value as double)"))
