@@ -434,9 +434,18 @@ def quantile_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: equi-depth 16-bucket histogram of events.value (deterministic
     ntile with unique tie-break)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    from valentine_spark.utils.ranking import distributed_row_number
+
+    # equi-depth bucket from a distributed global rank (no single-partition
+    # ntile window): bucket = floor((rank-1) * 16 / n) + 1 — same equi-depth
+    # semantics, expressed identically in the SQL oracle
+    ranked = distributed_row_number(
+        ev.select("value", "event_id"), ["value", "event_id"], rank_col="rk"
+    )
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ev.withColumn("bucket", F.ntile(16).over(w))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", (F.floor((F.col("rk") - 1) * 16 / F.col("_n")) + 1).cast("long"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
@@ -447,10 +456,14 @@ def quantile_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QHIST_SQL = """
-SELECT bucket, count(*) AS n, round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value
-FROM (SELECT value, ntile(16) OVER (ORDER BY value, event_id) AS bucket FROM events)
-GROUP BY bucket
+WITH r AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rk,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT (floor((rk - 1) * 16 / n) + 1)::BIGINT AS bucket, count(*) AS n,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM r GROUP BY bucket
 """
 
 
