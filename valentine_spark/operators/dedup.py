@@ -25,10 +25,25 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the cluster before compute-heavy explodes.
+
+    Shingling multiplies work ~text_length-fold, so a small input (one
+    parquet split, a driver-created frame) would run the whole hash kernel
+    on one core.  One cheap shuffle of the raw rows buys full parallelism;
+    inputs that already have >= defaultParallelism splits (the 100 TB case)
+    are passed through untouched — no extra shuffle at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True) -> DataFrame:
     """(id, shingle) — character n-grams; short texts yield the text itself
     as the single shingle.  ``distinct=False`` skips the dedup shuffle for
     consumers whose aggregate is duplicate-insensitive (min-hash)."""
+    df = _ensure_parallelism(df)
     out = df.select(
         F.col(id_col),
         F.expr(
@@ -73,17 +88,29 @@ def ngram_jaccard_pairs(
         keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
         sh = sh.join(keep.select("shingle"), "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # LOSSLESS prunes (sizes are already fixed above):
+    #  * shingles appearing in exactly one doc cannot create a pair — drop
+    #    them from the join side (typically the large majority);
+    #  * jaccard >= t requires min(|a|,|b|) >= t * max(|a|,|b|) (the best
+    #    case is full containment), so the length-ratio gate runs inside the
+    #    join before the pair aggregation shuffles anything.
+    joinable = sh.join(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") >= 2).select("shingle"),
+        "shingle",
+    ).join(sizes, id_col)
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_shingles").alias("n_a"))
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_shingles").alias("n_b"))
     inter = (
         a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b"))
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")), "id_b")
+        inter
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -99,8 +126,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<string>): k min-hashes, hash i = min over shingles of
     md5(i || ':' || shingle).  One explode + ONE aggregation (k mins as k
-    aggregate columns)."""
-    sh = _shingles(df, id_col, text_col, n)
+    aggregate columns); min is duplicate-insensitive, so the shingle stream
+    skips the distinct shuffle entirely."""
+    sh = _shingles(df, id_col, text_col, n, distinct=False)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -152,7 +180,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(id, simhash long): token-multiset SimHash over ``bits`` bits; token
     hash = first 8 hex chars of md5 as int."""
-    tokens = df.select(
+    tokens = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias("tok"),
     )

@@ -10,14 +10,14 @@ total order while staying parallel:
   1. range-partition by the sort key (Spark samples split points) and sort
      within partitions — a distributed total sort, the same machinery as
      ``orderBy``;
-  2. count rows per partition (one cheap action on the persisted sorted
-     frame), prefix-sum the counts on the driver (#partitions integers);
-  3. rank = partition-local ``row_number()`` + broadcast per-partition
-     offset.
+  2. per-partition row counts prefix-summed into offsets — a #partitions-row
+     aggregate branch plus a cumsum window over those few rows, all lazy;
+  3. rank = partition-local ``row_number()`` + broadcast-joined offset.
 
-The sorted frame is persisted (memory-and-disk) so phases 2 and 3 share one
-shuffle; Spark's context cleaner reclaims it when the result goes out of
-scope.  Ordering ties must be broken by the key itself (pass a total key —
+Both branches sit on the IDENTICAL range exchange, so ReuseExchange computes
+the big shuffle once — no persist, no extra driver action.  The offset
+cumsum window is single-partition but runs over #partitions rows, not data
+rows.  Ordering ties must be broken by the key itself (pass a total key —
 callers rank DISTINCT values, so the key is unique) or ranks would be
 partition-placement-dependent.
 """
@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from typing import List, Sequence, Union
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -46,28 +45,30 @@ def distributed_row_number(
     if num_partitions <= 0:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
+    # monotonically_increasing_id on the range-sorted frame encodes
+    # (physical partition id << 33) + local row number IN SORT ORDER — the
+    # partition-local row number for free, with no Window.partitionBy(pid)
+    # (which would force a SECOND full-data hash exchange: Catalyst cannot
+    # know a pid column matches the physical partitioning).
+    _MID = "_rank_mid"
     part = (
         df.repartitionByRange(num_partitions, *sort_exprs)
         .sortWithinPartitions(*sort_exprs)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("*", F.monotonically_increasing_id().alias(_MID))
+        .withColumn(_PID, F.shiftright(F.col(_MID), 33))
+        .withColumn(_MID, F.col(_MID).bitwiseAND(F.lit((1 << 33) - 1)))
     )
-    counts = {
-        r[_PID]: r["cnt"]
-        for r in part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    if not offsets:
-        return df.withColumn(rank_col, F.lit(None).cast("long"))
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    # per-partition offsets as a LAZY branch: a #partitions-row aggregate
+    # plus a cumsum window over those few rows.  The range exchange below
+    # both branches is identical, so ReuseExchange computes the big shuffle
+    # once — no persist, no driver action, no second full-data shuffle.
+    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias(_OFF)
     )
-    w = Window.partitionBy(_PID).orderBy(*sort_exprs)
     return (
-        part.join(off_df, _PID)
-        .withColumn(rank_col, F.row_number().over(w) + F.col(_OFF))
-        .drop(_PID, _OFF)
+        part.join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, F.col(_MID) + F.col(_OFF) + 1)
+        .drop(_PID, _OFF, _MID)
     )
