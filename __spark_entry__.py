@@ -242,6 +242,37 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: orders matched into 20 OVERLAPPING price bands
+    (lo = i*25k, hi = lo+60k) via the bucketized equi-join formulation —
+    Spark would otherwise run the raw BETWEEN join as BroadcastNestedLoop.
+    Oracle: DuckDB's native inequality join over the same bands."""
+    from valentine_spark.operators import interval_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25000.0).alias("lo"),
+        (F.col("id") * 25000.0 + 60000.0).alias("hi"),
+    )
+    joined = interval_join(orders, bands, "o_totalprice", bucket_width=25000.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_BAND_SQL = """
+WITH bands AS (
+  SELECT i AS band_id, i * 25000.0 AS lo, i * 25000.0 + 60000.0 AS hi
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+)
+SELECT band_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
+GROUP BY band_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # matcher-derived operators over the star schema
 # ---------------------------------------------------------------------------
@@ -872,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lww": events_lww,
         "sessionize_events": sessionize_events,
         "events_asof_attribution": events_asof_attribution,
+        "orders_price_band_join": orders_price_band_join,
         "jaccard_exact_drift": jaccard_exact_drift,
         "jaccard_fuzzy_name": jaccard_fuzzy_name,
         "jaccard_jaro_winkler_name": jaccard_jaro_winkler_name,
@@ -908,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lww": _EVENTS_LWW_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "events_asof_attribution": _ASOF_SQL,
+        "orders_price_band_join": _BAND_SQL,
         "jaccard_exact_drift": _jaccard_oracle_sql(),
         "jaccard_fuzzy_name": _JACCARD_FUZZY_SQL,
         "jaccard_jaro_winkler_name": _JACCARD_JW_SQL,

@@ -201,3 +201,36 @@ def test_ivf_kmeans_topk(spark):
     for r in out:
         if r["rank"] == 1:
             assert r["vec_id"] % 3 == r["query_id"] % 3
+
+
+def test_interval_join_semantics(spark):
+    from valentine_spark.operators import interval_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 99.0)], "pid long, v double")
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 7.0), (200, 4.0, 12.0), (300, 50.0, 60.0)], "iid long, lo double, hi double"
+    )
+    rows = interval_join(pts, ivs, "v", bucket_width=5.0).collect()
+    got = sorted((r["pid"], r["iid"]) for r in rows)
+    assert got == [(1, 100), (1, 200), (2, 200)]  # overlapping bands, bounds inclusive
+    # left join keeps unmatched points exactly once
+    left = interval_join(pts, ivs, "v", bucket_width=5.0, how="left").collect()
+    unmatched = [r for r in left if r["iid"] is None]
+    assert [r["pid"] for r in unmatched] == [3]
+    # no duplicate pairs even when an interval spans many buckets
+    wide = spark.createDataFrame([(900, 0.0, 1000.0)], "iid long, lo double, hi double")
+    dup = interval_join(pts, wide, "v", bucket_width=5.0).collect()
+    assert sorted(r["pid"] for r in dup) == [1, 2, 3]
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The banded form must plan as a hash join, not BroadcastNestedLoop."""
+    from valentine_spark.operators import interval_join
+    from valentine_spark.plans import explain_str
+
+    pts = spark.range(100).select(F.col("id").alias("pid"), (F.col("id") * 1.0).alias("v"))
+    ivs = spark.range(10).select(
+        F.col("id").alias("iid"), (F.col("id") * 10.0).alias("lo"), (F.col("id") * 10.0 + 15.0).alias("hi")
+    )
+    text = explain_str(interval_join(pts, ivs, "v", bucket_width=10.0))
+    assert "BroadcastNestedLoop" not in text, text

@@ -2,6 +2,7 @@
 text analysis, multimodal plumbing, windowed event ops)."""
 
 from .asof import asof_join
+from .interval import interval_join
 from .kmeans import ivf_kmeans_topk, kmeans_assign, kmeans_fit
 from .dedup import (
     exact_duplicates,
@@ -17,6 +18,7 @@ from .window_ops import latest_event_per_user, sessionize, topk_by
 
 __all__ = [
     "asof_join",
+    "interval_join",
     "kmeans_fit",
     "kmeans_assign",
     "ivf_kmeans_topk",
