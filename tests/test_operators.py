@@ -234,3 +234,47 @@ def test_interval_join_no_nested_loop(spark):
     )
     text = explain_str(interval_join(pts, ivs, "v", bucket_width=10.0))
     assert "BroadcastNestedLoop" not in text, text
+
+
+def test_asof_join_randomized_vs_pandas(spark):
+    """Seeded randomized property check: asof_join == pandas merge_asof
+    (backward, inclusive) over many keys/timestamps incl. collisions."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(123)
+    left_rows = [
+        (i, rng.randint(0, 12), float(rng.randint(0, 50))) for i in range(300)
+    ]
+    right_rows = [
+        (1000 + i, rng.randint(0, 12), float(rng.randint(0, 50))) for i in range(200)
+    ]
+    # dedupe right per (key, ts) like real callers (deterministic oracle)
+    rd = {}
+    for rid, k, t in right_rows:
+        rd[(k, t)] = max(rd.get((k, t), -1), rid)
+    right_rows = [(rid, k, t) for (k, t), rid in rd.items()]
+
+    left = spark.createDataFrame(left_rows, "lid long, k long, t double")
+    right = spark.createDataFrame(right_rows, "rid long, k long, t double")
+    got = {
+        r["lid"]: (r["t_m"], r["rid_m"])
+        for r in __import__("valentine_spark.operators", fromlist=["asof_join"])
+        .asof_join(left, right, on=["k"], left_on="t", suffix="_m")
+        .collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["lid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["rid", "k", "t"]).sort_values("t", kind="stable")
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward", suffixes=("", "_m"))
+    for _, row in exp.iterrows():
+        want = (
+            None if pd.isna(row.get("rid")) else row["t"],
+            None if pd.isna(row.get("rid")) else int(row["rid"]),
+        )
+        # pandas keeps the matched right ts only implicitly (same as t when
+        # exact); recompute matched ts from the rid row
+        if want[1] is not None:
+            want = (dict((r[0], r[2]) for r in right_rows)[want[1]], want[1])
+        assert got[int(row["lid"])] == want, (row["lid"], got[int(row["lid"])], want)
