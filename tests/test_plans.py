@@ -90,3 +90,15 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert not re.search(r"CartesianProduct|BroadcastNestedLoop", text), text
     key_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", text)
     assert len(key_exchanges) <= 2, text  # dedup agg + asof window
+
+
+def test_distributed_rank_reuses_range_exchange(spark):
+    """The lazy-offsets rank is only correct if both branches read ONE
+    physical range exchange — assert ReuseExchange fires."""
+    from valentine_spark.utils.ranking import distributed_row_number
+
+    df = spark.range(10_000).select((F.col("id") * 7 % 1000).alias("v"), "id")
+    ranked = distributed_row_number(df, ["v", "id"], num_partitions=4)
+    ranked.collect()
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "table cache" in plan, plan

@@ -58,6 +58,15 @@ def distributed_row_number(
         .withColumn(_PID, F.shiftright(F.col(_MID), 33))
         .withColumn(_MID, F.col(_MID).bitwiseAND(F.lit((1 << 33) - 1)))
     )
+    # Correctness of the lazy offsets branch requires both branches to read
+    # the SAME physical range exchange (otherwise two independently-sampled
+    # range partitionings could disagree on pid boundaries).  ReuseExchange
+    # guarantees that and is on by default; if a user disabled it, pin the
+    # partitioning by persisting instead.
+    if df.sparkSession.conf.get("spark.sql.exchangeReuse.enabled", "true") == "false":
+        from pyspark import StorageLevel
+
+        part = part.persist(StorageLevel.MEMORY_AND_DISK)
     # per-partition offsets as a LAZY branch: a #partitions-row aggregate
     # plus a cumsum window over those few rows.  The range exchange below
     # both branches is identical, so ReuseExchange computes the big shuffle
