@@ -21,9 +21,10 @@ k*n pairings; at 100 TB the scan dominates and parallelizes linearly.  The
 iteration count is bounded (``max_iter``) and convergence is measured by
 centroid drift on the driver.
 
-Determinism: init picks the k vectors with the smallest ``xxhash64(id, seed)``
-(a seeded, order-independent choice); averages are rounded to 9 dp each
-round so partition summation order cannot drift the fixpoint.
+Determinism: init seeds on the vector with the smallest ``xxhash64(id, seed)``
+then grows by farthest-point selection (id-tie-broken — order-independent);
+averages are rounded to 9 dp each round so partition summation order cannot
+drift the fixpoint.
 """
 
 from __future__ import annotations
@@ -74,7 +75,13 @@ def kmeans_fit(
     tol: float = 1e-6,
 ) -> Tuple[List[List[float]], int]:
     """Returns (centroids as k x dim floats, iterations run)."""
-    vecs = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    from pyspark import StorageLevel
+
+    vecs = (
+        df.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)  # scanned k-1 init passes + one per iteration
+    )
     # farthest-point init (deterministic k-means++ flavor): seed point by
     # hash, then k-1 scans each adding the point farthest from the current
     # centroid set — avoids the merged-cluster local optimum a pure random
@@ -123,6 +130,7 @@ def kmeans_fit(
         centroids = new_centroids
         if drift <= tol:
             break
+    vecs.unpersist()
     return centroids, iters
 
 
