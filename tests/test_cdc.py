@@ -200,3 +200,43 @@ def test_lww_property_random_streams(spark, seed):
     assert got_agg == expected
     assert got_salt == expected
     assert got_win == expected
+
+
+def test_crash_between_data_write_and_metadata_install(spark, tmp_path, stream):
+    """Crash-window safety: a failure AFTER data files are written but
+    BEFORE the snapshot metadata is installed must leave the table state
+    unchanged (orphan files only), and the re-applied batch must commit
+    cleanly with the same final state as an uninterrupted replay."""
+    lake = make_lake(spark, tmp_path, "crash")
+    replay(lake, stream, batch_lsns=3_000, max_lsn=2_999)  # batch 1 committed
+    before = lake.state_checksum()
+    v_before = lake.version
+
+    orig = LakeTable._write_metadata
+    calls = {"n": 0}
+
+    def exploding(self, meta):
+        # the crash: data for batch 2 is on disk by the time merge() calls
+        # this; the pointer never moves
+        calls["n"] += 1
+        raise OSError("simulated crash before metadata install")
+
+    LakeTable._write_metadata = exploding
+    try:
+        batch2 = stream.where((F.col("lsn") >= 3_000) & (F.col("lsn") < 6_000))
+        with pytest.raises(OSError):
+            apply_batch(lake, batch2, "batch-3000-6000", watermark_lsn=5_999)
+    finally:
+        LakeTable._write_metadata = orig
+    assert calls["n"] == 1
+
+    # table unchanged: same version, same checksum, batch not recorded
+    assert lake.version == v_before
+    assert lake.state_checksum() == before
+    assert "batch-3000-6000" not in lake.applied_batches()
+
+    # re-apply succeeds and matches an uninterrupted replay
+    apply_batch(lake, batch2, "batch-3000-6000", watermark_lsn=5_999)
+    clean = make_lake(spark, tmp_path, "clean")
+    replay(clean, stream, batch_lsns=3_000, max_lsn=5_999)
+    assert lake.state_checksum() == clean.state_checksum()
