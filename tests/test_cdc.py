@@ -240,3 +240,18 @@ def test_crash_between_data_write_and_metadata_install(spark, tmp_path, stream):
     clean = make_lake(spark, tmp_path, "clean")
     replay(clean, stream, batch_lsns=3_000, max_lsn=5_999)
     assert lake.state_checksum() == clean.state_checksum()
+
+
+def test_commit_metrics_in_lineage(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "metrics_lake")
+    commit = apply_batch(
+        lake, stream.where(F.col("lsn") < 3000), "b0", collect_metrics=True
+    )
+    m = commit["metrics"]
+    assert m["keys_touched"] == m["upserts"] + m["deletes"] > 0
+    # metrics persist in the on-disk lineage of the snapshot
+    recorded = [e for e in lake.metadata()["lineage"] if e.get("batch_id") == "b0"]
+    assert recorded and recorded[0]["metrics"] == m
+    # and agree with a direct LWW count
+    winners = lww_dedup(stream.where(F.col("lsn") < 3000))
+    assert m["keys_touched"] == winners.count()

@@ -102,6 +102,7 @@ def apply_batch(
     drift_threshold: float = 0.5,
     cache_batch: bool = False,
     watermark_lsn: Optional[int] = None,
+    collect_metrics: bool = False,
 ) -> dict:
     """Apply one micro-batch exactly-once.  Steps:
       1. skip if batch_id already committed (idempotent re-run);
@@ -170,6 +171,19 @@ def apply_batch(
         lineage: dict = {}
         if drift_map:
             lineage["drift_mapping"] = drift_map
+        if collect_metrics:
+            # one small agg over the (shuffle-reused) winner set; opt-in so
+            # the bulk-replay hot path stays at one job per batch
+            m = winners.agg(
+                F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("upserts"),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+                F.count(F.lit(1)).alias("keys_touched"),
+            ).collect()[0]
+            lineage["metrics"] = {
+                "upserts": int(m["upserts"] or 0),
+                "deletes": int(m["deletes"] or 0),
+                "keys_touched": int(m["keys_touched"] or 0),
+            }
         return lake.merge(
             upserts,
             deletes,
@@ -196,6 +210,7 @@ def replay(
     n_salts: int = 1,
     max_lsn: Optional[int] = None,
     range_watermarks: bool = True,
+    collect_metrics: bool = False,
 ) -> list:
     """Deterministic micro-batch replay over LSN slices — the batch-mode
     equivalent of tailing the stream (resumable, exactly-once).  The slice
@@ -222,6 +237,7 @@ def replay(
                 matcher=matcher,
                 n_salts=n_salts,
                 watermark_lsn=min(hi - 1, max_lsn) if range_watermarks else None,
+                collect_metrics=collect_metrics,
             )
         )
     return commits
