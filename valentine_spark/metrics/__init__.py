@@ -113,7 +113,7 @@ class RecallAtSizeofGroundTruth(Metric):
 
 METRICS_CORE = {Precision(), Recall(), F1Score(), PrecisionTopNPercent(), RecallAtSizeofGroundTruth()}
 METRICS_PRECISION_RECALL = {Precision(), Recall()}
-METRICS_PRECISION_INCREASING_N = {PrecisionTopNPercent(n=i) for i in range(10, 100, 10)}
+METRICS_PRECISION_INCREASING_N = {PrecisionTopNPercent(n=i) for i in range(10, 110, 10)}  # n=10..100, reference metrics/__init__.py:8
 METRICS_ALL = METRICS_CORE | METRICS_PRECISION_INCREASING_N
 
 __all__ = [
