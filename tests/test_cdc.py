@@ -116,6 +116,12 @@ def test_schema_drift_rename(spark, tmp_path, stream):
     )
     commit = apply_batch(lake, drifted, "drifted")
     assert commit.get("drift_mapping") == {"source_text": "content", "language": "lang"}
+    # lineage also records WHICH matcher stage decided each rename
+    assert set(commit.get("drift_stages", {})) == {"source_text", "language"}
+    assert all(
+        s in {"jaccard_exact", "cupid_name", "distribution_emd"}
+        for s in commit["drift_stages"].values()
+    )
     assert {f.name for f in lake.schema.fields} == before  # renamed, not evolved
 
     # final state identical to applying the un-drifted batch

@@ -121,7 +121,7 @@ def apply_batch(
     if batch_id in lake.applied_batches():
         return {"batch_id": batch_id, "skipped": True}
 
-    events, drift_map = resolve_drift(events, lake, matcher=matcher, threshold=drift_threshold)
+    events, drift_map, drift_stages = resolve_drift(events, lake, matcher=matcher, threshold=drift_threshold)
 
     # The batch slice is scanned three times (watermarks, LWW, merge).
     # cache_batch=True materializes it once — worth it when the source
@@ -171,6 +171,7 @@ def apply_batch(
         lineage: dict = {}
         if drift_map:
             lineage["drift_mapping"] = drift_map
+            lineage["drift_stages"] = drift_stages  # which matcher stage decided each rename
         if collect_metrics:
             # one small agg over the (shuffle-reused) winner set; opt-in so
             # the bulk-replay hot path stays at one job per batch

@@ -105,17 +105,19 @@ def resolve_drift(
     matcher=None,
     threshold: float = 0.5,
     sample_rows: int = 500,
-) -> Tuple[DataFrame, Dict[str, str]]:
-    """Returns (events with drifted columns renamed, {batch_col: target_col}).
-    Evolves the lake schema additively for unmapped extra columns."""
+) -> Tuple[DataFrame, Dict[str, str], Dict[str, str]]:
+    """Returns (events with drifted columns renamed, {batch_col: target_col},
+    {batch_col: deciding_stage}).  Evolves the lake schema additively for
+    unmapped extra columns."""
     target_payload_cols = [f.name for f in lake.schema.fields if f.name not in KEY_COLS]
     known = set(META_COLS) | set(KEY_COLS) | set(target_payload_cols)
     extra = [c for c in events.columns if c not in known]
     if not extra:
-        return events, {}
+        return events, {}, {}
 
     missing = [c for c in target_payload_cols if c not in events.columns]
     mapping: Dict[str, str] = {}
+    stages: Dict[str, str] = {}
 
     if missing:
         batch_sample = events.where(F.col("op") != "delete").select(*extra).limit(sample_rows)
@@ -123,8 +125,9 @@ def resolve_drift(
         if matcher is not None:
             raw = matcher.get_matches(batch_sample, target_sample, "batch", "target")
             mapping = _assign(raw, extra, missing, threshold)
+            stages = {c: type(matcher).__name__ for c in mapping}
         else:
-            mapping, _stages = match_drifted_columns(batch_sample, target_sample, extra, missing)
+            mapping, stages = match_drifted_columns(batch_sample, target_sample, extra, missing)
 
     renamed = events
     for src_col, tgt_col in mapping.items():
@@ -137,7 +140,7 @@ def resolve_drift(
             [T.StructField(c, _parse_type(batch_types[c])) for c in unmapped],
             note=f"auto-evolved from drifted batch columns: {unmapped}",
         )
-    return renamed, mapping
+    return renamed, mapping, stages
 
 
 def _parse_type(dtype_str: str) -> T.DataType:
