@@ -278,3 +278,14 @@ def test_asof_join_randomized_vs_pandas(spark):
         if want[1] is not None:
             want = (dict((r[0], r[2]) for r in right_rows)[want[1]], want[1])
         assert got[int(row["lid"])] == want, (row["lid"], got[int(row["lid"])], want)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL equality semantics: NULL join keys match nothing on either side."""
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, None, 100), (2, 7, 100)], "lid long, k long, t long")
+    right = spark.createDataFrame([(10, None, 90), (20, 7, 90)], "rid long, k long, t long")
+    out = {r["lid"]: r["rid_m"] for r in
+           asof_join(left, right, on=["k"], left_on="t", suffix="_m").collect()}
+    assert out == {1: None, 2: 20}

@@ -64,6 +64,15 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_on]
 
+    # SQL join equality never matches NULL keys; a window partition WOULD
+    # group them, so drop null-key right rows (they can never match) — and
+    # null-key left rows then fall through unmatched, like the SQL oracle.
+    not_null = None
+    for c in on:
+        cond = F.col(c).isNotNull()
+        not_null = cond if not_null is None else (not_null & cond)
+    right = right.where(not_null)
+
     # right side: key + payload struct (timestamp first => deterministic
     # max-struct tie-break for duplicate (key, ts) rows)
     r = right.select(
