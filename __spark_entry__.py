@@ -593,6 +593,14 @@ WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= 0.8
 )
 
 
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join — must equal dedup_ngram_jaccard
+    exactly (same oracle SQL): the lossless AllPairs-style scale path."""
+    from valentine_spark.operators import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"), n=8, threshold=0.8)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.operators import minhash_lsh_pairs
 
@@ -914,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_click_vs_view": emd_click_vs_view,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_ngram_prefix": dedup_ngram_prefix,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "text_token_counts": text_token_counts,
@@ -951,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "emd_click_vs_view": _EMD_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _NGRAM_SQL,
+        "dedup_ngram_prefix": _NGRAM_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "text_token_counts": _TOKENS_SQL,

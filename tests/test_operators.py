@@ -289,3 +289,31 @@ def test_asof_join_null_keys_never_match(spark):
     out = {r["lid"]: r["rid_m"] for r in
            asof_join(left, right, on=["k"], left_on="t", suffix="_m").collect()}
     assert out == {1: None, 2: 20}
+
+
+def test_ngram_prefix_filter_equals_exhaustive(spark):
+    """The prefix-filtered set-similarity join must return EXACTLY the same
+    pairs/scores as the exhaustive formulation (lossless filtering)."""
+    import random
+
+    from valentine_spark.operators import ngram_jaccard_pairs, ngram_jaccard_pairs_prefix
+
+    rng = random.Random(99)
+    base = "the quick brown fox jumps over the lazy dog while rain falls on tin roofs"
+    docs = []
+    for i in range(60):
+        if i % 3 == 0:
+            # near-dup of base with small edits
+            s = list(base)
+            for _ in range(rng.randrange(0, 4)):
+                s[rng.randrange(len(s))] = rng.choice("abcdefgh ")
+            docs.append((i, "".join(s)))
+        else:
+            docs.append((i, "".join(rng.choice("abcdefghijklmnop ") for _ in range(rng.randrange(30, 90)))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(df, n=5, threshold=t).collect()}
+        fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs_prefix(df, n=5, threshold=t).collect()}
+        assert fast == exact and exact  # identical, and non-trivial

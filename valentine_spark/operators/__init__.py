@@ -9,6 +9,7 @@ from .dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_fingerprints,
     simhash_pairs,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "ivf_kmeans_topk",
     "exact_duplicates",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_fingerprints",

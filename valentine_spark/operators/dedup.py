@@ -117,6 +117,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Prefix-filtered set-similarity join (AllPairs/PPJoin family) — the
+    scale path for ``ngram_jaccard_pairs``, same output exactly.
+
+    Classic prefix-filter theorem: order every document's shingles by one
+    global total order (ascending document frequency, rarest first — the
+    order that makes prefixes selective); with prefix length
+    ``p = n_shingles - ceil(t * n_shingles) + 1``, any pair with jaccard >= t
+    MUST share at least one PREFIX shingle.  Candidate generation therefore
+    joins only on prefix shingles — on near-dup-heavy corpora the candidate
+    set collapses from "every pair sharing ANY shingle" to "pairs sharing a
+    RARE shingle", the difference between quadratic and linear at 100 TB.
+
+    Verification recomputes the EXACT intersection for the surviving
+    candidates (join candidates back to full shingle sets), so the output is
+    identical to the exhaustive formulation (property-tested).  The per-doc
+    ranking window partitions by document — no global window, no skew beyond
+    a document's own shingle count.
+
+    Measured tradeoff (sf0.1 documents, local[32]): 63 s vs 45 s for the
+    exhaustive path — on THIS corpus the df>=2 + length-ratio prunes already
+    bound the fan-out, and the prefix path pays its extra df/rank/verify
+    joins.  Prefix wins when a corpus has heavy common-shingle skew (web
+    boilerplate, templated text), where the exhaustive join's candidate set
+    is quadratic in the hottest shingle's document frequency.
+    """
+    sh = _shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("_df"), F.col("shingle"))
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.where(
+        F.col("_rn") <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ).select(id_col, "shingle", "n_shingles")
+
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_shingles").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_shingles").alias("n_b"))
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b"))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+
+    # exact verification: true intersection of the candidate pairs only
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
