@@ -601,6 +601,45 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"), n=8, threshold=0.8)
 
 
+def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: ngram-Jaccard pairs -> distributed
+    connected components (min-label propagation) -> every document labeled
+    with its group's canonical (min) id; singletons map to themselves.
+    Oracle: recursive-CTE transitive closure in DuckDB."""
+    from valentine_spark.operators import duplicate_groups, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=8, threshold=0.8).select("id_a", "id_b")
+    return duplicate_groups(docs, pairs)
+
+
+_GROUPS_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_SQL.format(n=8).lstrip() + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= 0.8
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT d.doc_id, coalesce(least(c.mn, d.doc_id), d.doc_id) AS canonical_id
+FROM documents d
+LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) c ON c.u = d.doc_id
+"""
+)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.operators import minhash_lsh_pairs
 
@@ -923,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_ngram_prefix": dedup_ngram_prefix,
+        "dedup_duplicate_groups": dedup_duplicate_groups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "text_token_counts": text_token_counts,
@@ -961,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _NGRAM_SQL,
         "dedup_ngram_prefix": _NGRAM_SQL,
+        "dedup_duplicate_groups": _GROUPS_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "text_token_counts": _TOKENS_SQL,

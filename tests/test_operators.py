@@ -317,3 +317,24 @@ def test_ngram_prefix_filter_equals_exhaustive(spark):
         fast = {(r["id_a"], r["id_b"]): r["jaccard"]
                 for r in ngram_jaccard_pairs_prefix(df, n=5, threshold=t).collect()}
         assert fast == exact and exact  # identical, and non-trivial
+
+
+def test_connected_components_chains_and_cliques(spark):
+    from valentine_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, clique 10-11-12, isolated edge 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_groups_with_singletons(spark):
+    from valentine_spark.operators import duplicate_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["canonical_id"] for r in duplicate_groups(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}

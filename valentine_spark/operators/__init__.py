@@ -2,6 +2,7 @@
 text analysis, multimodal plumbing, windowed event ops)."""
 
 from .asof import asof_join
+from .components import connected_components, duplicate_groups
 from .interval import interval_join
 from .kmeans import ivf_kmeans_topk, kmeans_assign, kmeans_fit
 from .dedup import (
@@ -19,6 +20,8 @@ from .window_ops import latest_event_per_user, sessionize, topk_by
 
 __all__ = [
     "asof_join",
+    "connected_components",
+    "duplicate_groups",
     "interval_join",
     "kmeans_fit",
     "kmeans_assign",
