@@ -187,8 +187,8 @@ WITH flagged AS (
               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), ids AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  SELECT *, (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -678,7 +678,7 @@ WITH toks AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       (sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS simhash
 FROM per_bit GROUP BY doc_id
 """
 

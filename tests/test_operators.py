@@ -331,6 +331,45 @@ def test_connected_components_chains_and_cliques(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A path graph far longer than max_iter: pointer jumping must collapse
+    it in O(log diameter) rounds (plain min-label propagation would need
+    diameter rounds and previously exited silently with WRONG labels)."""
+    from valentine_spark.operators import connected_components
+
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    comp = {r["node"]: r["component"] for r in connected_components(edges, max_iter=20).collect()}
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """SQL `r.ts <= l.ts` never matches a NULL right timestamp — the window
+    formulation must not carry a null-ts payload onto left rows."""
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 7, 100)], "lid long, k long, t long")
+    right = spark.createDataFrame([(10, 7, None), (20, 7, 90)], "rid long, k long, t long")
+    rows = asof_join(left, right, on=["k"], left_on="t", suffix="_m").collect()
+    assert len(rows) == 1 and rows[0]["rid_m"] == 20 and rows[0]["t_m"] == 90
+    # with ONLY a null-ts right row, the left row must stay unmatched
+    right2 = spark.createDataFrame([(10, 7, None)], "rid long, k long, t long")
+    rows2 = asof_join(left, right2, on=["k"], left_on="t", suffix="_m").collect()
+    assert len(rows2) == 1 and rows2[0]["rid_m"] is None and rows2[0]["t_m"] is None
+
+
+def test_asof_join_keyless(spark):
+    """on=[] is a global (keyless) as-of join, like pandas merge_asof
+    without `by` — previously raised a confusing TypeError."""
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 100), (2, 50)], "lid long, t long")
+    right = spark.createDataFrame([(10, 90), (20, 40)], "rid long, t long")
+    out = {r["lid"]: r["rid_m"] for r in
+           asof_join(left, right, on=[], left_on="t", suffix="_m").collect()}
+    assert out == {1: 10, 2: 20}
+
+
 def test_duplicate_groups_with_singletons(spark):
     from valentine_spark.operators import duplicate_groups
 

@@ -64,13 +64,16 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_on]
 
-    # SQL join equality never matches NULL keys; a window partition WOULD
-    # group them, so drop null-key right rows (they can never match) — and
-    # null-key left rows then fall through unmatched, like the SQL oracle.
-    not_null = None
+    # SQL join equality never matches NULL keys, and `r.ts <= l.ts` never
+    # matches a NULL right timestamp; a window partition WOULD group null
+    # keys and a nulls-first ordering WOULD carry a null-ts payload, so drop
+    # both up front — null-key left rows then fall through unmatched, like
+    # the SQL oracle.  With no keys (`on=[]`) the join is a global as-of
+    # (pandas merge_asof without `by`): a keyless window — single-partition,
+    # so only sensible for driver-scale frames.
+    not_null = F.col(right_on).isNotNull()
     for c in on:
-        cond = F.col(c).isNotNull()
-        not_null = cond if not_null is None else (not_null & cond)
+        not_null = not_null & F.col(c).isNotNull()
     right = right.where(not_null)
 
     # right side: key + payload struct (timestamp first => deterministic
@@ -88,9 +91,9 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
+    base = Window.partitionBy(*on) if on else Window.partitionBy()
     w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
+        base.orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # materialize the window BEFORE filtering to left rows — a filter first

@@ -165,7 +165,8 @@ def ivf_kmeans_topk(
     centroids, _ = kmeans_fit(
         corpus, k=n_cells, max_iter=max_iter, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    if queries is None:
+    default_queries = queries is None
+    if default_queries:
         queries = corpus.where(F.col(id_col) < 5)
     q = kmeans_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
@@ -175,8 +176,13 @@ def ivf_kmeans_topk(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
         centroids, vec_col="c_vec", out_col="_cell",
     )
+    # broadcast only the known-small default query set; a caller-supplied
+    # query frame may be arbitrarily large, so let the planner pick the join
+    # strategy from statistics instead of force-broadcasting past the
+    # autoBroadcastJoinThreshold
+    q_side = F.broadcast(q) if default_queries else q
     scored = (
-        F.broadcast(q)
+        q_side
         .join(c, "_cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn(

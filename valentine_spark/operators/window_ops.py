@@ -29,7 +29,13 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+            # sub-second-exact gap: timestamp subtraction yields a day-time
+            # interval at microsecond precision, where unix_timestamp() would
+            # truncate to whole seconds and misjudge event pairs straddling
+            # the gap boundary by <1 s (DuckDB's epoch(ts) is fractional, so
+            # the oracle compares full precision); intervals also work for
+            # TIMESTAMP_NTZ, which refuses a double cast
+            | (F.col("ts") - F.lag("ts").over(w) > F.make_dt_interval(secs=F.lit(gap_s))),
             1,
         ).otherwise(0),
     )
