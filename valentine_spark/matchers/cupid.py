@@ -66,21 +66,11 @@ DATATYPE_COMPATIBILITY_TABLE: Dict[str, Dict[str, float]] = {
     "smallint": {"long": 0.6, "int": 0.8, "bigint": 0.6, "short": 1.0, "integer": 0.8},
 }
 
-# Compact English stopword list (the COMMON_WORDS class of the reference's
-# nltk stopwords — the high-frequency words that plausibly appear in
-# identifiers).
-_STOPWORDS = frozenset(
-    """a an the and or but if then else for of on in at by to from with without
-    as is are was were be been being do does did have has had not no nor so
-    too very can will just this that these those it its they them he she his
-    her we you i me my your our their what which who whom when where why how
-    all any both each few more most other some such only own same than s t
-    don should now""".split()
-)
-
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
-_CAMEL_1 = re.compile(r"(.)([A-Z][a-z]+)")
-_CAMEL_2 = re.compile(r"([a-z0-9])([A-Z])")
+# Shared with the reference-parity shims (tests/refshims/nltk): the real
+# NLTK English stopword corpus and the documented tokenizer contract.
+from ..functions.naming import STOPWORDS_EN as _STOPWORDS
+from ..functions.naming import snakecase as _naming_snakecase
+from ..functions.naming import word_tokenize as _word_tokenize
 
 W_SYMBOLS, W_NUMBER, W_COMMON, W_CONTENT = 0.0, 0.1, 0.1, 0.8
 
@@ -102,14 +92,14 @@ class _Element:
 
 
 def snakecase(name: str) -> str:
-    return _CAMEL_2.sub(r"\1_\2", _CAMEL_1.sub(r"\1_\2", name)).lower()
+    return _naming_snakecase(name)
 
 
 def tokenize(text: str) -> List[_Token]:
     """Reference ``normalization`` (linguistic_matching.py:22-65): split,
     recurse into camelCase/snake_case, classify."""
     out: List[_Token] = []
-    for raw in _TOKEN_RE.findall(text):
+    for raw in _word_tokenize(text):
         if not any(ch.isalnum() for ch in raw):
             continue  # SYMBOLS carry weight 0 and never influence sims
         try:
