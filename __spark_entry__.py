@@ -683,6 +683,39 @@ FROM per_bit GROUP BY doc_id
 """
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs within Hamming distance 3 on a 32-bit SimHash, via the
+    lossless multi-band (pigeonhole) blocking join — the oracle is the
+    brute-force O(n^2) self-join, so recall completeness is what's checked."""
+    from valentine_spark.operators import simhash_pairs
+
+    out = simhash_pairs(_t(spark, sf_dir, "documents"), bits=32, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_SIMHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks
+), per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY doc_id, bit
+), fp AS (
+  SELECT doc_id,
+         (sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS simhash
+  FROM per_bit GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -814,11 +847,16 @@ SELECT query_id, vec_id, score, rank FROM (
 
 def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with trained coarse centroids (distributed Lloyd's k-means on the
-    driver-loop/DataFrame split); rows-only: the training loop is iterative
-    and not SQL-expressible."""
+    driver-loop/DataFrame split).  Fully oracled: the training is
+    deterministic AND engine-portable (md5 seed hash, farthest-point init,
+    per-round 9-dp-rounded means, tol=0 so early exit only at an exact
+    fixpoint), so the DuckDB oracle replays the identical iterations as
+    unrolled CTEs — see ``_ivf_kmeans_oracle_sql``."""
     from valentine_spark.operators import ivf_kmeans_topk
 
-    return ivf_kmeans_topk(_t(spark, sf_dir, "embeddings"), k=3, n_cells=8, max_iter=5)
+    return ivf_kmeans_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, n_cells=8, max_iter=5, tol=0.0
+    )
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,6 +881,76 @@ SELECT query_id, vec_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
   FROM pairs) WHERE rank <= 3
 """
+
+
+def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 5, topk: int = 3,
+                           n_queries: int = 5, seed: int = 42) -> str:
+    """DuckDB replay of ``kmeans_fit`` + ``ivf_kmeans_topk`` as unrolled
+    CTEs: md5-ordered seed point, k-1 farthest-point init steps, ``iters``
+    Lloyd rounds (argmin assignment tie-broken by cluster index, per-dim
+    means rounded to 9 dp, empty clusters carrying forward), then the
+    same-cell cosine top-k.  Cross-engine float determinism: element ops are
+    exact (float32->double), fold order only affects means, which the 9-dp
+    round absorbs — the same contract the Spark implementation documents."""
+
+    def dist(v: str, c: str) -> str:
+        return (f"(SELECT sum((x.a - x.b) * (x.a - x.b)) FROM "
+                f"(SELECT unnest({v}) AS a, unnest({c}) AS b) x)")
+
+    parts = [
+        "vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        "WHERE embedding IS NOT NULL)",
+        f"c0 AS MATERIALIZED (SELECT 0 AS cluster, v FROM vecs "
+        f"ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id LIMIT 1)",
+    ]
+    prev = "c0"
+    for j in range(1, k):
+        parts.append(
+            f"f{j} AS MATERIALIZED (SELECT v.vec_id, v.v, min({dist('v.v', 'c.v')}) AS mind "
+            f"FROM vecs v CROSS JOIN {prev} c GROUP BY v.vec_id, v.v)")
+        parts.append(
+            f"c{j} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT {j} AS cluster, v "
+            f"FROM (SELECT v FROM f{j} ORDER BY mind DESC, vec_id LIMIT 1))")
+        prev = f"c{j}"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, v, cluster FROM ("
+            f"SELECT vec_id, v, cluster, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+            f"FROM (SELECT v.vec_id, v.v, c.cluster, {dist('v.v', 'c.v')} AS d "
+            f"FROM vecs v CROSS JOIN {prev} c)) WHERE rn = 1)")
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT cluster, pos, round(avg(x), 9) AS m FROM "
+            f"(SELECT cluster, unnest(v) AS x, "
+            f"unnest(generate_series(1, len(v))) AS pos FROM a{t}) "
+            f"GROUP BY cluster, pos)")
+        parts.append(
+            f"n{t} AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS v FROM m{t} "
+            f"GROUP BY cluster)")
+        parts.append(
+            f"u{t} AS MATERIALIZED (SELECT p.cluster, coalesce(n.v, p.v) AS v "
+            f"FROM {prev} p LEFT JOIN n{t} n USING (cluster))")
+        prev = f"u{t}"
+    parts.append(
+        f"fa AS MATERIALIZED (SELECT vec_id, v, cluster AS cell FROM ("
+        f"SELECT vec_id, v, cluster, "
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+        f"FROM (SELECT v.vec_id, v.v, c.cluster, {dist('v.v', 'c.v')} AS d "
+        f"FROM vecs v CROSS JOIN {prev} c)) WHERE rn = 1)")
+    parts.append(
+        f"pairs AS (SELECT q.vec_id AS query_id, c.vec_id, round("
+        f"(SELECT sum(x.a * x.b) FROM (SELECT unnest(q.v) AS a, unnest(c.v) AS b) x)"
+        f" / (sqrt((SELECT sum(a.a * a.a) FROM (SELECT unnest(q.v) AS a) a))"
+        f" * sqrt((SELECT sum(b.b * b.b) FROM (SELECT unnest(c.v) AS b) b))), 6) AS score "
+        f"FROM fa q JOIN fa c ON q.cell = c.cell "
+        f"WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT query_id, vec_id, score, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, vec_id) AS rank FROM pairs) "
+        f"WHERE rank <= {topk}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -965,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_groups": dedup_duplicate_groups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_token_counts": text_token_counts,
         "text_quality_scores": text_quality_scores,
         "text_language_id": text_language_id,
@@ -1004,12 +1113,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_duplicate_groups": _GROUPS_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "text_token_counts": _TOKENS_SQL,
         "text_quality_scores": _quality_oracle_sql(),
         "text_language_id": _langid_oracle_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "embedding_cosine_topk": _COSINE_SQL,
         "embedding_ivf_topk": _IVF_SQL,
+        "embedding_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "cdc_lww_stream": _CDC_LWW_SQL,
         # cdc_replay_state / matcher_* : intentionally no oracle (stateful /
         # iterative, non-SQL-expressible) -> rows-only check.

@@ -319,6 +319,46 @@ def test_ngram_prefix_filter_equals_exhaustive(spark):
         assert fast == exact and exact  # identical, and non-trivial
 
 
+def test_simhash_pairs_equals_brute_force(spark):
+    """Pigeonhole guarantee: the multi-band simhash join must return EXACTLY
+    the brute-force Hamming-distance pairs — all of them, at every
+    max_hamming (the old 1-band block missed pairs whose differing bits fell
+    in the blocked half)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from valentine_spark.operators import simhash_fingerprints, simhash_pairs
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+    docs = []
+    for i in range(50):
+        if i % 4 == 1:
+            base = docs[i - 1][1].split()
+            j = rng.randrange(len(base))
+            base[j] = rng.choice(vocab)  # near-dup: one token swapped
+            docs.append((i, " ".join(base)))
+        else:
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(12))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = simhash_fingerprints(df, bits=16)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+    )
+    for k in (0, 1, 3, 5):
+        expect = {(r["id_a"], r["id_b"], r["hamming"])
+                  for r in brute.where(F.col("hamming") <= k).collect()}
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in simhash_pairs(df, bits=16, max_hamming=k).collect()}
+        assert got == expect, f"max_hamming={k}: {len(got)} vs {len(expect)}"
+    assert expect  # non-trivial at k=5
+
+
 def test_connected_components_chains_and_cliques(spark):
     from valentine_spark.operators import connected_components
 

@@ -286,17 +286,42 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
-    Implemented as a self-join on the fingerprint's high byte (a 1-band
-    blocking key) + popcount filter; at scale use multiple rotated bands."""
+    """ALL near-duplicate pairs by SimHash Hamming distance <= max_hamming —
+    lossless multi-band blocking (the Manku/Jain/Sarma WWW'07 scheme).
+
+    The ``bits``-bit fingerprint is split into ``max_hamming + 1`` disjoint
+    segments.  Pigeonhole: a pair differing in at most ``max_hamming`` bits
+    has MORE segments than differing bits, so at least one segment is
+    bit-identical — equi-joining on (segment_id, segment_value) therefore
+    yields every qualifying pair as a candidate (100% recall, unlike the
+    previous single-band block, which missed pairs whose differing bits fell
+    in the blocked half).  A popcount filter then removes false candidates.
+
+    Scale shape: one fingerprint agg + one explode(k+1) + one equi-join on
+    the segment key — no all-pairs stage; candidate fan-out is bounded by
+    segment-collision volume (tune ``bits`` up for larger corpora so
+    segments stay selective).
+    """
     fp = simhash_fingerprints(df, id_col, text_col, bits)
-    blocked = fp.withColumn("block", F.shiftright(F.col("simhash"), bits // 2))
-    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
-    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs bits > max_hamming (got bits={bits})")
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    segs = ", ".join(
+        f"struct({i} as band_id, shiftright(simhash, {off}) & {(1 << w) - 1} as band_val)"
+        for i, (off, w) in enumerate(zip(offsets, widths))
+    )
+    stacked = fp.select(
+        F.col(id_col), F.col("simhash"), F.expr(f"explode(array({segs}))").alias("b")
+    ).select(F.col(id_col), "simhash", F.col("b.band_id"), F.col("b.band_val"))
+    a = stacked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = stacked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
     return (
-        a.join(b, "block")
+        a.join(b, ["band_id", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

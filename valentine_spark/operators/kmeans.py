@@ -87,8 +87,14 @@ def kmeans_fit(
     # centroid set — avoids the merged-cluster local optimum a pure random
     # pick of k points is prone to.  k is small (coarse IVF cells), so k-1
     # extra scans are cheap relative to the Lloyd iterations.
+    # engine-portable seed hash: md5 of "id:seed" orders identically in any
+    # SQL engine (the DuckDB oracle replays this init verbatim), unlike
+    # Spark-only xxhash64
     first = (
-        vecs.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        vecs.orderBy(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            F.col(id_col),
+        )
         .limit(1)
         .collect()
     )
@@ -153,6 +159,7 @@ def ivf_kmeans_topk(
     vec_col: str = "embedding",
     max_iter: int = 5,
     seed: int = 42,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """IVF with trained coarse centroids: join queries only against corpus
     vectors in the same Voronoi cell, then cosine top-k within the cell.
@@ -163,7 +170,8 @@ def ivf_kmeans_topk(
     from .similarity import _dot, _norm
 
     centroids, _ = kmeans_fit(
-        corpus, k=n_cells, max_iter=max_iter, id_col=id_col, vec_col=vec_col, seed=seed
+        corpus, k=n_cells, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+        seed=seed, tol=tol,
     )
     default_queries = queries is None
     if default_queries:
