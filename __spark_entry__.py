@@ -997,19 +997,57 @@ FROM winners WHERE rn = 1 AND op <> 'delete'
 
 
 def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful end-to-end: synthesize a deterministic change stream, replay
-    it through the exactly-once lake in micro-batches, return final state.
-    No SQL image (filesystem-stateful) -> rows-only driver check."""
-    from valentine_spark.cdc import LakeTable, replay, synth_change_stream
+    """Stateful end-to-end WITH a SQL oracle: derive a WAL-ordered change
+    stream from the events table (lsn = row_number over (ts, event_id), the
+    real-binlog invariant that LSN order and commit-timestamp order agree),
+    replay it through the exactly-once lake in micro-batches (bucketed COW
+    MERGE, manifests, watermarks), and return the final state.  Because
+    batches respect the per-key (op_ts, lsn) order, the replayed lake state
+    equals a one-shot LWW window + delete anti-filter — which is exactly
+    what the DuckDB oracle computes.  The global row_number is a
+    single-partition window: acceptable at the sf0.01/sf0.1 harness scale
+    only (a production tail reads lsn from the log itself); the replay path
+    under test is the lake machinery, not the stream synthesis."""
+    from valentine_spark.cdc import LakeTable, replay
 
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
     root = tempfile.mkdtemp(prefix="entry_lake_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    stream = synth_change_stream(spark, 4000, 500, seed=42)
-    replay(lake, stream, batch_lsns=1000)
+    replay(lake, stream, batch_lsns=4000)
     state = lake.read()
     return state.select(
-        "repo", "path", "commit", "lang", F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha")
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
     )
+
+
+_CDC_REPLAY_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit", lang,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def matcher_distribution_based(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,6 +1160,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": _IVF_SQL,
         "embedding_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "cdc_lww_stream": _CDC_LWW_SQL,
-        # cdc_replay_state / matcher_* : intentionally no oracle (stateful /
-        # iterative, non-SQL-expressible) -> rows-only check.
+        "cdc_replay_state": _CDC_REPLAY_SQL,
+        # matcher_* : intentionally no oracle (iterative matcher pipelines,
+        # non-SQL-expressible) -> rows-only check.  Their VALUE correctness
+        # is covered by tests/test_reference_value_parity.py (per-pair
+        # equality against the reference implementation itself).
     }

@@ -143,3 +143,36 @@ def test_similarity_flooding_rejects_unknown(authors):
         valentine_match(df1, df2, SimilarityFlooding(formula="nope"))
     with pytest.raises(ValueError):
         valentine_match(df1, df2, SimilarityFlooding(coeff_policy="nope"))
+
+
+def test_wordnet_lite_wu_palmer():
+    """Bundled taxonomy: dictionary-word schema names get semantic
+    similarity (the reference's WordNet path), identifier fragments fall
+    back to Levenshtein (nan sentinel)."""
+    import math
+
+    from valentine_spark.functions.wordnet_lite import (
+        all_lemma_names, synsets, word_similarity, wup_similarity,
+    )
+
+    assert word_similarity("author", "writer") == 1.0  # shared sense
+    assert word_similarity("nation", "country") == 1.0  # synonyms
+    assert 0.8 < word_similarity("price", "cost") < 1.0  # direct hypernym
+    assert word_similarity("price", "author") < 0.3  # far apart
+    assert math.isnan(word_similarity("eid", "price"))  # OOV -> fallback
+    s = synsets("price")[0]
+    assert wup_similarity(s, s) == 1.0
+    assert "price" in all_lemma_names()
+
+
+def test_cupid_wordnet_changes_dictionary_word_scores(spark):
+    """The WordNet path actually fires: columns named with synonyms
+    (price/cost) now match far above their Levenshtein-only score."""
+    import valentine_spark as V
+    from valentine_spark.matchers.cupid import _token_sim
+
+    assert _token_sim("price", "cost") > 0.9  # levenshtein-only would be 0.2
+    df1 = spark.createDataFrame([(1.0, "a")], "price double, name string")
+    df2 = spark.createDataFrame([(2.0, "b")], "cost double, title string")
+    res = V.valentine_match(df1, df2, V.Cupid(), "t1", "t2")
+    assert res[(("t1", "price"), ("t2", "cost"))] > 0.7

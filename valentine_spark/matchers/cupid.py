@@ -71,6 +71,7 @@ DATATYPE_COMPATIBILITY_TABLE: Dict[str, Dict[str, float]] = {
 from ..functions.naming import STOPWORDS_EN as _STOPWORDS
 from ..functions.naming import snakecase as _naming_snakecase
 from ..functions.naming import word_tokenize as _word_tokenize
+from ..functions.wordnet_lite import word_similarity as _wordnet_word_similarity
 
 W_SYMBOLS, W_NUMBER, W_COMMON, W_CONTENT = 0.0, 0.1, 0.1, 0.8
 
@@ -135,8 +136,15 @@ def _levenshtein(a: str, b: str) -> int:
 
 
 def _token_sim(a: str, b: str) -> float:
+    """Reference ``get_partial_similarity`` chain (linguistic_matching.py:
+    167-186): equal data -> 1.0, else WordNet Wu-Palmer (the bundled
+    wordnet-lite taxonomy), else normalized Levenshtein when either token
+    is out of the wordnet vocabulary (the nan fallback)."""
     if a == b:
         return 1.0
+    wn_sim = _wordnet_word_similarity(a, b)
+    if not math.isnan(wn_sim):
+        return wn_sim
     return 1.0 - _levenshtein(a, b) / max(max(len(a), len(b)), 1)
 
 

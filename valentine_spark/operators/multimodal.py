@@ -1,9 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through ``mapInPandas`` (Arrow-batched).
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake behind ``decode_stub`` (clearly marked; swap in
-PIL/librosa on a real cluster).  Everything Spark-side — schema, batch
+The IMAGE path is fully real end-to-end: BMP payloads are decoded by the
+bundled pure-Python codec (``functions/bmp.py``) into (H, W, 3) arrays and
+feature-extracted for real (dimensions + channel statistics).  Audio/video
+and non-BMP image codecs still route to the deterministic ``decode_stub``
+(clearly marked; the container has no codec libraries — swap in
+PIL/librosa/pyav on a real cluster).  Everything Spark-side — schema, batch
 shape, partition sizing, UDF signatures — is real and tested:
 
   * media rows are (media_id, kind, payload:binary, meta:struct);
@@ -48,12 +51,44 @@ def synth_media_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataF
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for the codec step (no image/audio libs in this container).
-    Deterministic: features derived from a sha256 of the payload.  Replace
-    with a real decoder (PIL.Image.open / soundfile.read / pyav) in
+    """STUB for codecs the container lacks (PNG/JPEG images, all audio/
+    video).  Deterministic: features derived from a sha256 of the payload.
+    Replace with a real decoder (PIL.Image.open / soundfile.read / pyav) in
     production — the calling plumbing is identical."""
     digest = hashlib.sha256(payload or b"").digest()
     return (np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32) / 255.0)[:8]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """REAL 8-dim feature vector from a decoded (H, W, 3) uint8 image:
+    [w/4096, h/4096, meanR, meanG, meanB, std_luma, min_luma, max_luma]
+    (channel stats normalized to [0, 1])."""
+    h, w, _ = img.shape
+    luma = img.astype(np.float32) @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    return np.array(
+        [
+            w / 4096.0,
+            h / 4096.0,
+            float(img[:, :, 0].mean()) / 255.0,
+            float(img[:, :, 1].mean()) / 255.0,
+            float(img[:, :, 2].mean()) / 255.0,
+            float(luma.std()) / 255.0,
+            float(luma.min()) / 255.0,
+            float(luma.max()) / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Feature vector per media row.  Images in BMP format take the REAL
+    path (pure-Python decode + channel statistics); everything else hits
+    the documented stub."""
+    if kind == "image" and payload is not None and payload[:2] == b"BM":
+        from ..functions.bmp import decode_bmp
+
+        return image_features(decode_bmp(bytes(payload)))
+    return decode_stub(payload, kind)
 
 
 def extract_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
@@ -63,7 +98,7 @@ def extract_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats: List[np.ndarray] = [
-                decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                decode_media(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {
