@@ -27,6 +27,15 @@ builder = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false"))
+shufp = os.environ.get("SCALING_SHUFFLE_PARTITIONS")
+if shufp:
+    # multi-wave sizing: partitions = k*cores so stage tails are smoothed
+    builder = builder.config("spark.sql.shuffle.partitions", str(int(shufp) * cpus))
+evlog = os.environ.get("SCALING_EVENTLOG")
+if evlog:
+    os.makedirs(evlog, exist_ok=True)
+    builder = (builder.config("spark.eventLog.enabled", "true")
+               .config("spark.eventLog.dir", "file://" + evlog))
 # SCALING_TMPFS: keep lake + shuffle on a RAM disk — the sandbox has ONE
 # shared physical disk for both "cluster sizes", whereas a real cluster
 # scales disks with executors; tmpfs isolates the CPU-scaling property.
@@ -44,20 +53,74 @@ replay(warm, synth_change_stream(spark, n // 20, n // 200), batch_lsns=n // 40)
 stream = synth_change_stream(spark, n, n // 10)
 # best-of-3: the sandbox host carries unrelated background load; the
 # minimum wall time is the least-contended estimate of the job's true cost
+import valentine_spark.cdc.lake as lake_mod
 walls = []
+breakdowns = []
 state = None
 n_trials = int(os.environ.get("SCALING_TRIALS", "3"))
 for trial in range(n_trials):
     lake = LakeTable.create(os.path.join(root, f"t{{trial}}"), spark, n_buckets=64)
+    lake_mod.MERGE_TIMINGS = timings = []
     t0 = time.time()
     replay(lake, stream, batch_lsns=n // 4, max_lsn=n - 1)
-    walls.append(time.time() - t0)
+    w = time.time() - t0
+    lake_mod.MERGE_TIMINGS = None
+    walls.append(w)
+    par = sum(s for k, s in timings if k == "merge_write")
+    cio = sum(s for k, s in timings if k == "commit_io")
+    # serial driver component = wall minus the distributed merge jobs:
+    # commit-manifest IO + batch planning/scheduling residue
+    breakdowns.append({{"wall": w, "parallel_jobs": par, "commit_io": cio,
+                        "driver_serial": w - par}})
     state = lake.state_checksum()
-wall = min(walls)
+best = min(range(n_trials), key=lambda i: walls[i])
+wall = walls[best]
 print("RESULT " + json.dumps({{"cpus": cpus, "wall": wall, "walls": walls,
-                               "rate": n / wall,
+                               "rate": n / wall, "breakdown": breakdowns[best],
                                "rows": state["rows"], "checksum": str(state["checksum"])}}))
 """
+
+
+_PROBE = r"""
+import multiprocessing as mp, sys, time
+def spin(n):
+    x = 0
+    for i in range(n): x += i * i
+    return x
+if __name__ == "__main__":
+    procs = int(sys.argv[1])
+    with mp.get_context("fork").Pool(procs) as p:
+        t0 = time.time(); p.map(spin, [6_000_000] * procs * 3); t = time.time() - t0
+    print(procs * 3 * 6_000_000 / t / 1e6)
+"""
+
+
+def platform_ceiling(lo_cpus: int, hi_cpus: int) -> dict:
+    """Calibrate what THIS host can deliver for perfectly-parallel pure-CPU
+    work at the two sizes (taskset-pinned fork-pool integer spin — no Spark,
+    no shuffle, no memory traffic).  On a virtualized sandbox the hypervisor
+    may not grant 4x the cycles when 4x the vCPUs are busy (measured here:
+    ~0.68 for 8->32, ~0.87 for 4->16); no data plan can scale better than
+    the platform, so the ceiling is the denominator for judging the PLAN."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as fh:
+        fh.write(_PROBE)
+        probe = fh.name
+    rates = {}
+    for procs in (lo_cpus, hi_cpus):
+        cmd = [sys.executable, probe, str(procs)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{procs - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        rates[procs] = float(out.stdout.strip())
+    os.unlink(probe)
+    factor = hi_cpus / lo_cpus
+    return {
+        f"mops_{lo_cpus}": round(rates[lo_cpus], 1),
+        f"mops_{hi_cpus}": round(rates[hi_cpus], 1),
+        "ceiling": round(rates[hi_cpus] / (factor * rates[lo_cpus]), 3),
+    }
 
 
 def run_level(repo: str, cpus: int, n_events: int) -> dict:
@@ -87,14 +150,31 @@ def main() -> None:
     if "--cpus" in sys.argv:
         lo_cpus, hi_cpus = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
     factor = hi_cpus / lo_cpus
+    ceiling = platform_ceiling(lo_cpus, hi_cpus)
     r_lo = run_level(repo, lo_cpus, n_events)
     r_hi = run_level(repo, hi_cpus, n_events)
     eff = r_hi["rate"] / (factor * r_lo["rate"])
+
+    def _round(d):
+        return {k: (round(v, 2) if isinstance(v, float) else
+                    {k2: round(v2, 2) for k2, v2 in v.items()} if isinstance(v, dict) else v)
+                for k, v in d.items()}
+
+    # Amdahl attribution: the per-batch driver-serial component (commit
+    # manifests, planning) is measured directly at each level; efficiency of
+    # the PARALLEL portion alone shows whether the plan itself scales.
+    s_lo = r_lo["breakdown"]["driver_serial"]
+    s_hi = r_hi["breakdown"]["driver_serial"]
+    par_eff = ((r_lo["wall"] - s_lo) / (r_hi["wall"] - s_hi)) / factor
     result = {
         "n_events": n_events,
-        f"local{lo_cpus}": {k: round(v, 2) if isinstance(v, float) else v for k, v in r_lo.items()},
-        f"local{hi_cpus}": {k: round(v, 2) if isinstance(v, float) else v for k, v in r_hi.items()},
+        f"local{lo_cpus}": _round(r_lo),
+        f"local{hi_cpus}": _round(r_hi),
         "scaling_efficiency": round(eff, 3),
+        "parallel_portion_efficiency": round(par_eff, 3),
+        "platform_ceiling": ceiling,
+        "plan_efficiency_vs_ceiling": round(eff / ceiling["ceiling"], 3),
+        "driver_serial_sec": {f"local{lo_cpus}": round(s_lo, 2), f"local{hi_cpus}": round(s_hi, 2)},
         "state_match": r_lo["checksum"] == r_hi["checksum"] and r_lo["rows"] == r_hi["rows"],
     }
     print(json.dumps(result, indent=2))

@@ -45,6 +45,13 @@ from pyspark.sql import types as T
 
 from .generator import KEY_COLS
 
+# Bench hook (see BENCH/scaling_run.py): when set to a list, merge() appends
+# ("<label>", seconds) for its two phases — "merge_write" (the distributed
+# read+anti-join+write job) and "commit_io" (driver-side manifest JSON) — so
+# the scaling harness can decompose wall time into the parallel part and the
+# per-batch serial driver part for the Amdahl analysis.
+MERGE_TIMINGS: Optional[list] = None
+
 BUCKET_COL = "_bucket"
 
 
@@ -203,6 +210,7 @@ class LakeTable:
         if lineage:
             commit.update(lineage)
 
+        _t_write0 = time.time()
         if changed:
             current = self.read(buckets=changed)
             touched_keys = (
@@ -233,6 +241,8 @@ class LakeTable:
                     bucket_map.pop(str(b), None)  # bucket emptied by deletes
         else:
             bucket_map = dict(meta["buckets"])
+        if MERGE_TIMINGS is not None:
+            MERGE_TIMINGS.append(("merge_write", time.time() - _t_write0))
 
         watermarks = dict(meta["watermarks"])
         for b, lsn in (batch_watermarks or {}).items():
@@ -246,7 +256,10 @@ class LakeTable:
             "watermarks": watermarks,
             "lineage": meta["lineage"] + [commit],
         }
+        _t_io0 = time.time()
         self._write_metadata(new_meta)
+        if MERGE_TIMINGS is not None:
+            MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
         return commit
 
     def evolve_schema(self, new_fields: List[T.StructField], note: str) -> None:
