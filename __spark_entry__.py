@@ -726,9 +726,11 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
-_TOKENS_SQL = """
+_TOKENS_SQL = r"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s'))::INT
+         AS n_bpe_tokens,
        length(text) AS n_chars,
        round(length(replace(text, ' ', '')) * 1.0 /
              greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
@@ -883,8 +885,20 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
+def embedding_ivf_kmeans_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): queries search their two nearest trained
+    cells — the standard recall dial; same unrolled-CTE oracle with the
+    query assignment taking rank <= 2 cells."""
+    from valentine_spark.operators import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, n_cells=8, max_iter=5, tol=0.0, nprobe=2
+    )
+
+
 def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 5, topk: int = 3,
-                           n_queries: int = 5, seed: int = 42) -> str:
+                           n_queries: int = 5, seed: int = 42,
+                           nprobe: int = 1) -> str:
     """DuckDB replay of ``kmeans_fit`` + ``ivf_kmeans_topk`` as unrolled
     CTEs: md5-ordered seed point, k-1 farthest-point init steps, ``iters``
     Lloyd rounds (argmin assignment tie-broken by cluster index, per-dim
@@ -932,18 +946,22 @@ def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 5, topk: int = 3,
             f"FROM {prev} p LEFT JOIN n{t} n USING (cluster))")
         prev = f"u{t}"
     parts.append(
-        f"fa AS MATERIALIZED (SELECT vec_id, v, cluster AS cell FROM ("
-        f"SELECT vec_id, v, cluster, "
+        f"ranked AS MATERIALIZED (SELECT vec_id, v, cluster, "
         f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn "
         f"FROM (SELECT v.vec_id, v.v, c.cluster, {dist('v.v', 'c.v')} AS d "
-        f"FROM vecs v CROSS JOIN {prev} c)) WHERE rn = 1)")
+        f"FROM vecs v CROSS JOIN {prev} c))")
+    parts.append(
+        "fa AS MATERIALIZED (SELECT vec_id, v, cluster AS cell FROM ranked WHERE rn = 1)")
+    parts.append(
+        f"qa AS MATERIALIZED (SELECT vec_id, v, cluster AS cell FROM ranked "
+        f"WHERE rn <= {nprobe} AND vec_id < {n_queries})")
     parts.append(
         f"pairs AS (SELECT q.vec_id AS query_id, c.vec_id, round("
         f"(SELECT sum(x.a * x.b) FROM (SELECT unnest(q.v) AS a, unnest(c.v) AS b) x)"
         f" / (sqrt((SELECT sum(a.a * a.a) FROM (SELECT unnest(q.v) AS a) a))"
         f" * sqrt((SELECT sum(b.b * b.b) FROM (SELECT unnest(c.v) AS b) b))), 6) AS score "
-        f"FROM fa q JOIN fa c ON q.cell = c.cell "
-        f"WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)")
+        f"FROM qa q JOIN fa c ON q.cell = c.cell "
+        f"WHERE c.vec_id <> q.vec_id)")
     return (
         "WITH " + ",\n".join(parts) + "\n"
         "SELECT query_id, vec_id, score, rank FROM ("
@@ -1119,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
+        "embedding_ivf_kmeans_multiprobe": embedding_ivf_kmeans_multiprobe,
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "matcher_distribution_based": matcher_distribution_based,
@@ -1159,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": _COSINE_SQL,
         "embedding_ivf_topk": _IVF_SQL,
         "embedding_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
+        "embedding_ivf_kmeans_multiprobe": _ivf_kmeans_oracle_sql(nprobe=2),
         "cdc_lww_stream": _CDC_LWW_SQL,
         "cdc_replay_state": _CDC_REPLAY_SQL,
         # matcher_* : intentionally no oracle (iterative matcher pipelines,

@@ -248,6 +248,29 @@ def test_ivf_kmeans_topk(spark):
             assert r["vec_id"] % 3 == r["query_id"] % 3
 
 
+def test_ivf_multiprobe_full_probe_equals_exact(spark):
+    """nprobe = n_cells degenerates to exact search: probing EVERY cell must
+    reproduce the brute-force cosine top-k exactly (the recall dial's
+    endpoint), and nprobe=1 must match the default single-probe path."""
+    import numpy as np
+
+    from valentine_spark.operators import cosine_topk, ivf_kmeans_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(df, k=3, n_queries=5).collect()}
+    full = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in ivf_kmeans_topk(df, k=3, n_cells=4, nprobe=4, tol=0.0).collect()}
+    assert full == exact and exact
+    single_a = {(r["query_id"], r["rank"]): r["vec_id"]
+                for r in ivf_kmeans_topk(df, k=3, n_cells=4, tol=0.0).collect()}
+    single_b = {(r["query_id"], r["rank"]): r["vec_id"]
+                for r in ivf_kmeans_topk(df, k=3, n_cells=4, nprobe=1, tol=0.0).collect()}
+    assert single_a == single_b
+
+
 def test_interval_join_semantics(spark):
     from valentine_spark.operators import interval_join
 

@@ -4,7 +4,7 @@ text analysis, multimodal plumbing, windowed event ops)."""
 from .asof import asof_join
 from .components import connected_components, duplicate_groups
 from .interval import interval_join
-from .kmeans import ivf_kmeans_topk, kmeans_assign, kmeans_fit
+from .kmeans import ivf_kmeans_topk, kmeans_assign, kmeans_assign_multi, kmeans_fit
 from .dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
@@ -25,6 +25,7 @@ __all__ = [
     "interval_join",
     "kmeans_fit",
     "kmeans_assign",
+    "kmeans_assign_multi",
     "ivf_kmeans_topk",
     "exact_duplicates",
     "ngram_jaccard_pairs",

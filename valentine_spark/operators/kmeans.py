@@ -150,6 +150,23 @@ def kmeans_assign(
     return df.withColumn(out_col, _nearest_expr(vec_col, centroids))
 
 
+def kmeans_assign_multi(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    out_col: str = _CLUSTER,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Explode each row into its ``nprobe`` NEAREST centroid indices — the
+    multi-probe side of IVF search (probing neighbor cells recovers the
+    recall a hard single-cell assignment loses at cell boundaries).  Still
+    one JVM expression: sort the (dist, idx) structs, slice the first
+    nprobe, explode."""
+    sorted_structs = F.array_sort(_dist_structs(vec_col, centroids))
+    probes = F.transform(F.slice(sorted_structs, 1, nprobe), lambda s: s.getField("idx"))
+    return df.withColumn(out_col, F.explode(probes))
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: Optional[DataFrame] = None,
@@ -160,11 +177,14 @@ def ivf_kmeans_topk(
     max_iter: int = 5,
     seed: int = 42,
     tol: float = 1e-6,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF with trained coarse centroids: join queries only against corpus
-    vectors in the same Voronoi cell, then cosine top-k within the cell.
-    Same output shape as ``similarity.ivf_topk`` (query_id, vec_id, score,
-    rank); recall depends on cell quality — single-probe, like ivf_topk."""
+    vectors in the query's ``nprobe`` nearest Voronoi cells, then cosine
+    top-k over the probed candidates.  Same output shape as
+    ``similarity.ivf_topk`` (query_id, vec_id, score, rank); nprobe=1 is
+    classic single-probe, nprobe=n_cells degenerates to exact search —
+    the standard IVF recall/cost dial."""
     from pyspark.sql.window import Window
 
     from .similarity import _dot, _norm
@@ -176,9 +196,9 @@ def ivf_kmeans_topk(
     default_queries = queries is None
     if default_queries:
         queries = corpus.where(F.col(id_col) < 5)
-    q = kmeans_assign(
+    q = kmeans_assign_multi(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        centroids, vec_col="q_vec", out_col="_cell",
+        centroids, vec_col="q_vec", out_col="_cell", nprobe=nprobe,
     )
     c = kmeans_assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),

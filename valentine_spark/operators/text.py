@@ -25,14 +25,25 @@ def _padded_lower(text_col: str):
     return F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to the regex subset shared by
+# Java regex (Spark) and RE2 (DuckDB) — no lookahead: a token is an optional
+# leading space + a letter run, digit run, or symbol run, or a lone
+# whitespace character.  This is the unit BPE merges start from, so its
+# count is the right budget proxy for "how many subword tokens will this
+# cost" without shipping a merges table.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword proxy (runs of letters / digits /
-    single punctuation counted separately via replace arithmetic)."""
+    """Whitespace tokens + a real BPE-ish pre-tokenizer count
+    (``regexp_count`` of the GPT-2-shaped pattern — JVM codegen, and
+    RE2-compatible so the DuckDB oracle runs the same regex)."""
     ws_tokens = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
     spaces = _count_occurrences(F.col(text_col), " ")
     return df.select(
         F.col(id_col),
         ws_tokens.alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
         F.length(text_col).alias("n_chars"),
         F.round((F.length(text_col) - spaces) / F.greatest(ws_tokens, F.lit(1)), 6).alias("avg_token_len"),
     )
