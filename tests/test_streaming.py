@@ -165,3 +165,58 @@ def test_stateful_stats_survive_restart(spark, tmp_path, drop_zone):
         r["repo"]: r["n"] for r in stream.groupBy("repo").agg(F.count("*").alias("n")).collect()
     }
     assert latest == expected
+
+
+def test_gap_sessions_matches_sessionize_batch(spark):
+    """Two independent sessionization implementations agree: the native
+    session_window formulation vs the lag/sum window formulation, on the
+    real testdata events."""
+    from valentine_spark.operators import sessionize
+    from valentine_spark.streaming import gap_sessions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in gap_sessions(ev, gap="30 minutes").collect()
+    }
+    b = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert a == b and a
+
+
+def test_streaming_gap_sessions_available_now(spark, tmp_path):
+    """Streaming sessionization (watermark + session_window, append mode)
+    emits exactly the finalized sessions of the batch computation."""
+    from pyspark.sql import functions as F
+
+    from valentine_spark.streaming import gap_sessions, run_gap_sessions
+
+    # watermarks require TIMESTAMP (with local tz); testdata is NTZ
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 20)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    drop = tmp_path / "events_drop"
+    ev.coalesce(1).write.parquet(str(drop))
+    # sentinel far-future event pushes the watermark past every real session
+    sentinel = ev.limit(1).select(
+        F.col("event_id"), F.col("ts") + F.expr("INTERVAL 365 DAYS"),
+        F.lit(-1).cast("long").alias("user_id"), F.col("event_type"), F.col("value"), F.col("props"),
+    ).toDF(*ev.columns)
+    sentinel.write.mode("append").parquet(str(drop))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(drop))
+    q = run_gap_sessions(stream, str(tmp_path / "ckpt"), query_name="gap_sessions_t")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("gap_sessions_t").collect() if r["user_id"] >= 0
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in gap_sessions(ev, gap="30 minutes").collect()
+    }
+    assert got == expect and got

@@ -1,6 +1,6 @@
 from .stateful import repo_stats_stream, run_repo_stats
 from .stream import stream_apply, stream_from_files, synth_rate_stream
-from .windows import run_windowed_counts, windowed_op_counts
+from .windows import gap_sessions, run_gap_sessions, run_windowed_counts, windowed_op_counts
 
 __all__ = [
     "stream_apply",
@@ -8,6 +8,8 @@ __all__ = [
     "synth_rate_stream",
     "repo_stats_stream",
     "run_repo_stats",
+    "gap_sessions",
+    "run_gap_sessions",
     "windowed_op_counts",
     "run_windowed_counts",
 ]
