@@ -1068,6 +1068,47 @@ FROM winners WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north star's signature move, end-to-end WITH an oracle: replay
+    the first half of the WAL-ordered stream normally, then the second half
+    arrives with payload columns RENAMED (lang->language, content->body).
+    The Valentine matcher cascade (exact instance overlap -> Cupid name
+    match -> distribution EMD) maps the drifted columns back onto the
+    target schema before the MERGE, so the final lake state is IDENTICAL
+    to an un-drifted replay — which is exactly what the DuckDB oracle
+    computes.  The accepted mapping + deciding stages are recorded in the
+    commit lineage (asserted in tests/test_cdc.py)."""
+    from valentine_spark.cdc import LakeTable, apply_batch, replay
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    half = ev.count() // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_drift_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=half, max_lsn=half)
+    drifted = (
+        stream.where(F.col("lsn") > half)
+        .withColumnRenamed("lang", "language")
+        .withColumnRenamed("content", "body")
+    )
+    apply_batch(lake, drifted, "drifted-tail")
+    state = lake.read()
+    return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def matcher_distribution_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DistributionBased matcher (iterative clustering; rows-only)."""
     from valentine_spark import DistributionBased
@@ -1140,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_kmeans_multiprobe": embedding_ivf_kmeans_multiprobe,
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
+        "cdc_drift_automap": cdc_drift_automap,
         "matcher_distribution_based": matcher_distribution_based,
         "matcher_cupid": matcher_cupid,
         "matcher_similarity_flooding": matcher_similarity_flooding,
@@ -1181,6 +1223,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_kmeans_multiprobe": _ivf_kmeans_oracle_sql(nprobe=2),
         "cdc_lww_stream": _CDC_LWW_SQL,
         "cdc_replay_state": _CDC_REPLAY_SQL,
+        # the drifted replay must land in the SAME final state as the
+        # un-drifted one — same oracle by design
+        "cdc_drift_automap": _CDC_REPLAY_SQL,
         # matcher_* : intentionally no oracle (iterative matcher pipelines,
         # non-SQL-expressible) -> rows-only check.  Their VALUE correctness
         # is covered by tests/test_reference_value_parity.py (per-pair
