@@ -648,9 +648,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SQL = (
     "WITH " + _SHINGLE_SQL.format(n=8) + """,
+dh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+  FROM sh
+),
 hashes AS (
-  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-  FROM sh, (SELECT unnest(generate_series(0, 3)) AS i) g
+  SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS h
+  FROM dh, (SELECT unnest(generate_series(0, 3)) AS i) g
   GROUP BY doc_id, i
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

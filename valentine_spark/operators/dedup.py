@@ -197,6 +197,9 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -204,16 +207,27 @@ def minhash_signatures(
     n: int = 8,
     k: int = 8,
 ) -> DataFrame:
-    """(id, sig array<string>): k min-hashes, hash i = min over shingles of
-    md5(i || ':' || shingle).  One explode + ONE aggregation (k mins as k
-    aggregate columns); min is duplicate-insensitive, so the shingle stream
-    skips the distinct shuffle entirely."""
+    """(id, sig array<bigint>): k min-hashes via Kirsch-Mitzenmacher double
+    hashing — ONE md5 per shingle yields (h1, h2) from two 32-bit digest
+    slices, and hash_i = (h1 + i*h2) mod (2^31 - 1).  8x fewer digest
+    computations than hashing per-permutation, same pairwise-collision
+    guarantees (the double-hashing family is standard for minhash), and
+    every step is plain bigint arithmetic both Spark and DuckDB evaluate
+    identically (no overflow: h1,h2 < 2^32, so h1 + i*h2 < 2^36).
+    One explode + ONE aggregation (k mins as k aggregate columns); min is
+    duplicate-insensitive, so the shingle stream skips the distinct
+    shuffle entirely."""
     sh = _shingles(df, id_col, text_col, n, distinct=False)
+    hashed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("_h2"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(_MERSENNE_31))).alias(f"h{i}")
         for i in range(k)
     ]
-    agg = sh.groupBy(id_col).agg(*mins)
+    agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 
@@ -230,7 +244,9 @@ def minhash_lsh_pairs(
     rows_per_band = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
     band_cols = [
-        F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(f"band{b}")
+        F.concat_ws(
+            "|", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
