@@ -275,24 +275,30 @@ def simhash_fingerprints(
     bits: int = 16,
 ) -> DataFrame:
     """(id, simhash long): token-multiset SimHash over ``bits`` bits; token
-    hash = first 8 hex chars of md5 as int."""
-    tokens = _ensure_parallelism(df).select(
+    hash = first 8 hex chars of md5 as int.
+
+    Plan shape: token hashes are computed ONCE per row into an array, then
+    every bit's sign-sum and the final bit-OR fold happen inside the row
+    with nested ``aggregate`` higher-order functions — a pure
+    whole-stage-codegen map with ZERO shuffles, replacing the naive
+    explode(tokens) x explode(bits) + two groupBy aggregations (which
+    shuffled bits x tokens rows to recompute per-row information).
+    Documents with no tokens are excluded (matching the explode/unnest
+    formulation and the SQL oracle)."""
+    with_hashes = _ensure_parallelism(df).select(
         F.col(id_col),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias("tok"),
+        F.expr(
+            f"transform(filter(split({text_col}, ' '), x -> x != ''), "
+            f"t -> cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint))"
+        ).alias("_hs"),
+    ).where(F.size("_hs") > 0)
+    simhash = (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, bit) -> acc + "
+        f"CASE WHEN aggregate(_hs, 0L, (a, h) -> a + "
+        f"CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
+        f"THEN shiftleft(1L, bit) ELSE 0L END)"
     )
-    hashed = tokens.select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
-    )
-    per_bit = (
-        hashed.select(F.col(id_col), "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
-        .withColumn("sign", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
-        .groupBy(id_col, "bit")
-        .agg(F.sum("sign").alias("s"))
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias("simhash")
-    )
+    return with_hashes.select(F.col(id_col), F.expr(simhash).alias("simhash"))
 
 
 def simhash_pairs(

@@ -102,12 +102,16 @@ def doc_fingerprints(
 ) -> DataFrame:
     """Rolling-hash document fingerprint: the minimum md5 over all character
     n-grams (winnowing with window = whole doc) — stable under content moves,
-    cheap to compare across corpora."""
-    sh = df.select(
+    cheap to compare across corpora.
+
+    Plan shape: the min is folded INSIDE the row with ``array_min over
+    transform(sequence(...))`` — a pure whole-stage-codegen map with ZERO
+    shuffles, instead of the naive explode + groupBy re-aggregating what
+    each row already knows."""
+    return df.select(
         F.col(id_col),
         F.expr(
-            f"explode(transform(sequence(1, greatest(length({text_col}) - {n} + 1, 1)), "
-            f"i -> substring({text_col}, i, {n})))"
-        ).alias("shingle"),
+            f"array_min(transform(sequence(1, greatest(length({text_col}) - {n} + 1, 1)), "
+            f"i -> md5(substring({text_col}, i, {n}))))"
+        ).alias("fingerprint"),
     )
-    return sh.groupBy(id_col).agg(F.min(F.md5("shingle")).alias("fingerprint"))
