@@ -108,13 +108,20 @@ def platform_ceiling(lo_cpus: int, hi_cpus: int) -> dict:
         fh.write(_PROBE)
         probe = fh.name
     rates = {}
-    for procs in (lo_cpus, hi_cpus):
-        cmd = [sys.executable, probe, str(procs)]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["/usr/bin/taskset", "-c", f"0-{procs - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
-        rates[procs] = float(out.stdout.strip())
-    os.unlink(probe)
+    try:
+        for procs in (lo_cpus, hi_cpus):
+            cmd = [sys.executable, probe, str(procs)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["/usr/bin/taskset", "-c", f"0-{procs - 1}"] + cmd
+            out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+            if out.returncode != 0:
+                raise RuntimeError(
+                    f"platform probe failed at {procs} procs:\n{out.stderr[-2000:]}"
+                )
+            # last stdout line is the rate (ignore any warnings above it)
+            rates[procs] = float(out.stdout.strip().splitlines()[-1])
+    finally:
+        os.unlink(probe)
     factor = hi_cpus / lo_cpus
     return {
         f"mops_{lo_cpus}": round(rates[lo_cpus], 1),
@@ -144,6 +151,21 @@ def run_level(repo: str, cpus: int, n_events: int) -> dict:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "--probe-only" in sys.argv:
+        # record the host's pure-CPU scaling ceiling for both pairings as a
+        # standalone artifact (cited by BENCH/BASELINE.md §1)
+        result = {
+            "what": "taskset-pinned fork-pool integer-spin scaling ceiling "
+                    "(no Spark, no memory traffic): the best ANY parallel "
+                    "job can scale on this host",
+            "pair_4_16": platform_ceiling(4, 16),
+            "pair_8_32": platform_ceiling(8, 32),
+        }
+        print(json.dumps(result, indent=2))
+        if "--json" in sys.argv:
+            with open(sys.argv[sys.argv.index("--json") + 1], "w") as fh:
+                json.dump(result, fh, indent=2)
+        return
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 4_000_000
     # --cpus A,B picks the N / 4N pair (default 8,32); e.g. --cpus 4,16
     lo_cpus, hi_cpus = 8, 32

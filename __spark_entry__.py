@@ -735,7 +735,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKENS_SQL = r"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s'))::INT
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]'))::INT
          AS n_bpe_tokens,
        length(text) AS n_chars,
        round(length(replace(text, ' ', '')) * 1.0 /

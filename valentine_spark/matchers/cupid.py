@@ -34,7 +34,6 @@ structural helpers are kept (compute_ssim) for completeness and tests.
 from __future__ import annotations
 
 import math
-import re
 from dataclasses import dataclass, field
 from itertools import combinations_with_replacement
 from typing import Dict, List, Tuple

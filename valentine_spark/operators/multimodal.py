@@ -87,7 +87,13 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
     if kind == "image" and payload is not None and payload[:2] == b"BM":
         from ..functions.bmp import decode_bmp
 
-        return image_features(decode_bmp(bytes(payload)))
+        try:
+            return image_features(decode_bmp(bytes(payload)))
+        except ValueError:
+            # the 'BM' prefix is only a sniff — arbitrary bytes can start
+            # with it, and unsupported BMP variants (8-bit, RLE) raise; a
+            # malformed payload must not kill the whole Spark job
+            pass
     return decode_stub(payload, kind)
 
 

@@ -26,12 +26,14 @@ def _padded_lower(text_col: str):
 
 
 # GPT-2-style pre-tokenizer shape, restricted to the regex subset shared by
-# Java regex (Spark) and RE2 (DuckDB) — no lookahead: a token is an optional
-# leading space + a letter run, digit run, or symbol run, or a lone
-# whitespace character.  This is the unit BPE merges start from, so its
-# count is the right budget proxy for "how many subword tokens will this
-# cost" without shipping a merges table.
-BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+# Java regex (Spark) and RE2 (DuckDB) — no lookahead, and whitespace spelled
+# as an EXPLICIT class because Java's \s includes vertical tab while RE2's
+# does not (a \x0B in a document would otherwise count differently in the
+# two engines).  A token is an optional leading space + a letter run, digit
+# run, or symbol run, or a lone whitespace character.  This is the unit BPE
+# merges start from, so its count is the right budget proxy for "how many
+# subword tokens will this cost" without shipping a merges table.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]"
 
 
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
