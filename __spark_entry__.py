@@ -242,6 +242,49 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward direction: each purchase joined to the user's NEXT click
+    at-or-after it (direction='forward' vs DuckDB ASOF with c.ts >= p.ts)."""
+    from valentine_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_on="ts", right_on="ts",
+        right_cols=["click_event_id"], suffix="_click", direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("value", 6).alias("value"),
+        F.coalesce(F.unix_timestamp("ts_click"), F.lit(-1)).alias("click_ts_epoch"),
+        F.coalesce(F.col("click_event_id_click"), F.lit(-1)).alias("click_event_id"),
+    )
+
+
+_ASOF_FWD_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, floor(epoch(p.ts))::BIGINT AS ts_epoch,
+       round(p.value, 6) AS value,
+       coalesce(floor(epoch(c.ts))::BIGINT, -1) AS click_ts_epoch,
+       coalesce(c.click_event_id, -1) AS click_event_id
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts >= p.ts
+"""
+
+
 def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded interval join: orders matched into 20 OVERLAPPING price bands
     (lo = i*25k, hi = lo+60k) via the bucketized equi-join formulation —
@@ -1161,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lww": events_lww,
         "sessionize_events": sessionize_events,
         "events_asof_attribution": events_asof_attribution,
+        "events_asof_forward": events_asof_forward,
         "orders_price_band_join": orders_price_band_join,
         "jaccard_exact_drift": jaccard_exact_drift,
         "jaccard_fuzzy_name": jaccard_fuzzy_name,
@@ -1203,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lww": _EVENTS_LWW_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "events_asof_attribution": _ASOF_SQL,
+        "events_asof_forward": _ASOF_FWD_SQL,
         "orders_price_band_join": _BAND_SQL,
         "jaccard_exact_drift": _jaccard_oracle_sql(),
         "jaccard_fuzzy_name": _JACCARD_FUZZY_SQL,

@@ -348,6 +348,53 @@ def test_asof_join_randomized_vs_pandas(spark):
         assert got[int(row["lid"])] == want, (row["lid"], got[int(row["lid"])], want)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_directions_vs_pandas(spark, direction):
+    """Seeded randomized property check for ALL merge_asof directions,
+    with and without tolerance, incl. ts collisions and unmatched keys."""
+    import random
+
+    import pandas as pd
+
+    from valentine_spark.operators import asof_join
+
+    rng = random.Random(777)
+    left_rows = [(i, rng.randint(0, 9), float(rng.randint(0, 40))) for i in range(250)]
+    right_rows = [(1000 + i, rng.randint(0, 9), float(rng.randint(0, 40))) for i in range(150)]
+    rd = {}
+    for rid, k, t in right_rows:
+        rd[(k, t)] = max(rd.get((k, t), -1), rid)
+    right_rows = [(rid, k, t) for (k, t), rid in rd.items()]
+    # NOTE on duplicate-(key, ts) conventions: backward resolves to the MAX
+    # payload struct, forward to the MIN — right_rows are deduped per
+    # (k, t) above so both agree with pandas' single-row choice.
+    right_ts = {r[0]: r[2] for r in right_rows}
+
+    left = spark.createDataFrame(left_rows, "lid long, k long, t double")
+    right = spark.createDataFrame(right_rows, "rid long, k long, t double")
+    lp = pd.DataFrame(left_rows, columns=["lid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["rid", "k", "t"]).sort_values("t", kind="stable")
+
+    for tol in (None, 5.0):
+        got = {
+            r["lid"]: (r["t_m"], r["rid_m"])
+            for r in asof_join(left, right, on=["k"], left_on="t", suffix="_m",
+                               direction=direction, tolerance_seconds=tol).collect()
+        }
+        exp = pd.merge_asof(lp, rp, on="t", by="k", direction=direction,
+                            suffixes=("", "_m"),
+                            tolerance=None if tol is None else tol)
+        assert len(got) == len(left_rows)
+        for _, row in exp.iterrows():
+            if pd.isna(row.get("rid")):
+                want = (None, None)
+            else:
+                rid = int(row["rid"])
+                want = (right_ts[rid], rid)
+            assert got[int(row["lid"])] == want, (
+                direction, tol, row["lid"], got[int(row["lid"])], want)
+
+
 def test_asof_join_null_keys_never_match(spark):
     """SQL equality semantics: NULL join keys match nothing on either side."""
     from valentine_spark.operators import asof_join

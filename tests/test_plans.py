@@ -102,3 +102,38 @@ def test_distributed_rank_reuses_range_exchange(spark):
     ranked.collect()
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "table cache" in plan, plan
+
+
+def test_cobucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing as the co-located-join lever: two tables written bucketed
+    on the join key join WITHOUT any shuffle Exchange, while the same join
+    on plain parquet shuffles both sides.  (Broadcast disabled so the
+    plan proves co-location, not small-table luck.)"""
+    from pyspark.sql import functions as F
+
+    from valentine_spark.sources import (
+        assert_no_shuffle_join,
+        cobucketed_join,
+        plan_has_exchange,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}/wh'")
+    write_bucketed(orders, "buckdb.orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "buckdb.lineitem_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cobucketed_join(spark, "buckdb.orders_b", "buckdb.lineitem_b", ["o_orderkey"])
+        assert_no_shuffle_join(j)  # co-located: no Exchange anywhere
+        assert j.count() == orders.join(li, "o_orderkey").count()
+        # control: the identical join over unbucketed parquet DOES shuffle
+        assert plan_has_exchange(orders.join(li, "o_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

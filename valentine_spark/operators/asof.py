@@ -48,17 +48,32 @@ def asof_join(
     right_cols: Optional[List[str]] = None,
     suffix: str = "_matched",
     tolerance_seconds: Optional[float] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right_on <= left_on``
-    per key.  Unmatched left rows keep nulls (left-join semantics).
+    """As-of join with pandas ``merge_asof`` direction semantics.  Unmatched
+    left rows keep nulls (left-join semantics).
+
+    ``direction``:
+      * ``backward`` (default) — latest right row with ``right_on <=
+        left_on``; duplicate (key, ts) right rows resolve to the MAX
+        payload struct;
+      * ``forward`` — earliest right row with ``right_on >= left_on``;
+        duplicate rows resolve to the MIN payload struct (the first in
+        ascending frame order);
+      * ``nearest`` — whichever of the two is temporally closer; exact
+        ties prefer the backward match (pandas behaviour).  Costs a second
+        window sort over the SAME key shuffle.
 
     ``right_cols``: right payload columns to attach (default: all non-key,
     non-timestamp columns).  Attached columns are named ``{col}{suffix}``;
     the matched right timestamp is ``{right_on}{suffix}``.
 
-    ``tolerance_seconds``: if set, matches older than this lookback window
-    are nulled out (pandas ``merge_asof(tolerance=...)``).
+    ``tolerance_seconds``: if set, matches farther than this from the left
+    timestamp are nulled out (pandas ``merge_asof(tolerance=...)``); for
+    ``nearest`` the tolerance is applied per direction before choosing.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     on = list(on)
     right_on = right_on or left_on
     if right_cols is None:
@@ -92,20 +107,61 @@ def asof_join(
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     base = Window.partitionBy(*on) if on else Window.partitionBy()
-    w = (
+    # backward frame: right rows sort BEFORE equal-ts left rows (inclusive
+    # <=); forward frame: AFTER them (inclusive >=).  Both windows share the
+    # same partition keys, so `nearest` pays one extra per-partition sort,
+    # not a second shuffle.
+    back_w = (
         base.orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # materialize the window BEFORE filtering to left rows — a filter first
-    # would remove the right rows the window carries forward
-    carried = unioned.withColumn("_asof_m", F.last(_PAYLOAD, ignorenulls=True).over(w))
+    fwd_w = (
+        base.orderBy(F.col(_TS).asc(), F.col(_SIDE).desc(), F.col(_PAYLOAD).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
 
-    matched = F.col("_asof_m")
-    if tolerance_seconds is not None:
-        in_window = (
-            F.col(_TS).cast("double") - matched.getField(right_on).cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        matched = F.when(in_window, matched)
+    # timestamp arithmetic that also works for TIMESTAMP_NTZ (which refuses
+    # a direct double cast): ntz -> ltz -> double; the session-tz offset is
+    # constant and cancels in differences
+    ts_type = dict(unioned.dtypes)[_TS]
+    def _num(col):
+        if ts_type.startswith("timestamp"):
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    def _gate(payload, signed_dist):
+        """null out matches beyond the tolerance (distance is >= 0 by
+        construction for each direction)."""
+        if tolerance_seconds is None:
+            return payload
+        return F.when(signed_dist <= F.lit(float(tolerance_seconds)), payload)
+
+    # materialize the window(s) BEFORE filtering to left rows — a filter
+    # first would remove the right rows the window carries
+    if direction == "backward":
+        carried = unioned.withColumn("_asof_m", F.last(_PAYLOAD, ignorenulls=True).over(back_w))
+        matched = _gate(F.col("_asof_m"),
+                        _num(F.col(_TS)) - _num(F.col("_asof_m").getField(right_on)))
+    elif direction == "forward":
+        carried = unioned.withColumn("_asof_m", F.first(_PAYLOAD, ignorenulls=True).over(fwd_w))
+        matched = _gate(F.col("_asof_m"),
+                        _num(F.col("_asof_m").getField(right_on)) - _num(F.col(_TS)))
+    else:  # nearest
+        carried = (
+            unioned.withColumn("_asof_b", F.last(_PAYLOAD, ignorenulls=True).over(back_w))
+            .withColumn("_asof_f", F.first(_PAYLOAD, ignorenulls=True).over(fwd_w))
+        )
+        b_dist = _num(F.col(_TS)) - _num(F.col("_asof_b").getField(right_on))
+        f_dist = _num(F.col("_asof_f").getField(right_on)) - _num(F.col(_TS))
+        b = _gate(F.col("_asof_b"), b_dist)
+        f = _gate(F.col("_asof_f"), f_dist)
+        matched = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            # tie (equal distance) prefers backward, like pandas
+            .when(b_dist <= f_dist, b)
+            .otherwise(f)
+        )
 
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(matched.getField(right_on).alias(f"{right_on}{suffix}"))

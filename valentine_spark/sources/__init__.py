@@ -1,3 +1,19 @@
+from .bucketed import (
+    assert_no_shuffle_join,
+    cobucketed_join,
+    plan_has_exchange,
+    read_bucketed,
+    write_bucketed,
+)
 from .profiles import as_spark, profile_pair, profile_table
 
-__all__ = ["profile_table", "profile_pair", "as_spark"]
+__all__ = [
+    "profile_table",
+    "profile_pair",
+    "as_spark",
+    "write_bucketed",
+    "read_bucketed",
+    "cobucketed_join",
+    "plan_has_exchange",
+    "assert_no_shuffle_join",
+]
