@@ -605,6 +605,23 @@ SELECT doc_id, d.text_hash, group_size, doc_id <> canonical_id AS is_dup
 FROM d JOIN g ON d.text_hash = g.text_hash
 """
 
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valentine_spark.operators import exact_duplicates_normalized
+
+    return exact_duplicates_normalized(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_NORM_SQL = """
+WITH d AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash
+           FROM documents),
+g AS (SELECT text_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+      FROM d GROUP BY text_hash)
+SELECT doc_id, d.text_hash, group_size, doc_id <> canonical_id AS is_dup
+FROM d JOIN g ON d.text_hash = g.text_hash
+"""
+
+
 _SHINGLE_SQL = """
 sh AS (
   SELECT DISTINCT doc_id, substr(text, j, {n}) AS shingle
@@ -1215,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_histogram_events": quantile_histogram_events,
         "emd_click_vs_view": emd_click_vs_view,
         "dedup_exact": dedup_exact,
+        "dedup_exact_normalized": dedup_exact_normalized,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "dedup_duplicate_groups": dedup_duplicate_groups,
@@ -1258,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_histogram_events": _QHIST_SQL,
         "emd_click_vs_view": _EMD_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_exact_normalized": _DEDUP_EXACT_NORM_SQL,
         "dedup_ngram_jaccard": _NGRAM_SQL,
         "dedup_ngram_prefix": _NGRAM_SQL,
         "dedup_duplicate_groups": _GROUPS_SQL,

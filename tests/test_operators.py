@@ -532,3 +532,19 @@ def test_duplicate_groups_with_singletons(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
     got = {r["doc_id"]: r["canonical_id"] for r in duplicate_groups(docs, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_exact_duplicates_normalized(spark):
+    """Case/punctuation/whitespace variants collapse to one group; raw
+    exact dedup does not see them."""
+    from valentine_spark.operators import exact_duplicates, exact_duplicates_normalized
+
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    norm = {r["doc_id"]: (r["group_size"], r["is_dup"])
+            for r in exact_duplicates_normalized(df).collect()}
+    assert norm == {1: (2, False), 2: (2, True), 3: (1, False)}
+    raw = {r["doc_id"]: r["is_dup"] for r in exact_duplicates(df).collect()}
+    assert raw == {1: False, 2: False, 3: False}

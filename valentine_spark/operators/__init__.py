@@ -7,10 +7,12 @@ from .interval import interval_join
 from .kmeans import ivf_kmeans_topk, kmeans_assign, kmeans_assign_multi, kmeans_fit
 from .dedup import (
     exact_duplicates,
+    exact_duplicates_normalized,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
+    normalize_text_expr,
     simhash_fingerprints,
     simhash_pairs,
 )
@@ -28,6 +30,8 @@ __all__ = [
     "kmeans_assign_multi",
     "ivf_kmeans_topk",
     "exact_duplicates",
+    "exact_duplicates_normalized",
+    "normalize_text_expr",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "minhash_signatures",

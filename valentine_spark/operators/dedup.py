@@ -72,6 +72,35 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def normalize_text_expr(col):
+    """The canonical pretraining-dedup normalization, as a pure JVM
+    expression: lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim.  Documents differing only in case / punctuation
+    / spacing normalize identically."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9]+", " ")
+    return F.trim(stripped)
+
+
+def exact_duplicates_normalized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``exact_duplicates`` over NORMALIZED content — catches the
+    case/punctuation/whitespace variants that byte-exact hashing misses
+    (the standard first pass of a pretraining dedup pipeline).  Same
+    output shape; same one-hash-agg shuffle."""
+    digests = df.select(
+        F.col(id_col), F.md5(normalize_text_expr(F.col(text_col))).alias("text_hash")
+    )
+    groups = digests.groupBy("text_hash").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
+    )
+    return digests.join(groups, "text_hash").select(
+        id_col, "text_hash", "group_size",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
