@@ -8,10 +8,11 @@ Reference semantics (``/root/reference/valentine/algorithms/cupid/``):
     SYMBOLS (weight 0) / NUMBER (0.1) / COMMON stopwords (0.1) / CONTENT
     (0.8) (linguistic_matching.py:22-65, schema_element.py:71-87);
   * token similarity: 1.0 on equal data, else WordNet Wu-Palmer with a
-    normalized-Levenshtein fallback (linguistic_matching.py:160-217).  This
-    re-implementation uses the Levenshtein path directly (no nltk/WordNet in
-    the runtime); for identifier-style schema names WordNet almost never has
-    both lemmas, so the fallback is the effective path in practice;
+    normalized-Levenshtein fallback (linguistic_matching.py:160-217).  The
+    Wu-Palmer path runs over the bundled wordnet-lite taxonomy
+    (``functions/wordnet_lite.py`` — dictionary words like price~cost score
+    semantically); tokens outside its vocabulary (identifier fragments)
+    take the Levenshtein fallback, mirroring the reference's nan path;
   * lsim(s, t) = name_similarity_elements(s, t) * max datatype
     compatibility, computed only for pairs passing the th_ns gate
     (linguistic_matching.py:104-141);
