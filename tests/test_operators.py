@@ -395,6 +395,22 @@ def test_asof_join_directions_vs_pandas(spark, direction):
                 direction, tol, row["lid"], got[int(row["lid"])], want)
 
 
+def test_asof_join_null_left_ts_never_matches_any_direction(spark):
+    """A NULL left timestamp matches nothing in ANY direction (SQL
+    comparison semantics) — the forward frame would otherwise see every
+    right row because NULLs sort first."""
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 7, None), (2, 7, 100)], "lid long, k long, t long")
+    right = spark.createDataFrame([(20, 7, 90)], "rid long, k long, t long")
+    for direction in ("backward", "forward", "nearest"):
+        out = {r["lid"]: r["rid_m"] for r in
+               asof_join(left, right, on=["k"], left_on="t", suffix="_m",
+                         direction=direction).collect()}
+        assert out[1] is None, direction
+        assert out[2] == (20 if direction != "forward" else None), direction
+
+
 def test_asof_join_null_keys_never_match(spark):
     """SQL equality semantics: NULL join keys match nothing on either side."""
     from valentine_spark.operators import asof_join

@@ -104,7 +104,7 @@ def test_distributed_rank_reuses_range_exchange(spark):
     assert "ReusedExchange" in plan or "table cache" in plan, plan
 
 
-def test_cobucketed_join_no_shuffle(spark, tmp_path):
+def test_cobucketed_join_no_shuffle(spark, tmp_path, sf_dir):
     """Bucketing as the co-located-join lever: two tables written bucketed
     on the join key join WITHOUT any shuffle Exchange, while the same join
     on plain parquet shuffles both sides.  (Broadcast disabled so the
@@ -118,9 +118,11 @@ def test_cobucketed_join_no_shuffle(spark, tmp_path):
         write_bucketed,
     )
 
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     li = (
-        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
     )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}/wh'")

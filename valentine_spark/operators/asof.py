@@ -120,13 +120,19 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
-    # timestamp arithmetic that also works for TIMESTAMP_NTZ (which refuses
-    # a direct double cast): ntz -> ltz -> double; the session-tz offset is
-    # constant and cancels in differences
+    # timestamp arithmetic in epoch seconds, DST-safe per type:
+    #   * TIMESTAMP_NTZ refuses a double cast, and a bare ntz->ltz cast
+    #     would go through the session timezone (differences skew across a
+    #     DST transition) — to_utc_timestamp(col, 'UTC') interprets the
+    #     wall time as UTC instead, which is offset-free;
+    #   * TIMESTAMP (ltz) converts exactly via unix_micros;
+    #   * numeric timestamps cast directly.
     ts_type = dict(unioned.dtypes)[_TS]
     def _num(col):
-        if ts_type.startswith("timestamp"):
-            return col.cast("timestamp").cast("double")
+        if ts_type == "timestamp_ntz":
+            return F.unix_micros(F.to_utc_timestamp(col, "UTC")) / F.lit(1e6)
+        if ts_type == "timestamp":
+            return F.unix_micros(col) / F.lit(1e6)
         return col.cast("double")
 
     def _gate(payload, signed_dist):
@@ -162,6 +168,11 @@ def asof_join(
             .when(b_dist <= f_dist, b)
             .otherwise(f)
         )
+
+    # a NULL left timestamp matches nothing in ANY direction (SQL comparison
+    # semantics; backward gets this for free from nulls-first ordering, but
+    # the forward frame would otherwise see every right row)
+    matched = F.when(F.col(_TS).isNotNull(), matched)
 
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(matched.getField(right_on).alias(f"{right_on}{suffix}"))

@@ -89,16 +89,10 @@ def exact_duplicates_normalized(
     case/punctuation/whitespace variants that byte-exact hashing misses
     (the standard first pass of a pretraining dedup pipeline).  Same
     output shape; same one-hash-agg shuffle."""
-    digests = df.select(
-        F.col(id_col), F.md5(normalize_text_expr(F.col(text_col))).alias("text_hash")
+    normalized = df.select(
+        F.col(id_col), normalize_text_expr(F.col(text_col)).alias(text_col)
     )
-    groups = digests.groupBy("text_hash").agg(
-        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
-    )
-    return digests.join(groups, "text_hash").select(
-        id_col, "text_hash", "group_size",
-        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
-    )
+    return exact_duplicates(normalized, id_col=id_col, text_col=text_col)
 
 
 def ngram_jaccard_pairs(
