@@ -172,9 +172,11 @@ def main() -> None:
     if "--cpus" in sys.argv:
         lo_cpus, hi_cpus = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
     factor = hi_cpus / lo_cpus
+    load_pre = round(os.getloadavg()[0], 2)
     ceiling = platform_ceiling(lo_cpus, hi_cpus)
     r_lo = run_level(repo, lo_cpus, n_events)
     r_hi = run_level(repo, hi_cpus, n_events)
+    load_post = round(os.getloadavg()[0], 2)
     eff = r_hi["rate"] / (factor * r_lo["rate"])
 
     def _round(d):
@@ -198,6 +200,11 @@ def main() -> None:
         "plan_efficiency_vs_ceiling": round(eff / ceiling["ceiling"], 3),
         "driver_serial_sec": {f"local{lo_cpus}": round(s_lo, 2), f"local{hi_cpus}": round(s_hi, 2)},
         "state_match": r_lo["checksum"] == r_hi["checksum"] and r_lo["rows"] == r_hi["rows"],
+        # ambient-load stamps (VERDICT r2 #7): pre is sampled before the
+        # probe/runs, post right after — a contaminated measurement session
+        # is machine-detectable without a judge re-run
+        "loadavg_pre_1m": load_pre,
+        "loadavg_post_1m": load_post,
     }
     print(json.dumps(result, indent=2))
     if "--json" in sys.argv:

@@ -49,6 +49,11 @@ BENCH_QUERIES = [
 ]
 
 
+# 1-minute load average sampled BEFORE the session spins up (i.e. ambient
+# load from OTHER processes); compared against loadavg_post in the output
+LOAD_PRE = round(os.getloadavg()[0], 2)
+
+
 def build_session(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -124,6 +129,7 @@ def main() -> None:
             extras = run_cdc_replay(spark, n_events)
             timings["cdc_replay"] = extras["cdc_wall_seconds"]
 
+        la1, la5, _ = os.getloadavg()
         result = {
             "metric": "suite_wall_seconds",
             "value": round(suite_wall + extras.get("cdc_wall_seconds", 0.0), 3),
@@ -131,6 +137,12 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "cpus": cpus,
+            # host-contention stamp (VERDICT r2 #7): loadavg_pre is sampled
+            # at session build, loadavg_post here — a contaminated run (like
+            # BENCH_r02's 1.45x-uniform slowdown) is machine-detectable
+            "loadavg_pre_1m": LOAD_PRE,
+            "loadavg_post_1m": round(la1, 2),
+            "loadavg_post_5m": round(la5, 2),
             **extras,
         }
         print(json.dumps(result))

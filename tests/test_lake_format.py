@@ -1,0 +1,219 @@
+"""Lake format-2 mechanics (VERDICT r2 asks #2 and #3): bounded commit
+metadata under a many-commit soak, O(1) exactly-once membership through the
+tail/bloom/segment ladder, file-grain MERGE pruning (rewrite bytes scale
+with touched keys, not bucket size), compaction invariance, and snapshot
+expiry incl. crash-orphan GC."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentine_spark.cdc import LakeTable, apply_batch, replay, synth_change_stream
+from valentine_spark.cdc.lake import _APPLIED_TAIL, _LINEAGE_TAIL
+
+
+def _empty_pair(spark, lake):
+    schema = lake.schema
+    up = spark.createDataFrame([], schema)
+    de = spark.createDataFrame([], "repo string, path string, commit string")
+    return up, de
+
+
+def _snapshot_size(lake):
+    return os.path.getsize(
+        os.path.join(lake.root, "metadata", f"v{lake.version}.json")
+    )
+
+
+def test_commit_metadata_bounded_soak(spark, tmp_path):
+    """10^4-commit-class soak (scaled to 1.3k): the snapshot stays O(tail)
+    bytes — NOT O(commit count) — histories roll into immutable segments,
+    and every applied id remains exactly-once visible."""
+    lake = LakeTable.create(str(tmp_path / "soak"), spark, n_buckets=4)
+    up, de = _empty_pair(spark, lake)
+
+    n = 1_300  # > 2 applied rolls (tail rolls at >2*256) and > 4 lineage rolls
+    sizes = []
+    for i in range(n):
+        lake.merge(up, de, f"soak-{i:05d}", changed_buckets=[])
+        if i % 100 == 99:
+            sizes.append(_snapshot_size(lake))
+
+    meta = lake.metadata()
+    ap = meta["applied"]
+    assert ap["count"] == n
+    # inline state is bounded by the roll thresholds, independent of n
+    assert len(ap["tail"]) <= 2 * _APPLIED_TAIL
+    assert len(meta["lineage"]) <= 2 * _LINEAGE_TAIL
+    assert ap["segments"], "expected rolled applied segments"
+    assert meta["lineage_segments"], "expected rolled lineage segments"
+    # snapshot size is bounded: a fixed budget (bloom 22KB + <=512-id tail +
+    # <=256 lineage entries), and no growth trend — late samples stay inside
+    # the sawtooth band the early post-roll samples establish (without
+    # rolling, size would grow linearly and double over the soak)
+    assert max(sizes) < 120_000, sizes
+    assert max(sizes[-4:]) <= max(sizes[:7]) * 1.15, sizes
+
+    # exactly-once membership across the whole history (tail + bloom/segments)
+    for i in (0, 1, 255, 256, 511, 512, n - 2, n - 1):
+        assert lake.is_applied(f"soak-{i:05d}")
+    assert not lake.is_applied("soak-99999")
+    assert not lake.is_applied("never-seen")
+    # audit accessor returns the full ordered history
+    assert lake.applied_batches() == [f"soak-{i:05d}" for i in range(n)]
+    assert len(lake.lineage()) == n
+    # re-delivery of an ancient (segment-resident) batch is still a no-op
+    assert lake.merge(up, de, "soak-00000", changed_buckets=[])["skipped"]
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """File-grain COW: a batch touching few keys rewrites only the files
+    whose khash range those keys intersect — not the whole bucket."""
+    lake = LakeTable.create(
+        str(tmp_path / "prune"), spark, n_buckets=2, target_file_rows=150
+    )
+    stream = synth_change_stream(spark, 4_000, 2_000, seed=7).cache()
+    replay(lake, stream, batch_lsns=4_000)  # bulk load -> ~10 files/bucket
+    total_files = sum(
+        len(es) for es in lake._bucket_files(lake.metadata()).values()
+    )
+    total_bytes = sum(
+        e["bytes"]
+        for es in lake._bucket_files(lake.metadata()).values()
+        for e in es
+    )
+    assert total_files >= 10, "fixture should produce many small files"
+
+    # a 3-key update batch
+    touch = synth_change_stream(spark, 3, 2_000, seed=7, start_lsn=4_000)
+    commit = apply_batch(lake, touch, "tiny-batch", watermark_lsn=4_002)
+    assert 0 < commit["files_rewritten"] <= 3  # <= one file per touched key
+    assert commit["bytes_rewritten"] < total_bytes * 0.35
+    # state equals the one-shot replay of the full stream
+    clean = LakeTable.create(str(tmp_path / "clean"), spark, n_buckets=2)
+    full = stream.unionByName(touch)
+    replay(clean, full, batch_lsns=5_000, max_lsn=4_002)
+    assert lake.state_checksum() == clean.state_checksum()
+    stream.unpersist()
+
+
+def test_merge_prunes_all_files_when_no_overlap(spark, tmp_path):
+    """Pure inserts of brand-new keys rewrite ZERO existing files — they
+    append new files only (the match-confirm phase: range-covering files
+    with no actually-matched row are kept byte-identical)."""
+    lake = LakeTable.create(
+        str(tmp_path / "insert_only"), spark, n_buckets=2, target_file_rows=500
+    )
+    s1 = synth_change_stream(spark, 2_000, 1_000, seed=7)
+    replay(lake, s1, batch_lsns=2_000)
+    # disjoint key space: different seed -> different repo/path/commit values
+    s2 = synth_change_stream(spark, 500, 250, seed=4242, start_lsn=2_000).where(
+        F.col("op") != "delete"
+    )
+    before_files = {
+        e["path"]
+        for es in lake._bucket_files(lake.metadata()).values()
+        for e in es
+    }
+    commit = apply_batch(lake, s2, "new-keys", watermark_lsn=2_499)
+    assert commit["files_rewritten"] == 0
+    assert commit["bytes_rewritten"] == 0
+    after_files = {
+        e["path"]
+        for es in lake._bucket_files(lake.metadata()).values()
+        for e in es
+    }
+    assert before_files <= after_files, "untouched files must survive as-is"
+    assert after_files - before_files, "inserts append new files"
+    # and the inserted rows are all readable
+    assert lake.read().count() > len(before_files) and lake.is_applied("new-keys")
+
+
+def test_compact_preserves_state_and_reduces_files(spark, tmp_path):
+    lake = LakeTable.create(
+        str(tmp_path / "compact"), spark, n_buckets=2, target_file_rows=500
+    )
+    # three disjoint insert-only batches: each appends new files whose khash
+    # ranges overlap the earlier ones (insert-order fragmentation)
+    for i, seed in enumerate((11, 22, 33)):
+        s = synth_change_stream(spark, 600, 300, seed=seed, start_lsn=600 * i).where(
+            F.col("op") != "delete"
+        )
+        apply_batch(lake, s, f"ins-{i}", watermark_lsn=600 * (i + 1) - 1)
+    before = lake.state_checksum()
+    n_before = sum(len(es) for es in lake._bucket_files(lake.metadata()).values())
+    out = lake.compact()
+    assert out["files_before"] == n_before
+    assert out["files_after"] < n_before
+    assert lake.state_checksum() == before
+    # files are now khash-disjoint within each bucket
+    for b, entries in lake._bucket_files(lake.metadata()).items():
+        spans = sorted((e["min_h"], e["max_h"]) for e in entries)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, f"bucket {b} files overlap after compact"
+
+
+def test_expire_snapshots_gc_and_crash_orphans(spark, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "expire"), spark, n_buckets=2)
+    stream = synth_change_stream(spark, 2_000, 600, seed=13)
+    replay(lake, stream, batch_lsns=500)  # 4 commits
+    before = lake.state_checksum()
+    v = lake.version
+
+    # fake crash orphan: a data dir from a commit whose snapshot never landed
+    orphan_dir = os.path.join(lake.root, "data", f"v{v + 7}", "_bucket=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-dead.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    out = lake.expire_snapshots(keep_last=1)
+    assert out["retained_snapshots"] == [v]
+    assert out["removed_snapshots"] == v  # v0..v{n-1} snapshots dropped
+    assert not os.path.exists(orphan)
+    # current state fully intact, incl. time-travel of the retained snapshot
+    assert lake.state_checksum() == before
+    # expired versions are no longer readable
+    with pytest.raises(Exception):
+        lake.metadata(0)
+    # exactly-once memory survives expiry (applied ids live in the snapshot)
+    assert lake.is_applied("batch-0-500")
+    # only referenced data files remain on disk
+    live = {
+        os.path.join(lake.root, e["path"])
+        for es in lake._bucket_files(lake.metadata()).values()
+        for e in es
+    }
+    on_disk = set(
+        glob.glob(os.path.join(lake.root, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert on_disk == live
+
+
+def test_read_after_evolution_spans_old_and_new_files(spark, tmp_path):
+    """Files written before an additive evolution serve nulls for the new
+    column; files written after serve real values — one read covers both
+    (explicit read schema, no parquet inference)."""
+    from pyspark.sql import types as T
+
+    lake = LakeTable.create(str(tmp_path / "evolve"), spark, n_buckets=2)
+    s1 = synth_change_stream(spark, 800, 300, seed=17).where(F.col("op") != "delete")
+    replay(lake, s1, batch_lsns=800)
+    lake.evolve_schema([T.StructField("stars", T.LongType())], "added stars")
+    s2 = (
+        synth_change_stream(spark, 200, 80, seed=99, start_lsn=800)
+        .where(F.col("op") != "delete")
+        .withColumn("stars", F.lit(7).cast("long"))
+    )
+    apply_batch(lake, s2, "with-stars", watermark_lsn=999)
+    df = lake.read()
+    assert "stars" in df.columns
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("stars").alias("with_stars"),
+    ).collect()[0]
+    assert counts["n"] > counts["with_stars"] > 0
+    assert df.where(F.col("stars").isNotNull()).select("stars").distinct().collect()[0][0] == 7

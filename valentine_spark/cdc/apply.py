@@ -118,7 +118,7 @@ def apply_batch(
     Leave None for streams whose partitions progress independently (Kafka-
     style) — then true per-bucket watermarks are computed.
     """
-    if batch_id in lake.applied_batches():
+    if lake.is_applied(batch_id):
         return {"batch_id": batch_id, "skipped": True}
 
     events, drift_map, drift_stages = resolve_drift(events, lake, matcher=matcher, threshold=drift_threshold)

@@ -1,44 +1,83 @@
 """LakeTable — an Iceberg-style copy-on-write table on bucket-partitioned
-parquet, with atomic snapshot metadata, MERGE upsert, exactly-once commit
-manifests and per-bucket high watermarks.
+parquet with FILE-GRAIN merge pruning, atomic snapshot metadata, MERGE
+upsert, exactly-once commit manifests and per-bucket high watermarks.
 
 Why not the Iceberg runtime itself: the sandbox ships no Iceberg jars; this
 implements the same table-format mechanics at the API level so the engine's
-semantics (snapshot isolation, idempotent commits, partition-pruned MERGE,
-schema evolution, time travel) are real and tested.  On a cluster with the
-Iceberg catalog the ``merge()`` body maps 1:1 onto ``MERGE INTO target USING
-updates ON t.repo=u.repo AND t.path=u.path AND t.commit=u.commit WHEN MATCHED
-[AND op='delete' THEN DELETE | THEN UPDATE SET *] WHEN NOT MATCHED AND
-op!='delete' THEN INSERT *`` plus a snapshot-property stamp for the batch id
-(SURVEY.md §2.3 note on MERGE).
+semantics (snapshot isolation, idempotent commits, file-pruned MERGE, schema
+evolution, time travel, snapshot expiry) are real and tested.  On a cluster
+with the Iceberg catalog the ``merge()`` body maps 1:1 onto ``MERGE INTO
+target USING updates ON t.repo=u.repo AND t.path=u.path AND t.commit=u.commit
+WHEN MATCHED [AND op='delete' THEN DELETE | THEN UPDATE SET *] WHEN NOT
+MATCHED AND op!='delete' THEN INSERT *`` plus a snapshot-property stamp for
+the batch id (SURVEY.md §2.3 note on MERGE).
 
 Layout::
 
     root/
-      metadata/v{N}.json      # snapshot: schema, bucket -> data dir,
-                              # applied_batches, per-bucket watermarks, lineage
-      metadata/CURRENT        # atomic pointer (os.replace)
-      data/v{N}/bucket=.../   # only buckets CHANGED by commit N
+      metadata/v{N}.json        # snapshot (see below)
+      metadata/CURRENT          # atomic pointer (os.replace)
+      metadata/m-{N}.json       # per-commit manifest: file lists + key-hash
+                                #   ranges for the buckets commit N changed
+      metadata/applied-{k}.json # rolled segment of old applied batch ids
+      metadata/lineage-{k}.json # rolled segment of old lineage entries
+      data/v{N}/_bucket=.../    # only files WRITTEN by commit N
+
+Snapshot (format 2) is O(n_buckets + tail limits) — INDEPENDENT of commit
+count::
+
+    {format, version, n_buckets, target_file_rows, schema,
+     buckets:   {bucket -> manifest rel path holding its live file list},
+     watermarks:{bucket -> max applied lsn},
+     applied:   {count, tail:[recent ids], segments:[paths],
+                 bloom:{m,k,bits}},          # all-history bloom, fixed size
+     lineage:   [recent commit entries],     # tail only
+     lineage_segments: [paths]}
+
+Unbounded histories (applied batch ids, lineage) roll into immutable
+SEGMENT files every ``_TAIL_*`` commits, so per-commit metadata IO is O(1)
+amortized in commit count (one snapshot + one manifest + the pointer;
+segment rolls write one bounded file each).  Exactly-once membership stays
+O(1): the inline tail answers recent re-deliveries (the only kind a
+checkpoint restart produces); the fixed-size bloom filter rejects the rest
+without IO; a bloom hit (rare; false positives only degrade to a lookup,
+never to a wrong skip) binary-searches the sorted segments.
+
+File-grain MERGE (the round-2 "bucket-grain COW" fix): every data file
+carries a ``_khash = xxhash64(repo,path,commit)`` column, files are written
+key-hash-clustered (sortWithinPartitions + maxRecordsPerFile), and the
+manifest records each file's (min,max) khash from its parquet footer.  A
+MERGE broadcast-joins the batch's touched keys against the file ranges and
+rewrites ONLY intersecting files — rewrite bytes scale with touched keys,
+not bucket count × bucket size (measured: BENCH/merge_prune_bench.py).
+Inserts append new files (ranges may overlap older files; pruning uses
+interval intersection, so overlap costs read amplification only —
+``compact()`` re-sorts a bucket back to disjoint files).
 
 Correctness argument for exactly-once: all commit state (which batches are
-applied, watermarks, live files) lives in ONE metadata file installed with an
-atomic rename.  A crash before the rename leaves orphan data files but an
-unchanged table; re-running the batch is a no-op once its batch_id is in
-``applied_batches``.
+applied, watermarks, live files) lives in ONE metadata file installed with
+an atomic rename; segment/manifest files are immutable and written BEFORE
+the snapshot that references them.  A crash before the rename leaves orphan
+files but an unchanged table (``expire_snapshots`` garbage-collects them);
+re-running the batch is a no-op once its batch_id is recorded applied.
 
-Scale: MERGE touches only the buckets named by the update set (hash-pruned
-scan on both sides); each bucket rewrite is a shuffle-free co-partitioned
-anti-join + union; bucket count is the unit of write parallelism (default 64,
-size for ~1 GB/bucket at target scale).
+Scale: MERGE touches only files intersecting the batch's keys (hash-pruned
+scan on both sides); each rewrite is a shuffle-free co-partitioned anti-join
++ union; bucket count is the unit of write parallelism (default 64, sized
+for ~1 GB/bucket at target scale), target_file_rows the unit of rewrite
+granularity within a bucket.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import glob as _glob
 import json
 import os
 import time
 import uuid
-from typing import Dict, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -46,13 +85,28 @@ from pyspark.sql import types as T
 from .generator import KEY_COLS
 
 # Bench hook (see BENCH/scaling_run.py): when set to a list, merge() appends
-# ("<label>", seconds) for its two phases — "merge_write" (the distributed
-# read+anti-join+write job) and "commit_io" (driver-side manifest JSON) — so
-# the scaling harness can decompose wall time into the parallel part and the
-# per-batch serial driver part for the Amdahl analysis.
+# ("<label>", seconds) for its phases — "merge_prune" (touched-file
+# discovery), "merge_write" (the distributed read+anti-join+write job) and
+# "commit_io" (driver-side manifest/snapshot JSON) — so the scaling harness
+# can decompose wall time into the parallel part and the per-batch serial
+# driver part for the Amdahl analysis.
 MERGE_TIMINGS: Optional[list] = None
 
 BUCKET_COL = "_bucket"
+KHASH_COL = "_khash"
+
+# tail limits: when an inline tail exceeds 2*limit, the oldest `limit`
+# entries roll into one immutable segment file (O(1) amortized commit IO)
+_APPLIED_TAIL = 256
+_LINEAGE_TAIL = 128
+
+# fixed-size all-history bloom over applied batch ids: 2^17 bits = 16 KiB
+# inline (~22 KiB base64).  At 10^4 ids FP≈0.2% (k=7); saturation at ≫10^5
+# ids only degrades negatives to segment lookups — never wrong skips.
+_BLOOM_M = 1 << 17
+_BLOOM_K = 7
+
+_FULL_RANGE = (-(1 << 63), (1 << 63) - 1)  # pruning fallback: never pruned
 
 
 def bucket_expr(n_buckets: int) -> F.Column:
@@ -61,10 +115,45 @@ def bucket_expr(n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets))
 
 
+def khash_expr() -> F.Column:
+    """File-grain clustering hash over the full MERGE key."""
+    return F.xxhash64(*[F.col(c) for c in KEY_COLS])
+
+
+# ---------------------------------------------------------------------------
+# bloom over applied batch ids
+# ---------------------------------------------------------------------------
+
+def _bloom_hashes(batch_id: str) -> Iterator[int]:
+    d = hashlib.md5(batch_id.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    for i in range(_BLOOM_K):
+        yield (h1 + i * h2) % _BLOOM_M
+
+
+def _bloom_new() -> dict:
+    return {"m": _BLOOM_M, "k": _BLOOM_K,
+            "bits": base64.b64encode(bytes(_BLOOM_M // 8)).decode()}
+
+
+def _bloom_add(bloom: dict, batch_id: str) -> dict:
+    bits = bytearray(base64.b64decode(bloom["bits"]))
+    for h in _bloom_hashes(batch_id):
+        bits[h >> 3] |= 1 << (h & 7)
+    return {**bloom, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_maybe(bloom: dict, batch_id: str) -> bool:
+    bits = base64.b64decode(bloom["bits"])
+    return all(bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(batch_id))
+
+
 class LakeTable:
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
         self.spark = spark
+        self._manifest_cache: Dict[str, dict] = {}  # immutable files -> parsed
 
     # -- creation / metadata -------------------------------------------
 
@@ -75,6 +164,7 @@ class LakeTable:
         spark: SparkSession,
         schema: Optional[T.StructType] = None,
         n_buckets: int = 64,
+        target_file_rows: int = 1_000_000,
     ) -> "LakeTable":
         if schema is not None and not isinstance(schema, T.StructType):
             raise TypeError(
@@ -85,13 +175,16 @@ class LakeTable:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         table = cls(root, spark)
         meta = {
+            "format": 2,
             "version": 0,
             "n_buckets": n_buckets,
+            "target_file_rows": int(target_file_rows),
             "schema": (schema or _default_schema()).json(),
-            "buckets": {},  # bucket id (str) -> data dir relative path
-            "applied_batches": [],
+            "buckets": {},  # bucket id (str) -> manifest rel path
             "watermarks": {},  # bucket id (str) -> max applied lsn
-            "lineage": [],  # per-commit audit entries (incl. drift mappings)
+            "applied": {"count": 0, "tail": [], "segments": [], "bloom": _bloom_new()},
+            "lineage": [],  # tail of per-commit audit entries
+            "lineage_segments": [],
         }
         table._write_metadata(meta)
         return table
@@ -109,16 +202,30 @@ class LakeTable:
         with open(self._meta_path(version)) as fh:
             return json.load(fh)
 
-    def _write_metadata(self, meta: dict) -> None:
-        path = self._meta_path(meta["version"])
+    def _write_json_atomic(self, rel: str, obj: dict) -> None:
+        path = os.path.join(self.root, rel)
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump(meta, fh)
+            json.dump(obj, fh)
         os.replace(tmp, path)
+
+    def _write_metadata(self, meta: dict) -> None:
+        self._write_json_atomic(f"metadata/v{meta['version']}.json", meta)
         cur_tmp = self._current_path() + f".tmp.{uuid.uuid4().hex}"
         with open(cur_tmp, "w") as fh:
             fh.write(str(meta["version"]))
         os.replace(cur_tmp, self._current_path())
+
+    def _read_manifest(self, rel: str) -> dict:
+        cached = self._manifest_cache.get(rel)
+        if cached is not None:
+            return cached
+        with open(os.path.join(self.root, rel)) as fh:
+            m = json.load(fh)
+        if len(self._manifest_cache) > 1024:
+            self._manifest_cache.clear()
+        self._manifest_cache[rel] = m
+        return m
 
     @property
     def schema(self) -> T.StructType:
@@ -128,39 +235,221 @@ class LakeTable:
     def version(self) -> int:
         return self.metadata()["version"]
 
+    # -- applied batches / lineage (bounded-metadata accessors) ----------
+
+    def is_applied(self, batch_id: str, meta: Optional[dict] = None) -> bool:
+        """Exactly-once membership, O(1) in commit count: inline tail first
+        (covers checkpoint-restart re-deliveries), then the fixed-size bloom
+        (negative -> definitely new, no IO), then exact binary search of the
+        sorted segments (bloom false positives only)."""
+        meta = meta or self.metadata()
+        ap = meta["applied"]
+        if batch_id in ap["tail"]:
+            return True
+        if not _bloom_maybe(ap["bloom"], batch_id):
+            return False
+        import bisect
+
+        for seg_rel in ap["segments"]:
+            ids = self._read_manifest(seg_rel)["ids"]  # sorted at roll time
+            i = bisect.bisect_left(ids, batch_id)
+            if i < len(ids) and ids[i] == batch_id:
+                return True
+        return False
+
     def applied_batches(self) -> List[str]:
-        return list(self.metadata()["applied_batches"])
+        """Full applied-batch history in commit order (audit accessor —
+        reads every segment; the hot path is ``is_applied``)."""
+        meta = self.metadata()
+        out: List[str] = []
+        for seg_rel in meta["applied"]["segments"]:
+            out.extend(self._read_manifest(seg_rel)["ordered"])
+        out.extend(meta["applied"]["tail"])
+        return out
+
+    def lineage(self) -> List[dict]:
+        """Full commit lineage in order (audit accessor; snapshot holds only
+        the tail inline)."""
+        meta = self.metadata()
+        out: List[dict] = []
+        for seg_rel in meta["lineage_segments"]:
+            out.extend(self._read_manifest(seg_rel)["entries"])
+        out.extend(meta["lineage"])
+        return out
 
     def watermarks(self) -> Dict[int, int]:
         return {int(k): v for k, v in self.metadata()["watermarks"].items()}
 
+    def _roll_applied(self, ap: dict, new_segments: List[Tuple[str, dict]]) -> dict:
+        if len(ap["tail"]) <= 2 * _APPLIED_TAIL:
+            return ap
+        rolled, tail = ap["tail"][:_APPLIED_TAIL], ap["tail"][_APPLIED_TAIL:]
+        rel = f"metadata/applied-{len(ap['segments']):06d}.json"
+        new_segments.append((rel, {"ids": sorted(rolled), "ordered": rolled}))
+        return {**ap, "tail": tail, "segments": ap["segments"] + [rel]}
+
+    def _roll_lineage(self, meta_lineage: List[dict], segments: List[str],
+                      new_segments: List[Tuple[str, dict]]) -> Tuple[List[dict], List[str]]:
+        if len(meta_lineage) <= 2 * _LINEAGE_TAIL:
+            return meta_lineage, segments
+        rolled, tail = meta_lineage[:_LINEAGE_TAIL], meta_lineage[_LINEAGE_TAIL:]
+        rel = f"metadata/lineage-{len(segments):06d}.json"
+        new_segments.append((rel, {"entries": rolled}))
+        return tail, segments + [rel]
+
+    # -- file listings ----------------------------------------------------
+
+    def _bucket_files(self, meta: dict, buckets: Optional[List[int]] = None) -> Dict[int, List[dict]]:
+        """bucket -> live file entries [{path,min_h,max_h,rows,bytes}]."""
+        bucket_map = meta["buckets"]
+        wanted = (
+            list(bucket_map)
+            if buckets is None
+            else [str(b) for b in buckets if str(b) in bucket_map]
+        )
+        out: Dict[int, List[dict]] = {}
+        for b in wanted:
+            manifest = self._read_manifest(bucket_map[b])
+            out[int(b)] = manifest["buckets"][b]
+        return out
+
     # -- reads -----------------------------------------------------------
 
+    def _read_files(self, paths: List[str], schema: T.StructType, n_buckets: int) -> DataFrame:
+        # Explicit read schema (never inferred): files written before a
+        # schema evolution lack the evolved columns and must serve nulls for
+        # them — parquet inference samples ONE file's footer and could pick a
+        # pre-evolution file, silently dropping newer columns.  Explicit
+        # schema also skips footer sampling entirely (matters at 10^5 files).
+        # recursiveFileLookup disables partition discovery (the data/v{N}/
+        # level above the _bucket= dirs is not key=value and trips it);
+        # _bucket is recomputed instead — it is a pure function of the key.
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(KHASH_COL, T.LongType())]
+        )
+        df = self.spark.read.schema(read_schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(*[os.path.join(self.root, p) for p in paths])
+        return df.select(
+            *[f.name for f in schema.fields],
+            bucket_expr(n_buckets).alias(BUCKET_COL),
+            KHASH_COL,
+        )
+
     def read(self, version: Optional[int] = None, buckets: Optional[List[int]] = None) -> DataFrame:
-        """Snapshot read; ``buckets`` prunes to the named buckets (the MERGE
-        fast path).  Returns an empty frame of the table schema when nothing
-        has been written yet."""
+        """Snapshot read; ``buckets`` prunes to the named buckets.  Returns an
+        empty frame of the table schema when nothing has been written yet."""
         meta = self.metadata(version)
-        bucket_map = meta["buckets"]
-        wanted = bucket_map if buckets is None else {
-            str(b): bucket_map[str(b)] for b in buckets if str(b) in bucket_map
-        }
+        files = self._bucket_files(meta, buckets)
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
-        if not wanted:
+        paths = [e["path"] for entries in files.values() for e in entries]
+        if not paths:
             with_bucket = T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.LongType())])
             return self.spark.createDataFrame([], with_bucket)
-        dirs = sorted({os.path.join(self.root, rel) for rel in wanted.values()})
-        df = self.spark.read.option("basePath", os.path.join(self.root, "data")).parquet(*dirs)
-        if buckets is not None:
-            df = df.where(F.col(BUCKET_COL).isin([int(b) for b in wanted]))
-        # project to schema order, add columns added by schema evolution
-        cols = [
-            F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-        return df.select(*cols, F.col(BUCKET_COL))
+        return self._read_files(paths, schema, meta["n_buckets"]).drop(KHASH_COL)
 
     # -- MERGE -----------------------------------------------------------
+
+    def _touched_file_ids(
+        self,
+        entries: List[Tuple[int, dict]],
+        touched_keys: DataFrame,
+    ) -> List[int]:
+        """Two-phase find-touched-files (the job Iceberg's copy-on-write
+        ``MERGE INTO`` runs before rewriting):
+
+        1. RANGE CUT — broadcast the (small, driver-resident) file range
+           table against the batch's touched keys; a file is a candidate iff
+           some touched key's khash falls inside its footer (min,max).  Safe
+           by construction: every live row's khash is within its file's
+           range, so a non-candidate cannot contain a matched key.
+        2. MATCH CONFIRM — column-pruned scan of ONLY the candidate files'
+           key columns, joined against the touched keys; a file is rewritten
+           iff it contains an actually-matched row.  This is what makes
+           insert-heavy batches cheap: sorted-chunk ranges collectively
+           cover ~(1 - n_files/n_keys) of the hash space, so brand-new keys
+           range-hit covering files constantly — but they match no row, and
+           those files are kept byte-identical (the new keys just append).
+        """
+        ranges = self.spark.createDataFrame(
+            [
+                (i, b, e.get("min_h", _FULL_RANGE[0]), e.get("max_h", _FULL_RANGE[1]))
+                for i, (b, e) in enumerate(entries)
+            ],
+            "file_id int, b long, min_h long, max_h long",
+        )
+        hit = (
+            touched_keys.join(
+                F.broadcast(ranges),
+                (F.col(BUCKET_COL) == F.col("b"))
+                & (F.col(KHASH_COL) >= F.col("min_h"))
+                & (F.col(KHASH_COL) <= F.col("max_h")),
+            )
+            .select("file_id")
+            .distinct()
+            .collect()
+        )
+        candidates = sorted(r["file_id"] for r in hit)
+        if not candidates:
+            return []
+
+        # phase 2: read keys only (parquet column pruning; data pages of
+        # lang/content never load) and confirm an actual key match per file
+        key_schema = T.StructType([T.StructField(c, T.StringType()) for c in KEY_COLS])
+        abs_by_uri = {}
+        for i in candidates:
+            p = os.path.abspath(os.path.join(self.root, entries[i][1]["path"]))
+            abs_by_uri[p] = i
+        cand_df = (
+            self.spark.read.schema(key_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*abs_by_uri)
+            .withColumn("_file", F.input_file_name())
+        )
+        matched = (
+            cand_df.join(touched_keys.select(*KEY_COLS).distinct(), KEY_COLS)
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        out = set()
+        for r in matched:
+            path = os.path.abspath(unquote(urlparse(r["_file"]).path))
+            out.add(abs_by_uri[path])
+        return sorted(out)
+
+    def _new_file_stats(self, out_dir: str, rel_dir: str) -> Dict[int, List[dict]]:
+        """Footer scan of freshly written files: per-file khash (min,max),
+        rows, bytes — the same stats an Iceberg commit collects.  Driver-side
+        pyarrow footer reads only (no data pages)."""
+        import pyarrow.parquet as pq
+
+        out: Dict[int, List[dict]] = {}
+        for path in sorted(_glob.glob(os.path.join(out_dir, f"{BUCKET_COL}=*", "*.parquet"))):
+            bucket = int(os.path.basename(os.path.dirname(path)).split("=", 1)[1])
+            md = pq.ParquetFile(path).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            mn, mx = None, None
+            if KHASH_COL in names:
+                ki = names.index(KHASH_COL)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ki).statistics
+                    if st is None or not st.has_min_max:
+                        mn, mx = None, None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            entry = {
+                "path": os.path.join(rel_dir, os.path.relpath(path, out_dir)),
+                "min_h": int(mn) if mn is not None else _FULL_RANGE[0],
+                "max_h": int(mx) if mx is not None else _FULL_RANGE[1],
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(path),
+            }
+            out.setdefault(bucket, []).append(entry)
+        return out
 
     def merge(
         self,
@@ -177,19 +466,23 @@ class LakeTable:
 
         Returns the commit summary dict (also appended to lineage)."""
         meta = self.metadata()
-        if batch_id in meta["applied_batches"]:
+        if self.is_applied(batch_id, meta):
             return {"batch_id": batch_id, "skipped": True, "version": meta["version"]}
 
         n_buckets = meta["n_buckets"]
         schema_cols = [f.name for f in self.schema.fields]
 
-        # upserts/deletes are re-read by the bucket scan, the touched-key
+        # upserts/deletes are re-read by the pruning join, the touched-key
         # anti-join and the final write; no explicit persist — the upstream
         # LWW aggregation's shuffle files are reused across those jobs
         # (Spark exchange reuse), and measured end-to-end an explicit
         # MEMORY_AND_DISK persist here was ~35% slower.
-        upserts = upserts.withColumn(BUCKET_COL, bucket_expr(n_buckets))
-        deletes = deletes.withColumn(BUCKET_COL, bucket_expr(n_buckets))
+        upserts = upserts.withColumn(BUCKET_COL, bucket_expr(n_buckets)).withColumn(
+            KHASH_COL, khash_expr()
+        )
+        deletes = deletes.withColumn(BUCKET_COL, bucket_expr(n_buckets)).withColumn(
+            KHASH_COL, khash_expr()
+        )
         if changed_buckets is not None:
             changed = sorted(int(b) for b in changed_buckets)
         else:
@@ -210,37 +503,75 @@ class LakeTable:
         if lineage:
             commit.update(lineage)
 
+        new_segments: List[Tuple[str, dict]] = []  # (rel path, payload)
+        bucket_map = dict(meta["buckets"])
+        manifest_rel = f"metadata/m-{new_version}.json"
+
+        _t0 = time.time()
+        current_files = self._bucket_files(meta, changed)
+        flat_entries = [(b, e) for b, entries in current_files.items() for e in entries]
+        touched_keys = (
+            upserts.select(*KEY_COLS, BUCKET_COL, KHASH_COL)
+            .union(deletes.select(*KEY_COLS, BUCKET_COL, KHASH_COL))
+        )
+        if flat_entries:
+            touched_ids = set(self._touched_file_ids(flat_entries, touched_keys))
+        else:
+            touched_ids = set()
+        if MERGE_TIMINGS is not None:
+            MERGE_TIMINGS.append(("merge_prune", time.time() - _t0))
+
         _t_write0 = time.time()
+        rewrite = [flat_entries[i] for i in sorted(touched_ids)]
+        kept: Dict[int, List[dict]] = {
+            b: [e for i, (bb, e) in enumerate(flat_entries) if bb == b and i not in touched_ids]
+            for b in current_files
+        }
+        commit["files_rewritten"] = len(rewrite)
+        commit["bytes_rewritten"] = sum(e["bytes"] for _, e in rewrite)
+
         if changed:
-            current = self.read(buckets=changed)
-            touched_keys = (
-                upserts.select(*KEY_COLS, BUCKET_COL)
-                .union(deletes.select(*KEY_COLS, BUCKET_COL))
-                .distinct()
-            )
-            # co-partitioned anti-join: survivors = current rows whose key is
-            # NOT touched by this batch
-            survivors = current.join(touched_keys, [*KEY_COLS, BUCKET_COL], "left_anti")
-            merged = survivors.select(*schema_cols, BUCKET_COL).unionByName(
-                upserts.select(*schema_cols, BUCKET_COL)
-            )
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            upsert_part = upserts.select(*schema_cols, BUCKET_COL, KHASH_COL)
+            if rewrite:
+                current = self._read_files([e["path"] for _, e in rewrite], schema, n_buckets)
+                # co-partitioned anti-join: survivors = rows of rewritten
+                # files whose key is NOT touched by this batch
+                survivors = current.join(
+                    touched_keys.drop(KHASH_COL), [*KEY_COLS, BUCKET_COL], "left_anti"
+                )
+                merged = survivors.select(*schema_cols, BUCKET_COL, KHASH_COL).unionByName(
+                    upsert_part
+                )
+            else:
+                merged = upsert_part
             rel_dir = os.path.join("data", f"v{new_version}")
             out_dir = os.path.join(self.root, rel_dir)
             (
                 merged.repartition(max(len(changed), 1), F.col(BUCKET_COL))
+                .sortWithinPartitions(BUCKET_COL, KHASH_COL)
                 .write.mode("overwrite")
+                .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
             )
-            bucket_map = dict(meta["buckets"])
-            for b in changed:
-                bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-                if os.path.isdir(bdir):
-                    bucket_map[str(b)] = os.path.join(rel_dir, f"{BUCKET_COL}={b}")
+            new_files = self._new_file_stats(out_dir, rel_dir)
+
+            # a bucket's live list changed iff one of its files was rewritten
+            # or a new file landed in it; every other bucket keeps pointing at
+            # its existing manifest (so a changed=ALL-buckets replay does NOT
+            # rewrite O(total files) of manifest entries)
+            touched_buckets = {flat_entries[i][0] for i in touched_ids}
+            manifest_buckets: Dict[str, List[dict]] = {}
+            for b in sorted(touched_buckets | set(new_files)):
+                entries = kept.get(b, []) + new_files.get(b, [])
+                if entries:
+                    manifest_buckets[str(b)] = entries
+                    bucket_map[str(b)] = manifest_rel
                 else:
                     bucket_map.pop(str(b), None)  # bucket emptied by deletes
-        else:
-            bucket_map = dict(meta["buckets"])
+            if manifest_buckets:
+                new_segments.append((manifest_rel, {"buckets": manifest_buckets}))
         if MERGE_TIMINGS is not None:
             MERGE_TIMINGS.append(("merge_write", time.time() - _t_write0))
 
@@ -248,15 +579,31 @@ class LakeTable:
         for b, lsn in (batch_watermarks or {}).items():
             watermarks[str(b)] = max(watermarks.get(str(b), -1), int(lsn))
 
+        applied = {
+            **meta["applied"],
+            "count": meta["applied"]["count"] + 1,
+            "tail": meta["applied"]["tail"] + [batch_id],
+            "bloom": _bloom_add(meta["applied"]["bloom"], batch_id),
+        }
+        applied = self._roll_applied(applied, new_segments)
+        lineage_tail, lineage_segs = self._roll_lineage(
+            meta["lineage"] + [commit], meta["lineage_segments"], new_segments
+        )
+
         new_meta = {
             **meta,
             "version": new_version,
             "buckets": bucket_map,
-            "applied_batches": meta["applied_batches"] + [batch_id],
             "watermarks": watermarks,
-            "lineage": meta["lineage"] + [commit],
+            "applied": applied,
+            "lineage": lineage_tail,
+            "lineage_segments": lineage_segs,
         }
         _t_io0 = time.time()
+        # segments/manifests first (immutable, unreferenced until the
+        # snapshot lands), then the atomic snapshot+pointer install
+        for rel, payload in new_segments:
+            self._write_json_atomic(rel, payload)
         self._write_metadata(new_meta)
         if MERGE_TIMINGS is not None:
             MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
@@ -278,6 +625,108 @@ class LakeTable:
             {"schema_evolution": [f.name for f in added], "note": note, "version": meta["version"]}
         ]
         self._write_metadata(meta)
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, buckets: Optional[List[int]] = None, min_files: int = 2) -> dict:
+        """Rewrite each bucket holding >= ``min_files`` files into a fresh
+        khash-sorted, non-overlapping file sequence (undoing insert-order
+        range overlap).  Metadata-only semantics: table state (and
+        ``state_checksum``) is unchanged; old files age out via
+        ``expire_snapshots``."""
+        meta = self.metadata()
+        files = self._bucket_files(meta, buckets)
+        todo = {b: es for b, es in files.items() if len(es) >= min_files}
+        if not todo:
+            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        new_version = meta["version"] + 1
+        rel_dir = os.path.join("data", f"v{new_version}")
+        out_dir = os.path.join(self.root, rel_dir)
+        paths = [e["path"] for es in todo.values() for e in es]
+        (
+            self._read_files(paths, schema, meta["n_buckets"])
+            .repartition(len(todo), F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, KHASH_COL)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        new_files = self._new_file_stats(out_dir, rel_dir)
+        manifest_rel = f"metadata/m-{new_version}.json"
+        manifest_buckets = {str(b): es for b, es in new_files.items()}
+        bucket_map = dict(meta["buckets"])
+        for b in todo:
+            if str(b) in manifest_buckets:
+                bucket_map[str(b)] = manifest_rel
+            else:  # pragma: no cover — compaction never drops rows
+                bucket_map.pop(str(b), None)
+        entry = {
+            "compaction": sorted(todo),
+            "version": new_version,
+            "files_before": sum(len(es) for es in todo.values()),
+            "files_after": sum(len(es) for es in new_files.values()),
+        }
+        lineage_tail, lineage_segs = self._roll_lineage(
+            meta["lineage"] + [entry], meta["lineage_segments"], new_segments := []
+        )
+        for rel, payload in new_segments:
+            self._write_json_atomic(rel, payload)
+        self._write_json_atomic(manifest_rel, {"buckets": manifest_buckets})
+        self._write_metadata({
+            **meta,
+            "version": new_version,
+            "buckets": bucket_map,
+            "lineage": lineage_tail,
+            "lineage_segments": lineage_segs,
+        })
+        return entry
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retain the last ``keep_last`` snapshots; delete older snapshot
+        JSONs and every data/manifest file no retained snapshot references —
+        including crash orphans (files written by a commit whose snapshot
+        never installed).  Time travel remains available within the retained
+        window."""
+        current = self.version
+        retained = [v for v in range(max(0, current - keep_last + 1), current + 1)
+                    if os.path.exists(self._meta_path(v))]
+        keep_files: set = set()
+        keep_meta: set = {f"v{v}.json" for v in retained} | {"CURRENT"}
+        for v in retained:
+            meta = self.metadata(v)
+            for rel in set(meta["buckets"].values()):
+                keep_meta.add(os.path.basename(rel))
+                for entries in self._read_manifest(rel)["buckets"].values():
+                    keep_files.update(e["path"] for e in entries)
+            for rel in meta["applied"]["segments"] + meta["lineage_segments"]:
+                keep_meta.add(os.path.basename(rel))
+        removed_files = removed_bytes = removed_snapshots = 0
+        data_root = os.path.join(self.root, "data")
+        for path in _glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(path, self.root)
+            if rel not in keep_files:
+                removed_bytes += os.path.getsize(path)
+                os.remove(path)
+                removed_files += 1
+        for d in sorted(_glob.glob(os.path.join(data_root, "*", "*")) +
+                        _glob.glob(os.path.join(data_root, "*")), reverse=True):
+            if os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+        meta_root = os.path.join(self.root, "metadata")
+        for path in _glob.glob(os.path.join(meta_root, "*.json")):
+            if os.path.basename(path) not in keep_meta:
+                if os.path.basename(path).startswith("v"):
+                    removed_snapshots += 1
+                os.remove(path)
+        self._manifest_cache.clear()
+        return {
+            "retained_snapshots": retained,
+            "removed_snapshots": removed_snapshots,
+            "removed_files": removed_files,
+            "removed_bytes": removed_bytes,
+        }
 
     # -- integrity --------------------------------------------------------
 
