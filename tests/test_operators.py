@@ -140,6 +140,117 @@ def test_image_features_real_decode(spark):
     assert len(rows[2]["feature"]) == 8
 
 
+def _raw_png(w, h, color_type, samples, extra_chunks=(), depth=8, interlace=0):
+    """Hand-built PNG bytes (independent of encode_png): filter-0 rows of
+    raw ``samples`` (H, W, ch) — lets tests cover color types / error
+    variants the fixture encoder doesn't emit."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + samples[y].tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    )
+    for ct, body in extra_chunks:
+        out += chunk(ct, body)
+    # split IDAT in two to exercise multi-chunk concatenation
+    z = zlib.compress(raw)
+    return out + chunk(b"IDAT", z[:7]) + chunk(b"IDAT", z[7:]) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_all_filters():
+    """encode (vectorized filter) -> decode (sequential unfilter) identity
+    for every scanline filter type 0-4 — two independent formulations of
+    the spec, so agreement is evidence of correctness, not shared bugs."""
+    import numpy as np
+
+    from valentine_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for ftype in range(5):
+        for h, w in [(1, 1), (3, 5), (7, 2), (16, 16), (5, 1)]:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img), (
+                ftype,
+                h,
+                w,
+            )
+
+
+def test_png_color_types():
+    """Gray/palette/alpha normalization to RGB, on hand-built PNGs."""
+    import numpy as np
+
+    from valentine_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(6)
+    # type 0 gray -> channels replicated
+    g = rng.integers(0, 256, size=(3, 4, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(_raw_png(4, 3, 0, g)), np.repeat(g, 3, axis=2))
+    # type 6 RGBA -> alpha dropped
+    rgba = rng.integers(0, 256, size=(2, 5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(_raw_png(5, 2, 6, rgba)), rgba[:, :, :3])
+    # type 4 gray+alpha -> gray replicated, alpha dropped
+    ga = rng.integers(0, 256, size=(4, 2, 2), dtype=np.uint8)
+    assert np.array_equal(decode_png(_raw_png(2, 4, 4, ga)), np.repeat(ga[:, :, :1], 3, axis=2))
+    # type 3 palette -> PLTE lookup
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 3, 1), dtype=np.uint8)
+    got = decode_png(_raw_png(3, 3, 3, idx, extra_chunks=[(b"PLTE", plte.tobytes())]))
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+
+
+def test_png_rejects_unsupported_variants():
+    import numpy as np
+    import pytest
+
+    from valentine_spark.functions.png import decode_png, encode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # truncated
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        decode_png(_raw_png(2, 2, 2, img, depth=16))  # 16-bit
+    with pytest.raises(ValueError):
+        decode_png(_raw_png(2, 2, 2, img, interlace=1))  # Adam7
+    with pytest.raises(ValueError):  # palette without PLTE
+        decode_png(_raw_png(2, 2, 3, np.zeros((2, 2, 1), dtype=np.uint8)))
+
+
+def test_image_features_real_png_decode(spark):
+    """End-to-end REAL PNG path through the Arrow mapInPandas stage —
+    Paeth-filtered payload decoded by the bundled codec, features match a
+    direct numpy computation (the BMP twin: test_image_features_real_decode)."""
+    import numpy as np
+
+    from valentine_spark.functions.png import encode_png
+    from valentine_spark.operators.multimodal import extract_features, image_features
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(8, 5, 3), dtype=np.uint8)
+    payload = encode_png(img, filter_type=4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 5, 8, 0)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    rows = extract_features(media).collect()
+    got = np.array(rows[0]["feature"], dtype=np.float32)
+    assert np.allclose(got, image_features(img), atol=1e-6)
+
+
 def test_frame_sample_plan(spark):
     media = synth_media_table(spark, 64)
     plan = frame_sample_plan(media, every_ms=5000)

@@ -73,7 +73,14 @@ def lww_dedup(events: DataFrame, n_salts: int = 1) -> DataFrame:
 
 def lww_dedup_window(events: DataFrame) -> DataFrame:
     """Window formulation (the SQL-oracle shape); used for equivalence tests
-    and as the fallback where max_by is unavailable."""
+    and as the fallback where max_by is unavailable.
+
+    DELIBERATELY kept alongside the max_by agg form above: this is the
+    oracle shape, and Catalyst's WindowGroupLimit rewrite makes the two
+    measured-equivalent (BENCH/BASELINE.md §2).  Its query-shaped sibling is
+    ``operators.window_ops.latest_event_per_user`` — change the tie-break or
+    ordering semantics of one and you must change BOTH (and the SQL
+    oracles)."""
     w = Window.partitionBy(*KEY_COLS).orderBy(F.col("op_ts").desc(), F.col("lsn").desc())
     return (
         events.withColumn("_rn", F.row_number().over(w))

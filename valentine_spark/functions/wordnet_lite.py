@@ -15,6 +15,15 @@ golden file.
 API (the subset the reference touches): ``all_lemma_names()``,
 ``synsets(word)``, ``wup_similarity(s1, s2)``.
 
+Divergence from REAL WordNet 3.0 is bounded by a golden test
+(``tests/test_wordnet_golden.py``) built from published WordNet facts:
+the canonical NLTK-doctest value wup(dog, cat) = 0.8571... reproduces
+exactly (the animal branch mirrors WordNet's hypernym chain at identical
+depths), shared-synset pairs (customer~client, writer~author,
+nation~country) score exactly 1.0 on both sides, and near-synset pairs
+that wordnet-lite keeps as adjacent nodes (price~cost, seller~vendor)
+stay within |Δ| <= 0.07 of the real max-over-senses value.
+
 Wu-Palmer here is the textbook definition over a single-parent tree:
 ``2 * depth(lcs) / (depth(s1) + depth(s2))`` with the root at depth 1 and
 the LCS found as the longest common root-path prefix.  Words NOT in the
@@ -42,6 +51,21 @@ _TAXONOMY: Dict[str, Optional[str]] = {
     "living_thing": "whole",
     "organism": "living_thing",
     "person": "organism",
+    # animal branch mirroring the published WordNet 3.0 hypernym chain at
+    # the same depths (entity=1 ... carnivore=12, dog/cat=14), so the
+    # canonical NLTK doctest value wup(dog, cat) = 0.8571... reproduces
+    # EXACTLY — the real-WordNet anchor for the golden test
+    # (tests/test_wordnet_golden.py)
+    "animal": "organism",
+    "chordate": "animal",
+    "vertebrate": "chordate",
+    "mammal": "vertebrate",
+    "placental": "mammal",
+    "carnivore": "placental",
+    "canine": "carnivore",
+    "feline": "carnivore",
+    "dog": "canine",
+    "cat": "feline",
     "artifact": "whole",
     "creation": "artifact",
     "product": "artifact",

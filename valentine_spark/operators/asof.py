@@ -106,6 +106,20 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
+    if not on:
+        # keyless global as-of = ONE window partition: every row serializes
+        # through a single task.  Fine for driver-scale frames (the only
+        # supported use, per the docstring) — warn loudly so a 100-GB frame
+        # doesn't silently fall into this path (VERDICT r2 nit #2).
+        import warnings
+
+        warnings.warn(
+            "asof_join with on=[] runs as a single-partition window; "
+            "only use for driver-scale inputs. Provide key columns to "
+            "distribute.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     base = Window.partitionBy(*on) if on else Window.partitionBy()
     # backward frame: right rows sort BEFORE equal-ts left rows (inclusive
     # <=); forward frame: AFTER them (inclusive >=).  Both windows share the

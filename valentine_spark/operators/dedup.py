@@ -241,10 +241,13 @@ def minhash_signatures(
     duplicate-insensitive, so the shingle stream skips the distinct
     shuffle entirely."""
     sh = _shingles(df, id_col, text_col, n, distinct=False)
-    hashed = sh.select(
+    # one md5 materialized into its own column, then sliced — the one-digest
+    # claim above is guaranteed by the plan shape, not by relying on Spark's
+    # subexpression elimination staying enabled
+    hashed = sh.select(F.col(id_col), F.md5("shingle").alias("_d")).select(
         F.col(id_col),
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("_h2"),
+        F.conv(F.substring("_d", 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring("_d", 9, 8), 16, 10).cast("long").alias("_h2"),
     )
     mins = [
         F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(_MERSENNE_31))).alias(f"h{i}")

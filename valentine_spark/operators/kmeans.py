@@ -21,8 +21,9 @@ k*n pairings; at 100 TB the scan dominates and parallelizes linearly.  The
 iteration count is bounded (``max_iter``) and convergence is measured by
 centroid drift on the driver.
 
-Determinism: init seeds on the vector with the smallest ``xxhash64(id, seed)``
-then grows by farthest-point selection (id-tie-broken — order-independent);
+Determinism: init seeds on the vector with the smallest ``md5("id:seed")``
+(engine-portable — the DuckDB oracle replays the same ordering verbatim,
+unlike Spark-only xxhash64) then grows by farthest-point selection (id-tie-broken — order-independent);
 averages are rounded to 9 dp each round so partition summation order cannot
 drift the fixpoint.
 """

@@ -11,7 +11,13 @@ from pyspark.sql.window import Window
 
 def latest_event_per_user(df: DataFrame) -> DataFrame:
     """LWW snapshot of the events table: one row per user_id, the event with
-    max (ts, event_id)."""
+    max (ts, event_id).
+
+    DELIBERATELY window-formulated (not max_by): it is the SQL-oracle shape,
+    and Catalyst's WindowGroupLimit rewrite makes it measured-equivalent to
+    the agg form (BENCH/BASELINE.md §2).  The CDC engine's internal sibling
+    is ``cdc.apply.lww_dedup_window`` — keep their ordering/tie-break
+    semantics in sync (and the SQL oracles) if either changes."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         df.withColumn("rn", F.row_number().over(w))

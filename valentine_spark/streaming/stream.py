@@ -29,10 +29,21 @@ STREAM_DDL = (
 )
 
 
-def stream_from_files(spark: SparkSession, drop_dir: str, fmt: str = "parquet") -> DataFrame:
+def stream_from_files(
+    spark: SparkSession,
+    drop_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
     """Tail a drop-zone directory of change-event files (the WAL-shipping
-    pattern).  Schema is fixed -> no inference scan."""
+    pattern).  Schema is fixed -> no inference scan.
+
+    ``max_files_per_trigger`` bounds each micro-batch (backpressure for
+    catch-up over a deep backlog; also what the kill-and-restart test uses
+    to force a multi-batch drain)."""
     reader = spark.readStream.schema(STREAM_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(drop_dir) if fmt == "parquet" else reader.format(fmt).load(drop_dir)
 
 

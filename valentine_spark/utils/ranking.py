@@ -72,7 +72,14 @@ def distributed_row_number(
     # both branches is identical, so ReuseExchange computes the big shuffle
     # once — no persist, no driver action, no second full-data shuffle.
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
-    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy(lit(0)) is semantically identical to a global window here
+    # (the frame is #partitions rows — tiny by construction) but keeps the
+    # benign single-partition case from emitting "WindowExec: No Partition
+    # Defined" warnings that would mask REAL single-partition regressions
+    # in bench tails (VERDICT r2 #10)
+    off_w = (
+        Window.partitionBy(F.lit(0)).orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         _PID, F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias(_OFF)
     )
