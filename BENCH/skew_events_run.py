@@ -54,9 +54,16 @@ ev = spark.range(n).select(
     (F.pmod(F.xxhash64("id", F.lit(3)), 1000) / 10.0).alias("value"),
 )
 
+from valentine_spark.operators.window_ops import sessionize_sliced
+
 t0 = time.time()
 n_sessions = sessionize(ev, gap_minutes=30).count()
 t_sess = time.time() - t0
+
+t0 = time.time()
+n_sessions_sliced = sessionize_sliced(ev, gap_minutes=30).count()
+t_sess_sliced = time.time() - t0
+assert n_sessions_sliced == n_sessions, (n_sessions_sliced, n_sessions)
 
 purchases = ev.where(F.col("event_type") == "purchase")
 clicks = (ev.where(F.col("event_type") == "click")
@@ -66,6 +73,7 @@ n_attr = asof_join(purchases, clicks, on=["user_id"], left_on="ts",
                    right_cols=["click_event_id"]).count()
 t_asof = time.time() - t0
 print("RESULT " + json.dumps({{"hot_pct": hot_pct, "sessionize_sec": round(t_sess, 2),
+                               "sessionize_sliced_sec": round(t_sess_sliced, 2),
                                "n_sessions": n_sessions, "asof_sec": round(t_asof, 2),
                                "n_attributed": n_attr}}))
 """
@@ -85,8 +93,10 @@ def run_level(repo: str, n_events: int, hot_pct: int) -> dict:
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16_000_000
+    load_pre = round(os.getloadavg()[0], 2)
     results = [run_level(repo, n_events, pct) for pct in (0, 10, 50)]
-    out = {"n_events": n_events, "levels": results}
+    out = {"n_events": n_events, "levels": results,
+           "load_pre": load_pre, "load_post": round(os.getloadavg()[0], 2)}
     print(json.dumps(out, indent=2))
     if "--json" in sys.argv:
         with open(sys.argv[sys.argv.index("--json") + 1], "w") as fh:

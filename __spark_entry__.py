@@ -181,6 +181,26 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_events_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof time-sliced sessionization — output-identical to
+    ``sessionize_events`` by construction (window_ops.sessionize_sliced:
+    per-(user, time-slice) local sessions + boundary stitch on per-slice
+    summaries), so it shares the same DuckDB oracle.  The point of the
+    separate entry: the driver proves the sliced formulation's equality
+    against an INDEPENDENT single-pass SQL image, not just against our own
+    single-window implementation."""
+    from valentine_spark.operators.window_ops import sessionize_sliced
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_sliced(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_seq", "n_events",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "total_value",
+    )
+
+
 _SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
@@ -1288,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": topk_orders,
         "events_lww": events_lww,
         "sessionize_events": sessionize_events,
+        "sessionize_events_sliced": sessionize_events_sliced,
         "events_asof_attribution": events_asof_attribution,
         "events_asof_forward": events_asof_forward,
         "orders_price_band_join": orders_price_band_join,
@@ -1332,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _TOPK_SQL,
         "events_lww": _EVENTS_LWW_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "sessionize_events_sliced": _SESSIONIZE_SQL,
         "events_asof_attribution": _ASOF_SQL,
         "events_asof_forward": _ASOF_FWD_SQL,
         "orders_price_band_join": _BAND_SQL,

@@ -186,6 +186,62 @@ def test_gap_sessions_matches_sessionize_batch(spark):
     assert a == b and a
 
 
+def test_sessionize_sliced_matches_single_window(spark):
+    """The skew-proof time-sliced sessionization is row-identical (incl.
+    session_seq numbering) to the single-window form — on real testdata AND
+    on an adversarial synthetic stream with exact-gap deltas, events
+    straddling slice boundaries, and one session spanning many slices."""
+    import datetime as dt
+
+    from valentine_spark.operators import sessionize
+    from valentine_spark.operators.window_ops import sessionize_sliced
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for kwargs in ({}, {"slice_minutes": 45}, {"slice_minutes": 120}):
+        a = {tuple(r) for r in sessionize(ev, gap_minutes=30).collect()}
+        b = {tuple(r) for r in sessionize_sliced(ev, gap_minutes=30, **kwargs).collect()}
+        assert a == b and a, kwargs
+
+    # adversarial: gap = 30 min, slice = 30 min.  u1: a session of events
+    # every 29 min spanning >4 slices, then an exact-gap delta (stays in
+    # the same session: strict >), then gap+1s (new session).  u2: events
+    # 1 s either side of a slice boundary (same session, must stitch).
+    # u3: single event exactly on a slice boundary.  u4: two events >2
+    # slices apart (never merge).
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    t = base
+    for i in range(10):  # u1 chain, 29-min steps; last event at base+261min
+        rows.append((1, 100 + i, t, "click", 1.0))
+        last = t
+        t += dt.timedelta(minutes=29)
+    exact = last + dt.timedelta(minutes=30)
+    rows.append((1, 110, exact, "click", 1.0))  # exact gap: SAME session
+    rows.append((1, 111, exact + dt.timedelta(minutes=30, seconds=1), "click", 1.0))  # gap+1s: NEW
+    bnd = dt.datetime(2024, 1, 1, 3, 0, 0)  # a 30-min slice boundary
+    rows += [(2, 200, bnd - dt.timedelta(seconds=1), "view", 2.5),
+             (2, 201, bnd + dt.timedelta(seconds=1), "view", 2.5)]
+    rows.append((3, 300, bnd, "view", 0.125))
+    rows += [(4, 400, base, "click", 1.0),
+             (4, 401, base + dt.timedelta(hours=2), "click", 1.0)]
+    adv = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    a = {tuple(r) for r in sessionize(adv, gap_minutes=30).collect()}
+    b = {tuple(r) for r in sessionize_sliced(adv, gap_minutes=30).collect()}
+    assert a == b
+    by_user = {}
+    for r in sessionize_sliced(adv, gap_minutes=30).collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert sorted(r["session_seq"] for r in by_user[1]) == [1, 2]
+    assert [r["n_events"] for r in sorted(by_user[1], key=lambda r: r["session_seq"])] == [11, 1]
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 2
+    assert len(by_user[4]) == 2
+
+    with pytest.raises(ValueError):
+        sessionize_sliced(adv, gap_minutes=30, slice_minutes=15)
+
+
 def test_streaming_gap_sessions_available_now(spark, tmp_path):
     """Streaming sessionization (watermark + session_window, append mode)
     emits exactly the finalized sessions of the batch computation."""
