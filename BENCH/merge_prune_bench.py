@@ -119,6 +119,76 @@ def main():
         )
         print(json.dumps(rows[-1]))
 
+    # ---- COW vs MoR under hot-random-key churn --------------------------
+    # The regime file-grain COW still pays in: every batch touches K keys
+    # scattered uniformly over the key space, so COW rewrites ~K files per
+    # batch forever.  MoR appends O(batch) and defers resolution; the cost
+    # moves to read (until compact).  Both tables replay the SAME churn;
+    # checksums must match.
+    churn_rows = []
+    churn_batches = 8
+    churn_k = 2_000
+    cow2 = LakeTable.create(
+        os.path.join(workdir, "cow2"), spark, n_buckets=8, target_file_rows=500
+    )
+    mor2 = LakeTable.create(
+        os.path.join(workdir, "mor2"), spark, n_buckets=8, target_file_rows=500,
+        write_mode="mor",
+    )
+    replay(cow2, base, batch_lsns=args.events, batch_id_prefix="load")
+    replay(mor2, base, batch_lsns=args.events, batch_id_prefix="load")
+    at2 = args.events
+    for i in range(churn_batches):
+        batch = synth_change_stream(
+            spark, churn_k, args.keys, seed=42, start_lsn=at2
+        )
+        for name, tbl in (("cow", cow2), ("mor", mor2)):
+            t0 = time.time()
+            c = apply_batch(
+                tbl, batch, f"churn-{i}", watermark_lsn=at2 + churn_k - 1,
+                mode=name,
+            )
+            churn_rows.append(
+                {
+                    "mode": name,
+                    "batch": i,
+                    "touched_events": churn_k,
+                    "bytes_rewritten": c["bytes_rewritten"],
+                    "bytes_written": c.get("bytes_written", 0),
+                    "wall_s": round(time.time() - t0, 2),
+                }
+            )
+        at2 += churn_k
+    churn_checksum_ok = cow2.state_checksum() == mor2.state_checksum()
+    # read + maintenance costs on the MoR side
+    t0 = time.time()
+    mor2.read().count()
+    mor_read_dirty_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    mor2.compact()
+    mor_compact_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    mor2.read().count()
+    mor_read_clean_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    cow2.read().count()
+    cow_read_s = round(time.time() - t0, 2)
+    churn_summary = {
+        "batches": churn_batches,
+        "events_per_batch": churn_k,
+        "cow_total_rewritten": sum(r["bytes_rewritten"] for r in churn_rows if r["mode"] == "cow"),
+        "cow_total_written": sum(r["bytes_written"] for r in churn_rows if r["mode"] == "cow"),
+        "mor_total_written": sum(r["bytes_written"] for r in churn_rows if r["mode"] == "mor"),
+        "cow_merge_wall_s": round(sum(r["wall_s"] for r in churn_rows if r["mode"] == "cow"), 2),
+        "mor_merge_wall_s": round(sum(r["wall_s"] for r in churn_rows if r["mode"] == "mor"), 2),
+        "mor_read_dirty_s": mor_read_dirty_s,
+        "mor_compact_s": mor_compact_s,
+        "mor_read_clean_s": mor_read_clean_s,
+        "cow_read_s": cow_read_s,
+        "checksum_match": churn_checksum_ok,
+    }
+    print(json.dumps(churn_summary))
+
     # correctness control: one-shot replay of the identical event sequence
     control = LakeTable.create(os.path.join(workdir, "control"), spark, n_buckets=8)
     full = base
@@ -143,6 +213,8 @@ def main():
         "load_s": round(load_s, 2),
         "table_bytes": table_bytes,
         "rows": rows,
+        "churn_rows": churn_rows,
+        "churn_summary": churn_summary,
         "checksum_match_vs_control": checksum_ok,
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }

@@ -1155,6 +1155,37 @@ FROM winners WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same WAL replay as ``cdc_replay_state`` but through the MERGE-ON-READ
+    write path (``write_mode="mor"``: O(batch) appends + key tombstones,
+    per-key max-by-version resolution at read, no file rewrites — see
+    ``cdc/lake.py``).  The final resolved state must be IDENTICAL to the
+    copy-on-write replay, so it shares ``_CDC_REPLAY_SQL`` as its oracle —
+    the driver hash-compare IS the COW/MoR equivalence proof at sf scale."""
+    from valentine_spark.cdc import LakeTable, replay
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_lake_mor_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8, write_mode="mor")
+    replay(lake, stream, batch_lsns=4000)
+    state = lake.read()
+    return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north star's signature move, end-to-end WITH an oracle: replay
     the first half of the WAL-ordered stream normally, then the second half
@@ -1338,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_kmeans_multiprobe": embedding_ivf_kmeans_multiprobe,
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
+        "cdc_replay_state_mor": cdc_replay_state_mor,
         "cdc_drift_automap": cdc_drift_automap,
         "matcher_distribution_based": matcher_distribution_based,
         "matcher_cupid": matcher_cupid,
@@ -1383,6 +1415,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_kmeans_multiprobe": _ivf_kmeans_oracle_sql(nprobe=2),
         "cdc_lww_stream": _CDC_LWW_SQL,
         "cdc_replay_state": _CDC_REPLAY_SQL,
+        # merge-on-read replay resolves to the SAME final state — same oracle
+        "cdc_replay_state_mor": _CDC_REPLAY_SQL,
         # the drifted replay must land in the SAME final state as the
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,

@@ -217,3 +217,165 @@ def test_read_after_evolution_spans_old_and_new_files(spark, tmp_path):
     ).collect()[0]
     assert counts["n"] > counts["with_stars"] > 0
     assert df.where(F.col("stars").isNotNull()).select("stars").distinct().collect()[0][0] == 7
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read (tombstone / equality-delete) mode
+# ---------------------------------------------------------------------------
+
+def _entry_kinds(lake):
+    """(n_data_entries, n_tomb_entries) across all buckets."""
+    data = tombs = 0
+    for es in lake._bucket_files(lake.metadata()).values():
+        for e in es:
+            if e.get("kind") == "tomb":
+                tombs += 1
+            else:
+                data += 1
+    return data, tombs
+
+
+def test_mor_replay_matches_cow_and_rewrites_nothing(spark, tmp_path):
+    """MoR replay: O(batch) appends (zero rewrites, tombstones for deletes),
+    dirty buckets resolved at read — final state equals the COW replay of
+    the identical stream, bit for bit."""
+    stream = synth_change_stream(spark, 8_000, 1_200, seed=23).cache()
+    cow = LakeTable.create(str(tmp_path / "cow"), spark, n_buckets=4)
+    replay(cow, stream, batch_lsns=2_000)
+
+    mor = LakeTable.create(
+        str(tmp_path / "mor"), spark, n_buckets=4, write_mode="mor"
+    )
+    commits = replay(mor, stream, batch_lsns=2_000)
+    assert all(c["mode"] == "mor" for c in commits)
+    assert all(c["files_rewritten"] == 0 and c["bytes_rewritten"] == 0 for c in commits)
+    assert sum(c["tomb_files"] for c in commits) > 0, "stream has deletes"
+    assert mor.metadata()["dirty"], "later batches touch populated buckets"
+    assert mor.state_checksum() == cow.state_checksum()
+    _, tombs = _entry_kinds(mor)
+    assert tombs > 0
+    stream.unpersist()
+
+
+def test_mor_compact_resolves_then_reads_scan_only(spark, tmp_path):
+    """compact() folds dirty buckets to single-version files: checksum
+    unchanged, tombstones gone, dirty flags cleared — and the post-compact
+    read plan has no aggregation (scan-only again)."""
+    stream = synth_change_stream(spark, 6_000, 900, seed=29)
+    mor = LakeTable.create(
+        str(tmp_path / "morc"), spark, n_buckets=4, write_mode="mor"
+    )
+    replay(mor, stream, batch_lsns=1_500)
+    before = mor.state_checksum()
+    assert "max_by" in mor.read()._jdf.queryExecution().optimizedPlan().toString(), \
+        "dirty read must resolve via the max_by aggregation"
+
+    out = mor.compact()
+    assert out["files_after"] < out["files_before"]
+    assert mor.state_checksum() == before
+    assert not mor.metadata()["dirty"]
+    assert _entry_kinds(mor)[1] == 0, "tombstones dropped by compaction"
+    plan = mor.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" not in plan and "Aggregate" not in plan
+
+
+def test_cow_after_mor_resolves_bucket_first(spark, tmp_path):
+    """The mixed-mode trap: COW's per-file anti-join over multi-version
+    state would re-stamp an OLD version of an untouched key at the new
+    commit version, flipping the read-time winner.  merge(mode='cow') must
+    resolve dirty buckets first.  Adversarial fixture: key A upserted twice
+    via MoR (v1 then v2), then a COW batch touches a DIFFERENT key in the
+    same bucket — A's winner must remain the v2 value."""
+    lake = LakeTable.create(str(tmp_path / "mix"), spark, n_buckets=1)
+    schema = lake.schema
+
+    def ev(lsn, path, content, op="upsert"):
+        return (lsn, float(lsn), op, "r", path, "c", "py", content)
+
+    cols = "lsn long, op_ts double, op string, repo string, path string, `commit` string, lang string, content string"
+    b1 = spark.createDataFrame([ev(1, "A", "old"), ev(2, "B", "b0")], cols)
+    b2 = spark.createDataFrame([ev(3, "A", "NEW")], cols)
+    b3 = spark.createDataFrame([ev(4, "B", "b1")], cols)
+    apply_batch(lake, b1, "m1", watermark_lsn=2, mode="mor")
+    apply_batch(lake, b2, "m2", watermark_lsn=3, mode="mor")
+    assert lake.metadata()["dirty"], "A now has two live versions"
+    commit = apply_batch(lake, b3, "c1", watermark_lsn=4, mode="cow")
+    assert not lake.metadata()["dirty"]
+    rows = {r["path"]: r["content"] for r in lake.read().collect()}
+    assert rows == {"A": "NEW", "B": "b1"}
+    # lineage records the interposed resolution compaction
+    kinds = [("compaction" in e, e.get("mode")) for e in lake.lineage()]
+    assert (True, None) in kinds, "expected a compaction entry before the COW commit"
+
+
+def test_mor_delete_semantics_and_emptied_bucket(spark, tmp_path):
+    """Later tombstone kills earlier versions; still-later upsert revives;
+    tombstoning every key empties the bucket (compact drops it); a delete of
+    a never-present key in a clean bucket is a no-op."""
+    lake = LakeTable.create(
+        str(tmp_path / "tomb"), spark, n_buckets=1, write_mode="mor"
+    )
+    cols = "lsn long, op_ts double, op string, repo string, path string, `commit` string, lang string, content string"
+
+    def ev(lsn, path, content, op="upsert"):
+        return (lsn, float(lsn), op, "r", path, "c", "py", content)
+
+    apply_batch(lake, spark.createDataFrame([ev(1, "A", "a0"), ev(2, "B", "b0")], cols), "b1", watermark_lsn=2)
+    apply_batch(lake, spark.createDataFrame([ev(3, "A", None, "delete")], cols), "b2", watermark_lsn=3)
+    assert {r["path"] for r in lake.read().collect()} == {"B"}
+    apply_batch(lake, spark.createDataFrame([ev(4, "A", "a2")], cols), "b3", watermark_lsn=4)
+    assert {r["path"]: r["content"] for r in lake.read().collect()} == {"A": "a2", "B": "b0"}
+    # delete of a key that never existed: tombstone lands in a clean bucket
+    lake2 = LakeTable.create(
+        str(tmp_path / "noop"), spark, n_buckets=1, write_mode="mor"
+    )
+    apply_batch(lake2, spark.createDataFrame([ev(1, "X", "x0")], cols), "n1", watermark_lsn=1)
+    apply_batch(lake2, spark.createDataFrame([ev(2, "GHOST", None, "delete")], cols), "n2", watermark_lsn=2)
+    assert {r["path"] for r in lake2.read().collect()} == {"X"}
+    # tombstone everything -> empty table; compact drops the bucket mapping
+    apply_batch(lake2, spark.createDataFrame([ev(3, "X", None, "delete")], cols), "n3", watermark_lsn=3)
+    assert lake2.read().count() == 0
+    lake2.compact()
+    assert lake2.metadata()["buckets"] == {}
+    assert lake2.read().count() == 0
+
+
+def test_mor_resume_and_expire(spark, tmp_path):
+    """Exactly-once + resume + snapshot expiry all hold in MoR mode: a
+    re-delivered batch is skipped, resume_replay picks up after a partial
+    replay, and expire_snapshots GCs superseded files while keeping every
+    live data AND tombstone file."""
+    import glob as g
+    from valentine_spark.cdc import resume_replay
+
+    stream = synth_change_stream(spark, 6_000, 900, seed=31).cache()
+    lake = LakeTable.create(
+        str(tmp_path / "resume"), spark, n_buckets=4, write_mode="mor"
+    )
+    replay(lake, stream.where(F.col("lsn") < 3_000), batch_lsns=1_500, max_lsn=2_999)
+    assert lake.merge(
+        spark.createDataFrame([], lake.schema),
+        spark.createDataFrame([], "repo string, path string, `commit` string"),
+        "batch-0-1500",
+    )["skipped"]
+    resume_replay(lake, stream, batch_lsns=1_500)
+
+    clean = LakeTable.create(str(tmp_path / "clean"), spark, n_buckets=4)
+    replay(clean, stream, batch_lsns=6_000)
+    assert lake.state_checksum() == clean.state_checksum()
+
+    before = lake.state_checksum()
+    lake.compact()  # supersedes the MoR files
+    out = lake.expire_snapshots(keep_last=1)
+    assert out["removed_files"] > 0
+    assert lake.state_checksum() == before
+    live = {
+        os.path.join(lake.root, e["path"])
+        for es in lake._bucket_files(lake.metadata()).values()
+        for e in es
+    }
+    on_disk = set(
+        g.glob(os.path.join(lake.root, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert on_disk == live
+    stream.unpersist()

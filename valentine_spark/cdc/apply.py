@@ -110,12 +110,16 @@ def apply_batch(
     cache_batch: bool = False,
     watermark_lsn: Optional[int] = None,
     collect_metrics: bool = False,
+    mode: Optional[str] = None,
 ) -> dict:
     """Apply one micro-batch exactly-once.  Steps:
       1. skip if batch_id already committed (idempotent re-run);
       2. resolve schema drift (rename via Valentine matcher / evolve);
       3. salted LWW dedup to one op per key;
       4. MERGE (upserts + deletes) with per-bucket watermarks.
+
+    ``mode``: merge write mode — "cow", "mor", or None for the table default
+    (see ``LakeTable.merge``).
 
     ``watermark_lsn``: when the batch is a complete LSN range (bulk replay),
     every event with lsn <= watermark_lsn is fully reflected after the
@@ -199,6 +203,7 @@ def apply_batch(
             batch_watermarks=wms,
             lineage=lineage,
             changed_buckets=changed,
+            mode=mode,
         )
     finally:
         if cache_batch:
@@ -219,6 +224,7 @@ def replay(
     max_lsn: Optional[int] = None,
     range_watermarks: bool = True,
     collect_metrics: bool = False,
+    mode: Optional[str] = None,
 ) -> list:
     """Deterministic micro-batch replay over LSN slices — the batch-mode
     equivalent of tailing the stream (resumable, exactly-once).  The slice
@@ -246,6 +252,7 @@ def replay(
                 n_salts=n_salts,
                 watermark_lsn=min(hi - 1, max_lsn) if range_watermarks else None,
                 collect_metrics=collect_metrics,
+                mode=mode,
             )
         )
     return commits

@@ -54,6 +54,20 @@ Inserts append new files (ranges may overlap older files; pruning uses
 interval intersection, so overlap costs read amplification only —
 ``compact()`` re-sorts a bucket back to disjoint files).
 
+MERGE-ON-READ (``mode="mor"`` / ``create(write_mode="mor")``): the Iceberg
+v2 equality-delete analogue for hot-random-key ingest, where even file-grain
+COW rewrites many files per batch.  A MoR commit appends the batch's upsert
+rows as new data files plus its delete keys as TOMBSTONE files
+(``data/v{N}/_tombs/``, key cols + khash only, ``kind:"tomb"`` in the
+manifest) and rewrites NOTHING — write cost is O(batch) regardless of key
+scatter.  Buckets now holding multiple versions of a key are flagged in
+``meta["dirty"]``; ``read()`` resolves them with one per-key
+max-by-(commit-version, liveness) aggregation (older upserts lose, later
+tombstones kill, clean buckets stay scan-only), and ``compact()`` folds a
+dirty bucket back to single-version clean files.  Modes mix safely: a COW
+merge touching a dirty bucket resolves it first (see ``merge``).  The
+COW/MoR crossover is measured in BENCH/merge_prune_bench.py.
+
 Correctness argument for exactly-once: all commit state (which batches are
 applied, watermarks, live files) lives in ONE metadata file installed with
 an atomic rename; segment/manifest files are immutable and written BEFORE
@@ -165,12 +179,15 @@ class LakeTable:
         schema: Optional[T.StructType] = None,
         n_buckets: int = 64,
         target_file_rows: int = 1_000_000,
+        write_mode: str = "cow",
     ) -> "LakeTable":
         if schema is not None and not isinstance(schema, T.StructType):
             raise TypeError(
                 f"schema must be a StructType, got {type(schema).__name__} "
                 "(did you mean n_buckets=...?)"
             )
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         table = cls(root, spark)
@@ -179,12 +196,14 @@ class LakeTable:
             "version": 0,
             "n_buckets": n_buckets,
             "target_file_rows": int(target_file_rows),
+            "write_mode": write_mode,  # default merge mode; per-merge override
             "schema": (schema or _default_schema()).json(),
             "buckets": {},  # bucket id (str) -> manifest rel path
             "watermarks": {},  # bucket id (str) -> max applied lsn
             "applied": {"count": 0, "tail": [], "segments": [], "bloom": _bloom_new()},
             "lineage": [],  # tail of per-commit audit entries
             "lineage_segments": [],
+            "dirty": {},  # bucket id (str) -> true when holding multi-version (MoR) state
         }
         table._write_metadata(meta)
         return table
@@ -338,15 +357,95 @@ class LakeTable:
 
     def read(self, version: Optional[int] = None, buckets: Optional[List[int]] = None) -> DataFrame:
         """Snapshot read; ``buckets`` prunes to the named buckets.  Returns an
-        empty frame of the table schema when nothing has been written yet."""
+        empty frame of the table schema when nothing has been written yet.
+
+        Buckets holding multi-version (merge-on-read) state are resolved
+        in-flight — one per-key max-by-version aggregation over ONLY the
+        dirty buckets; clean buckets stream through scan-only as before.
+        ``compact()`` restores a bucket to the scan-only path."""
         meta = self.metadata(version)
         files = self._bucket_files(meta, buckets)
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
-        paths = [e["path"] for entries in files.values() for e in entries]
-        if not paths:
+        dirty = meta.get("dirty", {})
+        clean_paths: List[str] = []
+        mor_data: List[str] = []
+        mor_tombs: List[str] = []
+        for b, entries in files.items():
+            if str(b) in dirty:
+                for e in entries:
+                    (mor_tombs if e.get("kind") == "tomb" else mor_data).append(e["path"])
+            else:
+                # a tombstone in a CLEAN bucket can only name keys that were
+                # never present (delete of a non-existent key) — skip it
+                clean_paths.extend(e["path"] for e in entries if e.get("kind") != "tomb")
+        parts: List[DataFrame] = []
+        if clean_paths:
+            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"]))
+        if mor_data or mor_tombs:
+            parts.append(self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"]))
+        if not parts:
             with_bucket = T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.LongType())])
             return self.spark.createDataFrame([], with_bucket)
-        return self._read_files(paths, schema, meta["n_buckets"]).drop(KHASH_COL)
+        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return df.drop(KHASH_COL)
+
+    def _resolved_files(
+        self,
+        data_paths: List[str],
+        tomb_paths: List[str],
+        schema: T.StructType,
+        n_buckets: int,
+    ) -> DataFrame:
+        """Merge-on-read resolution: the per-key winner across all live file
+        versions.  Each row is tagged with its writing commit's version
+        (parsed from the ``data/v{N}/`` path — JVM-side, no extra scan) and a
+        liveness flag (data=1, tombstone=0); the winner per key is the entry
+        with the greatest ``(version, liveness)`` — a later upsert supersedes
+        older versions, a later tombstone kills them, and a data row beats a
+        tombstone of its own commit (impossible by construction, but the
+        order is total regardless).  One hash aggregation, map-side partial,
+        same skew posture as LWW dedup (``cdc/apply.py``)."""
+        ver = F.regexp_extract(F.input_file_name(), r"/data/v(\d+)/", 1).cast("long")
+        nonkey = [f for f in schema.fields if f.name not in KEY_COLS]
+        parts: List[DataFrame] = []
+        if data_paths:
+            parts.append(
+                self._read_files(data_paths, schema, n_buckets)
+                .withColumn("_v", ver)
+                .withColumn("_live", F.lit(1))
+            )
+        if tomb_paths:
+            tomb_schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in KEY_COLS]
+                + [T.StructField(KHASH_COL, T.LongType())]
+            )
+            tombs = (
+                self.spark.read.schema(tomb_schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(*[os.path.join(self.root, p) for p in tomb_paths])
+                .select(
+                    *KEY_COLS,
+                    *[F.lit(None).cast(f.dataType).alias(f.name) for f in nonkey],
+                    bucket_expr(n_buckets).alias(BUCKET_COL),
+                    F.col(KHASH_COL),
+                )
+                .withColumn("_v", ver)
+                .withColumn("_live", F.lit(0))
+            )
+            parts.append(tombs)
+        u = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        payload = F.struct(
+            *[F.col(f.name) for f in nonkey],
+            F.col(BUCKET_COL), F.col(KHASH_COL), F.col("_live"),
+        )
+        winners = (
+            u.groupBy(*KEY_COLS)
+            .agg(F.max_by(payload, F.struct(F.col("_v"), F.col("_live"))).alias("_w"))
+            .select(*KEY_COLS, "_w.*")
+        )
+        return winners.where(F.col("_live") == 1).select(
+            *[f.name for f in schema.fields], BUCKET_COL, KHASH_COL
+        )
 
     # -- MERGE -----------------------------------------------------------
 
@@ -420,10 +519,11 @@ class LakeTable:
             out.add(abs_by_uri[path])
         return sorted(out)
 
-    def _new_file_stats(self, out_dir: str, rel_dir: str) -> Dict[int, List[dict]]:
+    def _new_file_stats(self, out_dir: str, rel_dir: str, kind: str = "data") -> Dict[int, List[dict]]:
         """Footer scan of freshly written files: per-file khash (min,max),
         rows, bytes — the same stats an Iceberg commit collects.  Driver-side
-        pyarrow footer reads only (no data pages)."""
+        pyarrow footer reads only (no data pages).  ``kind="tomb"`` stamps
+        the entries as tombstone (equality-delete) files."""
         import pyarrow.parquet as pq
 
         out: Dict[int, List[dict]] = {}
@@ -448,6 +548,8 @@ class LakeTable:
                 "rows": md.num_rows,
                 "bytes": os.path.getsize(path),
             }
+            if kind != "data":
+                entry["kind"] = kind
             out.setdefault(bucket, []).append(entry)
         return out
 
@@ -459,15 +561,28 @@ class LakeTable:
         batch_watermarks: Optional[Dict[int, int]] = None,
         lineage: Optional[dict] = None,
         changed_buckets: Optional[List[int]] = None,
+        mode: Optional[str] = None,
     ) -> dict:
         """Key-partitioned MERGE: ``upserts`` (full rows, one per key) replace
         or insert; ``deletes`` (key rows) remove.  Exactly one row per key per
         call (callers run LWW dedup first).  Idempotent under ``batch_id``.
 
+        ``mode``: ``"cow"`` (copy-on-write, the default) rewrites the files a
+        touched key lives in; ``"mor"`` (merge-on-read) appends the batch as
+        new data files plus key tombstones and defers conflict resolution to
+        read time — O(batch) write cost regardless of how scattered the
+        touched keys are (the Iceberg v2 position/equality-delete analogue).
+        ``None`` uses the table's ``write_mode`` (set at ``create``).  Modes
+        may be mixed: a COW merge into a bucket holding multi-version (MoR)
+        state transparently resolves that bucket first (see below).
+
         Returns the commit summary dict (also appended to lineage)."""
         meta = self.metadata()
         if self.is_applied(batch_id, meta):
             return {"batch_id": batch_id, "skipped": True, "version": meta["version"]}
+        mode = mode or meta.get("write_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r} (use 'cow' or 'mor')")
 
         n_buckets = meta["n_buckets"]
         schema_cols = [f.name for f in self.schema.fields]
@@ -493,6 +608,21 @@ class LakeTable:
                 .distinct()
                 .collect()
             )
+        if mode == "mor":
+            return self._merge_mor(
+                meta, upserts, deletes, batch_id, changed,
+                batch_watermarks, lineage,
+            )
+        # COW over buckets holding multi-version (MoR) state would be wrong:
+        # its per-file anti-join assumes one live version per key, and a
+        # rewrite would re-stamp an OLD version of an untouched key at the
+        # new commit version, flipping the read-time winner.  Resolve those
+        # buckets first (a semantics-preserving compaction commit), then run
+        # the normal COW body against single-version state.
+        dirty_changed = [b for b in changed if str(b) in meta.get("dirty", {})]
+        if dirty_changed:
+            self.compact(buckets=dirty_changed, min_files=1)
+            meta = self.metadata()
         new_version = meta["version"] + 1
         commit = {
             "batch_id": batch_id,
@@ -556,6 +686,10 @@ class LakeTable:
                 .parquet(out_dir)
             )
             new_files = self._new_file_stats(out_dir, rel_dir)
+            commit["files_written"] = sum(len(es) for es in new_files.values())
+            commit["bytes_written"] = sum(
+                e["bytes"] for es in new_files.values() for e in es
+            )
 
             # a bucket's live list changed iff one of its files was rewritten
             # or a new file landed in it; every other bucket keeps pointing at
@@ -575,6 +709,26 @@ class LakeTable:
         if MERGE_TIMINGS is not None:
             MERGE_TIMINGS.append(("merge_write", time.time() - _t_write0))
 
+        self._finalize_commit(
+            meta, new_version, commit, bucket_map, new_segments,
+            batch_watermarks, batch_id, dirty=meta.get("dirty", {}),
+        )
+        return commit
+
+    def _finalize_commit(
+        self,
+        meta: dict,
+        new_version: int,
+        commit: dict,
+        bucket_map: Dict[str, str],
+        new_segments: List[Tuple[str, dict]],
+        batch_watermarks: Optional[Dict[int, int]],
+        batch_id: str,
+        dirty: Dict[str, bool],
+    ) -> None:
+        """Shared commit install: watermark advance, exactly-once bookkeeping
+        (tail/bloom/segment rolls), lineage append, then segments/manifests
+        followed by the atomic snapshot+pointer write."""
         watermarks = dict(meta["watermarks"])
         for b, lsn in (batch_watermarks or {}).items():
             watermarks[str(b)] = max(watermarks.get(str(b), -1), int(lsn))
@@ -598,6 +752,7 @@ class LakeTable:
             "applied": applied,
             "lineage": lineage_tail,
             "lineage_segments": lineage_segs,
+            "dirty": dirty,
         }
         _t_io0 = time.time()
         # segments/manifests first (immutable, unreferenced until the
@@ -607,6 +762,105 @@ class LakeTable:
         self._write_metadata(new_meta)
         if MERGE_TIMINGS is not None:
             MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
+
+    def _merge_mor(
+        self,
+        meta: dict,
+        upserts: DataFrame,
+        deletes: DataFrame,
+        batch_id: str,
+        changed: List[int],
+        batch_watermarks: Optional[Dict[int, int]],
+        lineage: Optional[dict],
+    ) -> dict:
+        """Merge-on-read commit: append the batch, resolve at read.
+
+        Writes (both O(batch), no existing file is read or rewritten):
+          * the upsert rows as new khash-sorted data files — an old version
+            of an upserted key simply LOSES at read time to the newer commit
+            version (no tombstone needed for upserts);
+          * the delete keys as TOMBSTONE files (key cols + khash only — the
+            equality-delete analogue of Iceberg v2 delete files).
+
+        A bucket that now holds more than one version of some key (it had
+        live files and received new data, or received tombstones) is marked
+        ``dirty``; ``read()`` resolves dirty buckets with a per-key
+        max-by-version aggregation and ``compact()`` folds them back to
+        single-version clean state.  Write cost is O(batch) always — the
+        hot-random-key regime where COW rewrite amplification explodes
+        (BENCH/merge_prune_bench.py measures the crossover)."""
+        n_buckets = meta["n_buckets"]
+        schema_cols = [f.name for f in self.schema.fields]
+        new_version = meta["version"] + 1
+        commit = {
+            "batch_id": batch_id,
+            "version": new_version,
+            "changed_buckets": changed,
+            "mode": "mor",
+            "files_rewritten": 0,
+            "bytes_rewritten": 0,
+            "ts": time.time(),
+        }
+        if lineage:
+            commit.update(lineage)
+
+        new_segments: List[Tuple[str, dict]] = []
+        bucket_map = dict(meta["buckets"])
+        manifest_rel = f"metadata/m-{new_version}.json"
+        rel_dir = os.path.join("data", f"v{new_version}")
+        out_dir = os.path.join(self.root, rel_dir)
+
+        _t0 = time.time()
+        n_parts = max(len(changed), 1)
+        (
+            upserts.select(*schema_cols, BUCKET_COL, KHASH_COL)
+            .repartition(n_parts, F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, KHASH_COL)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        new_files = self._new_file_stats(out_dir, rel_dir)
+
+        tomb_rel_dir = os.path.join(rel_dir, "_tombs")
+        tomb_out = os.path.join(self.root, tomb_rel_dir)
+        (
+            deletes.select(*KEY_COLS, BUCKET_COL, KHASH_COL)
+            .repartition(n_parts, F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, KHASH_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tomb_out)
+        )
+        tomb_files = self._new_file_stats(tomb_out, tomb_rel_dir, kind="tomb")
+        commit["tomb_files"] = sum(len(es) for es in tomb_files.values())
+        commit["files_written"] = sum(len(es) for es in new_files.values()) + commit["tomb_files"]
+        commit["bytes_written"] = sum(
+            e["bytes"] for fs in (new_files, tomb_files) for es in fs.values() for e in es
+        )
+        if MERGE_TIMINGS is not None:
+            MERGE_TIMINGS.append(("merge_write", time.time() - _t0))
+
+        current_files = self._bucket_files(meta, changed)
+        dirty = dict(meta.get("dirty", {}))
+        manifest_buckets: Dict[str, List[dict]] = {}
+        for b in sorted(set(new_files) | set(tomb_files)):
+            existing = current_files.get(b, [])
+            entries = existing + new_files.get(b, []) + tomb_files.get(b, [])
+            manifest_buckets[str(b)] = entries
+            bucket_map[str(b)] = manifest_rel
+            # multi-version state iff older files could hold a now-superseded
+            # or now-deleted version of a key this commit wrote
+            if existing and (b in new_files or b in tomb_files):
+                dirty[str(b)] = True
+        if manifest_buckets:
+            new_segments.append((manifest_rel, {"buckets": manifest_buckets}))
+
+        self._finalize_commit(
+            meta, new_version, commit, bucket_map, new_segments,
+            batch_watermarks, batch_id, dirty=dirty,
+        )
         return commit
 
     def evolve_schema(self, new_fields: List[T.StructField], note: str) -> None:
@@ -629,24 +883,49 @@ class LakeTable:
     # -- maintenance ------------------------------------------------------
 
     def compact(self, buckets: Optional[List[int]] = None, min_files: int = 2) -> dict:
-        """Rewrite each bucket holding >= ``min_files`` files into a fresh
+        """Rewrite each bucket holding >= ``min_files`` files — plus every
+        DIRTY (merge-on-read) bucket regardless of count — into a fresh
         khash-sorted, non-overlapping file sequence (undoing insert-order
-        range overlap).  Metadata-only semantics: table state (and
-        ``state_checksum``) is unchanged; old files age out via
+        range overlap).  Dirty buckets are resolved (per-key winner, exactly
+        the ``read()`` semantics), tombstones are dropped, and the bucket
+        returns to the scan-only read path.  Metadata-only semantics: table
+        state (and ``state_checksum``) is unchanged; old files age out via
         ``expire_snapshots``."""
         meta = self.metadata()
         files = self._bucket_files(meta, buckets)
-        todo = {b: es for b, es in files.items() if len(es) >= min_files}
+        dirty = dict(meta.get("dirty", {}))
+        todo = {
+            b: es
+            for b, es in files.items()
+            if len(es) >= min_files or str(b) in dirty
+        }
         if not todo:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         new_version = meta["version"] + 1
         rel_dir = os.path.join("data", f"v{new_version}")
         out_dir = os.path.join(self.root, rel_dir)
-        paths = [e["path"] for es in todo.values() for e in es]
+        clean_paths = [
+            e["path"] for b, es in todo.items() if str(b) not in dirty for e in es
+        ]
+        mor_data = [
+            e["path"] for b, es in todo.items() if str(b) in dirty
+            for e in es if e.get("kind") != "tomb"
+        ]
+        mor_tombs = [
+            e["path"] for b, es in todo.items() if str(b) in dirty
+            for e in es if e.get("kind") == "tomb"
+        ]
+        parts: List[DataFrame] = []
+        if clean_paths:
+            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"]))
+        if mor_data or mor_tombs:
+            parts.append(
+                self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"])
+            )
+        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         (
-            self._read_files(paths, schema, meta["n_buckets"])
-            .repartition(len(todo), F.col(BUCKET_COL))
+            df.repartition(len(todo), F.col(BUCKET_COL))
             .sortWithinPartitions(BUCKET_COL, KHASH_COL)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
@@ -658,9 +937,10 @@ class LakeTable:
         manifest_buckets = {str(b): es for b, es in new_files.items()}
         bucket_map = dict(meta["buckets"])
         for b in todo:
+            dirty.pop(str(b), None)  # single-version again
             if str(b) in manifest_buckets:
                 bucket_map[str(b)] = manifest_rel
-            else:  # pragma: no cover — compaction never drops rows
+            else:  # bucket fully emptied (every key tombstoned)
                 bucket_map.pop(str(b), None)
         entry = {
             "compaction": sorted(todo),
@@ -680,6 +960,7 @@ class LakeTable:
             "buckets": bucket_map,
             "lineage": lineage_tail,
             "lineage_segments": lineage_segs,
+            "dirty": dirty,
         })
         return entry
 
@@ -710,7 +991,8 @@ class LakeTable:
                 removed_bytes += os.path.getsize(path)
                 os.remove(path)
                 removed_files += 1
-        for d in sorted(_glob.glob(os.path.join(data_root, "*", "*")) +
+        for d in sorted(_glob.glob(os.path.join(data_root, "*", "*", "*")) +
+                        _glob.glob(os.path.join(data_root, "*", "*")) +
                         _glob.glob(os.path.join(data_root, "*")), reverse=True):
             if os.path.isdir(d) and not os.listdir(d):
                 os.rmdir(d)
