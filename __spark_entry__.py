@@ -1227,6 +1227,82 @@ def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog scan (the Iceberg changelog / Delta CDF
+    analogue): replay the first half of the WAL-ordered stream into the
+    lake, snapshot the version, replay the rest, then ask the table for
+    every row inserted / updated / deleted across the window
+    (``LakeTable.changes`` — bucket-pruned two-snapshot diff).  The oracle
+    recomputes both endpoint states as LWW images in SQL and full-outer
+    diffs them with null-safe payload comparison."""
+    from valentine_spark.cdc import LakeTable, apply_batch, replay
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_chg_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+    from_version = lake.version
+    mid = half + (total - half) // 2
+    apply_batch(lake, stream.where((F.col("lsn") > half) & (F.col("lsn") <= mid)), "tail-1")
+    apply_batch(lake, stream.where(F.col("lsn") > mid), "tail-2")
+    return lake.changes(from_version).select(
+        "change_op", "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_CHANGELOG_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), ranked_all AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+), ranked_pre AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream WHERE lsn <= (SELECT count(*) // 2 FROM events)
+), state_all AS (
+  SELECT repo, path, "commit", lang, content FROM ranked_all
+  WHERE rn = 1 AND op <> 'delete'
+), state_pre AS (
+  SELECT repo, path, "commit", lang, content FROM ranked_pre
+  WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CASE WHEN p.repo IS NULL THEN 'insert'
+            WHEN a.repo IS NULL THEN 'delete'
+            ELSE 'update' END AS change_op,
+       coalesce(a.repo, p.repo) AS repo,
+       coalesce(a.path, p.path) AS path,
+       coalesce(a."commit", p."commit") AS "commit",
+       a.lang AS lang,
+       sha256(coalesce(a.content, '')) AS content_sha
+FROM state_all a
+FULL OUTER JOIN state_pre p
+  ON a.repo = p.repo AND a.path = p.path AND a."commit" = p."commit"
+WHERE p.repo IS NULL OR a.repo IS NULL
+   OR (a.lang IS DISTINCT FROM p.lang)
+   OR (a.content IS DISTINCT FROM p.content)
+"""
+
+
 def matcher_distribution_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DistributionBased matcher (iterative clustering; rows-only)."""
     from valentine_spark import DistributionBased
@@ -1371,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": cdc_replay_state_mor,
         "cdc_drift_automap": cdc_drift_automap,
+        "cdc_changelog": cdc_changelog,
         "matcher_distribution_based": matcher_distribution_based,
         "matcher_cupid": matcher_cupid,
         "matcher_similarity_flooding": matcher_similarity_flooding,
@@ -1420,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         # the drifted replay must land in the SAME final state as the
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
+        "cdc_changelog": _CDC_CHANGELOG_SQL,
         # matcher_* : the oracle is the REFERENCE ITSELF, executed — a
         # VALUES image of the reference matchers' output on the same
         # drifted-customer fixture (regenerated live by subprocess when the
