@@ -58,15 +58,20 @@ walls = []
 breakdowns = []
 state = None
 n_trials = int(os.environ.get("SCALING_TRIALS", "3"))
+# SCALING_MODE=mor: measure the merge-on-read ingest path (O(batch) appends
+# + tombstones, resolution deferred to read/compact) instead of the default
+# copy-on-write — the sustained-events/sec posture for a 10^10-event tail.
+mode = os.environ.get("SCALING_MODE", "cow")
 for trial in range(n_trials):
-    lake = LakeTable.create(os.path.join(root, f"t{{trial}}"), spark, n_buckets=64)
+    lake = LakeTable.create(os.path.join(root, f"t{{trial}}"), spark, n_buckets=64,
+                            write_mode=mode)
     lake_mod.MERGE_TIMINGS = timings = []
     t0 = time.time()
     replay(lake, stream, batch_lsns=n // 4, max_lsn=n - 1)
     w = time.time() - t0
     lake_mod.MERGE_TIMINGS = None
     walls.append(w)
-    par = sum(s for k, s in timings if k == "merge_write")
+    par = sum(s for k, s in timings if k in ("merge_write", "merge_prune"))
     cio = sum(s for k, s in timings if k == "commit_io")
     # serial driver component = wall minus the distributed merge jobs:
     # commit-manifest IO + batch planning/scheduling residue

@@ -1303,6 +1303,81 @@ WHERE p.repo IS NULL OR a.repo IS NULL
 """
 
 
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end: bootstrap a per-language
+    (files, bytes) aggregate from the half-replayed lake, then roll it
+    forward through two changelog windows using before-image delta rules
+    (``cdc/ivm.py`` — retract old contribution, add new; group-moving
+    updates handled).  The returned view NEVER rescans the table after
+    bootstrap, yet must equal the oracle's from-scratch GROUP BY over the
+    final LWW image — that equality is the IVM correctness proof."""
+    from valentine_spark.cdc import (
+        LakeTable, apply_batch, init_aggregate, maintain_aggregate, replay,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_ivm_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+
+    measures = {"files": ("count", None), "bytes": ("sum", "clen")}
+
+    def prep(df):
+        out = df.withColumn("clen", F.length(F.coalesce(F.col("content"), F.lit(""))))
+        if "_before_content" in df.columns:
+            out = out.withColumn(
+                "_before_clen", F.length(F.coalesce(F.col("_before_content"), F.lit("")))
+            )
+        return out
+
+    agg = init_aggregate(prep(lake.read()), ["lang"], measures).cache()
+    agg.count()
+    mid = half + (total - half) // 2
+    for name, lo, hi in (("tail-1", half, mid), ("tail-2", mid, total)):
+        v_prev = lake.version
+        apply_batch(lake, stream.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)), name)
+        chg = prep(lake.changes(v_prev, include_before=True))
+        agg = maintain_aggregate(agg, chg, ["lang"], measures).cache()
+        agg.count()
+    return agg.select(
+        "lang", F.col("files").cast("long").alias("files"),
+        F.col("bytes").cast("double").alias("bytes"),
+    )
+
+
+_CDC_IVM_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+), state AS (
+  SELECT lang, content FROM winners WHERE rn = 1 AND op <> 'delete'
+)
+SELECT lang, count(*) AS files,
+       CAST(sum(length(coalesce(content, ''))) AS DOUBLE) AS bytes
+FROM state GROUP BY lang
+"""
+
+
 def matcher_distribution_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DistributionBased matcher (iterative clustering; rows-only)."""
     from valentine_spark import DistributionBased
@@ -1448,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state_mor": cdc_replay_state_mor,
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_changelog": cdc_changelog,
+        "cdc_incremental_agg": cdc_incremental_agg,
         "matcher_distribution_based": matcher_distribution_based,
         "matcher_cupid": matcher_cupid,
         "matcher_similarity_flooding": matcher_similarity_flooding,
@@ -1498,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
+        "cdc_incremental_agg": _CDC_IVM_SQL,
         # matcher_* : the oracle is the REFERENCE ITSELF, executed — a
         # VALUES image of the reference matchers' output on the same
         # drifted-customer fixture (regenerated live by subprocess when the

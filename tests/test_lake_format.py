@@ -132,12 +132,19 @@ def test_merge_prunes_all_files_when_no_overlap(spark, tmp_path):
     assert lake.read().count() > len(before_files) and lake.is_applied("new-keys")
 
 
-def test_compact_preserves_state_and_reduces_files(spark, tmp_path):
+def test_compact_preserves_state_and_reduces_files(spark, tmp_path, monkeypatch):
     lake = LakeTable.create(
         str(tmp_path / "compact"), spark, n_buckets=2, target_file_rows=500
     )
     # three disjoint insert-only batches: each appends new files whose khash
-    # ranges overlap the earlier ones (insert-order fragmentation)
+    # ranges overlap the earlier ones (insert-order fragmentation).  The
+    # confirm-density gate would treat these same-size insert floods as
+    # dense and fold files during MERGE (its documented bounded worst
+    # case); force confirm-always so the fixture actually fragments —
+    # this test is about compact(), not merge pruning.
+    import valentine_spark.cdc.lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "_CONFIRM_DENSITY", float("inf"))
     for i, seed in enumerate((11, 22, 33)):
         s = synth_change_stream(spark, 600, 300, seed=seed, start_lsn=600 * i).where(
             F.col("op") != "delete"
@@ -496,3 +503,123 @@ def test_changes_across_evolution_and_compaction(spark, tmp_path):
     # and a window spanning the compaction still reports the real change only
     got2 = {r["path"]: r["change_op"] for r in lake.changes(v1).collect()}
     assert got2 == {"A": "update"}
+
+
+# -- incremental view maintenance over the changelog -----------------------
+
+
+def test_changes_include_before_images(spark, tmp_path):
+    """include_before=True carries the FROM-side payload per row: null on
+    inserts, the retracted values on updates/deletes."""
+    lake = LakeTable.create(str(tmp_path / "bi"), spark, n_buckets=2)
+    apply_batch(
+        lake, spark.createDataFrame([_ev(1, "A", "a0"), _ev(2, "B", "b0")], _COLS),
+        "c1", watermark_lsn=2,
+    )
+    v1 = lake.version
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [_ev(3, "A", "a1"), _ev(4, "B", None, "delete"), _ev(5, "C", "c0")], _COLS
+        ),
+        "c2", watermark_lsn=5,
+    )
+    got = {
+        r["path"]: (r["change_op"], r["content"], r["_before_content"])
+        for r in lake.changes(v1, include_before=True).collect()
+    }
+    assert got == {
+        "A": ("update", "a1", "a0"),
+        "B": ("delete", None, "b0"),
+        "C": ("insert", "c0", None),
+    }
+
+
+def test_ivm_group_moving_update(spark, tmp_path):
+    """An update that changes the GROUP-BY column must retract from the old
+    group and add to the new one — the case apply-only consumers get wrong."""
+    from valentine_spark.cdc import init_aggregate, maintain_aggregate
+
+    lake = LakeTable.create(str(tmp_path / "ivm"), spark, n_buckets=2)
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [(1, 1.0, "upsert", "r", "A", "c", "py", "xxxx"),
+             (2, 2.0, "upsert", "r", "B", "c", "py", "yy"),
+             (3, 3.0, "upsert", "r", "C", "c", "go", "zzz")],
+            _COLS,
+        ),
+        "c1", watermark_lsn=3,
+    )
+    v1 = lake.version
+    measures = {"files": ("count", None), "bytes": ("sum", "content")}
+    # sum over length: use a derived column via a view of state/changelog
+    def with_len(df, cols=("content",)):
+        out = df
+        for c in cols:
+            if c in df.columns:
+                out = out.withColumn(c + "_len", F.length(F.coalesce(F.col(c), F.lit(""))))
+            b = f"_before_{c}"
+            if b in df.columns:
+                out = out.withColumn(
+                    f"_before_{c}_len", F.length(F.coalesce(F.col(b), F.lit("")))
+                )
+        return out
+
+    measures = {"files": ("count", None), "bytes": ("sum", "content_len")}
+    agg = init_aggregate(with_len(lake.read()), ["lang"], measures)
+    # A moves py -> go AND changes size; B deleted; D inserted in py
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [(4, 4.0, "upsert", "r", "A", "c", "go", "x"),
+             (5, 5.0, "delete", "r", "B", "c", None, None),
+             (6, 6.0, "upsert", "r", "D", "c", "py", "dddddd")],
+            _COLS,
+        ),
+        "c2", watermark_lsn=6,
+    )
+    chg = with_len(lake.changes(v1, include_before=True))
+    agg = maintain_aggregate(agg, chg, ["lang"], measures)
+    got = {r["lang"]: (r["files"], r["bytes"]) for r in agg.collect()}
+    # py: A moved out (-4), B deleted (-2), D inserted (+6); go: A moved in
+    assert got == {"py": (1, 6.0), "go": (2, 4.0)}
+    # equivalence with a from-scratch recompute
+    fresh = init_aggregate(with_len(lake.read()), ["lang"], measures)
+    assert got == {r["lang"]: (r["files"], r["bytes"]) for r in fresh.collect()}
+
+
+def test_ivm_multi_window_equals_recompute(spark, tmp_path):
+    """Property over a synthetic stream: maintain the view across several
+    changelog windows (each applied exactly once, in version order) and the
+    result equals the from-scratch aggregate of the final table — including
+    groups that empty out entirely along the way."""
+    from valentine_spark.cdc import init_aggregate, maintain_aggregate
+
+    stream = synth_change_stream(spark, 4_000, 600, seed=47).cache()
+    lake = LakeTable.create(str(tmp_path / "ivmw"), spark, n_buckets=4)
+    measures = {"rows": ("count", None), "bytes": ("sum", "clen")}
+    prep = lambda df: df.withColumn(
+        "clen", F.length(F.coalesce(F.col("content"), F.lit("")))
+    ).withColumn(
+        "_before_clen",
+        F.length(F.coalesce(F.col("_before_content"), F.lit(""))),
+    ) if "_before_content" in df.columns else df.withColumn(
+        "clen", F.length(F.coalesce(F.col("content"), F.lit("")))
+    )
+
+    replay(lake, stream.where(F.col("lsn") < 1_000), batch_lsns=1_000, max_lsn=999)
+    agg = init_aggregate(prep(lake.read()), ["lang"], measures).cache()
+    agg.count()
+    for lo in (1_000, 2_000, 3_000):
+        v_prev = lake.version
+        batch = stream.where((F.col("lsn") >= lo) & (F.col("lsn") < lo + 1_000))
+        apply_batch(lake, batch, f"w-{lo}", watermark_lsn=lo + 999)
+        chg = prep(lake.changes(v_prev, include_before=True))
+        agg = maintain_aggregate(agg, chg, ["lang"], measures).cache()
+        agg.count()
+    got = {r["lang"]: (r["rows"], r["bytes"]) for r in agg.collect()}
+    fresh = init_aggregate(prep(lake.read()), ["lang"], measures)
+    want = {r["lang"]: (r["rows"], r["bytes"]) for r in fresh.collect()}
+    assert got == want
+    stream.unpersist()

@@ -13,6 +13,7 @@ from .apply import (
     resume_replay,
 )
 from .drift import resolve_drift
+from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
 from .lake import LakeTable, bucket_expr
 
@@ -27,6 +28,9 @@ __all__ = [
     "batch_watermarks",
     "oracle_replay",
     "resolve_drift",
+    "aggregate_delta",
+    "init_aggregate",
+    "maintain_aggregate",
     "synth_base_table",
     "synth_change_stream",
     "KEY_COLS",

@@ -204,6 +204,10 @@ def apply_batch(
             lineage=lineage,
             changed_buckets=changed,
             mode=mode,
+            # raw batch keys = the winners' key set, recomputable by a
+            # column-pruned source scan instead of an LWW reduction — the
+            # pruning and anti-join jobs use this (see LakeTable.merge)
+            touched_hint=events,
         )
     finally:
         if cache_batch:
