@@ -623,3 +623,40 @@ def test_ivm_multi_window_equals_recompute(spark, tmp_path):
     want = {r["lang"]: (r["rows"], r["bytes"]) for r in fresh.collect()}
     assert got == want
     stream.unpersist()
+
+
+def test_compact_clean_bucket_ghost_tombstone_not_resurrected(spark, tmp_path):
+    """A tombstone in a CLEAN bucket (delete of a never-present key landing
+    in a bucket with no data) must not resurrect the key as a null-payload
+    row when compact() rewrites that bucket."""
+    lake = LakeTable.create(
+        str(tmp_path / "ghost"), spark, n_buckets=8, write_mode="mor"
+    )
+    # find two keys in different buckets
+    from valentine_spark.cdc.lake import bucket_expr
+
+    probe = spark.createDataFrame(
+        [("r", f"p{i}", "c") for i in range(20)],
+        "repo string, path string, `commit` string",
+    ).select("path", bucket_expr(8).alias("b")).collect()
+    by_bucket = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], r["path"])
+    (b1, real), (b2, ghost) = list(by_bucket.items())[:2]
+
+    apply_batch(
+        lake,
+        spark.createDataFrame([(1, 1.0, "upsert", "r", real, "c", "py", "x")], _COLS),
+        "g1", watermark_lsn=1,
+    )
+    apply_batch(
+        lake,
+        spark.createDataFrame([(2, 2.0, "delete", "r", ghost, "c", None, None)], _COLS),
+        "g2", watermark_lsn=2,
+    )
+    assert str(b2) not in lake.metadata()["dirty"], "ghost bucket must be clean"
+    before = {r["path"] for r in lake.read().collect()}
+    assert before == {real}
+    lake.compact(min_files=1)
+    after = {r["path"] for r in lake.read().collect()}
+    assert after == {real}, f"ghost key resurrected: {after - before}"

@@ -652,7 +652,7 @@ class LakeTable:
         if mode == "mor":
             return self._merge_mor(
                 meta, upserts, deletes, batch_id, changed,
-                batch_watermarks, lineage,
+                batch_watermarks, lineage, touched_hint=touched_hint,
             )
         # COW over buckets holding multi-version (MoR) state would be wrong:
         # its per-file anti-join assumes one live version per key, and a
@@ -823,6 +823,7 @@ class LakeTable:
         changed: List[int],
         batch_watermarks: Optional[Dict[int, int]],
         lineage: Optional[dict],
+        touched_hint: Optional[DataFrame] = None,
     ) -> dict:
         """Merge-on-read commit: append the batch, resolve at read.
 
@@ -876,8 +877,24 @@ class LakeTable:
 
         tomb_rel_dir = os.path.join(rel_dir, "_tombs")
         tomb_out = os.path.join(self.root, tomb_rel_dir)
+        # Tombstones need only the batch's delete KEYS, and the raw
+        # pre-dedup batch supplies them without re-running the LWW
+        # reduction (the second full shuffle this job used to cost).
+        # A raw tombstone can name a key whose in-batch winner was an
+        # UPSERT — harmless: both land at the same commit version, and
+        # read-time resolution orders by (version, liveness), so the data
+        # row beats its same-version tombstone.  Duplicate delete events
+        # add identical-weight tombstone rows, also harmless.
+        if touched_hint is not None and "op" in touched_hint.columns:
+            tomb_keys = touched_hint.where(F.col("op") == "delete").select(*KEY_COLS)
+            tomb_keys = tomb_keys.select(
+                *KEY_COLS, bucket_expr(n_buckets).alias(BUCKET_COL),
+                khash_expr().alias(KHASH_COL),
+            )
+        else:
+            tomb_keys = deletes.select(*KEY_COLS, BUCKET_COL, KHASH_COL)
         (
-            deletes.select(*KEY_COLS, BUCKET_COL, KHASH_COL)
+            tomb_keys
             .repartition(n_parts, F.col(BUCKET_COL))
             .sortWithinPartitions(BUCKET_COL, KHASH_COL)
             .write.mode("overwrite")
@@ -956,8 +973,15 @@ class LakeTable:
         new_version = meta["version"] + 1
         rel_dir = os.path.join("data", f"v{new_version}")
         out_dir = os.path.join(self.root, rel_dir)
+        # kind filter matters: a CLEAN bucket can still hold tombstones
+        # (deletes of never-present keys); reading one with the data schema
+        # would resurrect those keys as null-payload rows
         clean_paths = [
-            e["path"] for b, es in todo.items() if str(b) not in dirty for e in es
+            e["path"]
+            for b, es in todo.items()
+            if str(b) not in dirty
+            for e in es
+            if e.get("kind") != "tomb"
         ]
         mor_data = [
             e["path"] for b, es in todo.items() if str(b) in dirty
