@@ -660,3 +660,51 @@ def test_compact_clean_bucket_ghost_tombstone_not_resurrected(spark, tmp_path):
     lake.compact(min_files=1)
     after = {r["path"] for r in lake.read().collect()}
     assert after == {real}, f"ghost key resurrected: {after - before}"
+
+
+def test_lookup_point_reads_with_pruning(spark, tmp_path):
+    """lookup(): exact rows for present keys, nothing for deleted/ghost
+    keys, correct winners over dirty MoR state — scanning only files whose
+    khash range covers a requested key."""
+    lake = LakeTable.create(
+        str(tmp_path / "lk"), spark, n_buckets=4, target_file_rows=50,
+        write_mode="mor",
+    )
+    rows1 = [_ev(i, f"p{i}", f"v{i}") for i in range(1, 201)]
+    apply_batch(lake, spark.createDataFrame(rows1, _COLS), "l1", watermark_lsn=200)
+    # churn: update p7, delete p9, insert p777 (multi-version buckets)
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [_ev(201, "p7", "NEW"), _ev(202, "p9", None, "delete"),
+             _ev(203, "p777", "fresh")],
+            _COLS,
+        ),
+        "l2", watermark_lsn=203,
+    )
+    assert lake.metadata()["dirty"], "fixture must exercise MoR resolution"
+
+    keys = [("r", p, "c") for p in ("p7", "p9", "p777", "p42", "GHOST")]
+    got = {r["path"]: r["content"] for r in lake.lookup(keys).collect()}
+    assert got == {"p7": "NEW", "p777": "fresh", "p42": "v42"}
+
+    # pruning proof: the lookup plan reads a strict subset of the table's
+    # live files (the 200-row load at 50 rows/file spans many files)
+    live = {
+        os.path.realpath(os.path.join(lake.root, e["path"]))
+        for es in lake._bucket_files(lake.metadata()).values()
+        for e in es
+    }
+    scanned = {
+        os.path.realpath(p.removeprefix("file:"))
+        for p in lake.lookup(keys).inputFiles()
+    }
+    assert scanned and scanned < live, (len(scanned), len(live))
+
+    # after compact the same lookups hold on the clean path
+    lake.compact()
+    got2 = {r["path"]: r["content"] for r in lake.lookup(keys).collect()}
+    assert got2 == got
+    # time travel: at version 1 the original p7/p9 values are visible
+    got_v1 = {r["path"]: r["content"] for r in lake.lookup(keys, version=1).collect()}
+    assert got_v1 == {"p7": "v7", "p9": "v9", "p42": "v42"}

@@ -401,6 +401,7 @@ class LakeTable:
         tomb_paths: List[str],
         schema: T.StructType,
         n_buckets: int,
+        khash_in: Optional[List[int]] = None,
     ) -> DataFrame:
         """Merge-on-read resolution: the per-key winner across all live file
         versions.  Each row is tagged with its writing commit's version
@@ -440,6 +441,11 @@ class LakeTable:
             )
             parts.append(tombs)
         u = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        if khash_in is not None:
+            # pre-aggregation cut (pushes to the parquet scans): khash is a
+            # pure function of the key, so dropping other khashes keeps
+            # every version + tombstone of the requested keys
+            u = u.where(F.col(KHASH_COL).isin(khash_in))
         payload = F.struct(
             *[F.col(f.name) for f in nonkey],
             F.col(BUCKET_COL), F.col(KHASH_COL), F.col("_live"),
@@ -1158,6 +1164,73 @@ class LakeTable:
                 *([f"_before_{c}" for c in nonkey] if include_before else []),
             )
         )
+
+    def lookup(self, keys: List[tuple], version: Optional[int] = None) -> DataFrame:
+        """Point-lookup read: current rows for a driver-scale set of
+        ``(repo, path, commit)`` keys, touching only the files whose khash
+        footer range can contain them — the read-side mirror of MERGE's
+        file pruning, and the O(files-covering-key) row fetch a serving /
+        debugging layer needs (Iceberg metadata-pruned point scan).
+
+        Never-present and deleted keys simply produce no row.  Dirty
+        (merge-on-read) buckets resolve correctly on the pruned subset:
+        every live version of a key carries the same khash, so the range
+        cut keeps ALL of its versions and tombstones, and the per-key
+        max-by-(version, liveness) winner over the subset equals the
+        full-bucket winner.
+
+        ``keys`` is a driver-resident list by contract (a point-lookup API,
+        not a join); for batch-scale key sets use ``read`` + a join."""
+        meta = self.metadata(version)
+        n_buckets = meta["n_buckets"]
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        key_schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in KEY_COLS]
+        )
+        kdf = self.spark.createDataFrame(list(keys), key_schema).select(
+            *KEY_COLS, bucket_expr(n_buckets).alias(BUCKET_COL),
+            khash_expr().alias(KHASH_COL),
+        )
+        krows = kdf.collect()  # driver-scale by contract (one tiny job)
+        by_bucket: Dict[int, List[int]] = {}
+        for r in krows:
+            by_bucket.setdefault(int(r[BUCKET_COL]), []).append(int(r[KHASH_COL]))
+        files = self._bucket_files(meta, sorted(by_bucket))
+        dirty = meta.get("dirty", {})
+        clean_paths: List[str] = []
+        mor_data: List[str] = []
+        mor_tombs: List[str] = []
+        for b, entries in files.items():
+            hs = by_bucket.get(int(b), [])
+            for e in entries:
+                lo = e.get("min_h", _FULL_RANGE[0])
+                hi = e.get("max_h", _FULL_RANGE[1])
+                if not any(lo <= h <= hi for h in hs):
+                    continue  # file range cannot contain any requested key
+                if str(b) in dirty:
+                    (mor_tombs if e.get("kind") == "tomb" else mor_data).append(e["path"])
+                elif e.get("kind") != "tomb":
+                    clean_paths.append(e["path"])
+        # khash IN-filter: files are khash-sorted, so this pushes down to
+        # parquet row-group stats and skips pages inside the kept files too
+        all_hs = sorted({h for hs in by_bucket.values() for h in hs})
+        hfilter = F.col(KHASH_COL).isin(all_hs)
+        parts: List[DataFrame] = []
+        if clean_paths:
+            parts.append(
+                self._read_files(clean_paths, schema, n_buckets).where(hfilter)
+            )
+        if mor_data or mor_tombs:
+            parts.append(
+                self._resolved_files(
+                    mor_data, mor_tombs, schema, n_buckets, khash_in=all_hs
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        hit = df.join(F.broadcast(kdf.select(*KEY_COLS)), KEY_COLS, "left_semi")
+        return hit.select(*[f.name for f in schema.fields])
 
     # -- integrity --------------------------------------------------------
 
