@@ -1186,6 +1186,49 @@ def cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_follow_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once DOWNSTREAM consumption (``cdc/follow.py``): replay the
+    WAL-ordered stream into a source lake in micro-batches with a
+    checkpointed changelog follower polling between ingest commits; a mirror
+    lake is maintained ONLY from the follower's deliveries (insert/update ->
+    MERGE upserts, delete -> MERGE deletes, delivery token = batch_id).  The
+    mirror's final state must equal the source's — i.e. the same one-shot
+    LWW + delete anti-filter image the replay oracle computes, so this
+    shares ``_CDC_REPLAY_SQL``.  Covers the full loop the north star needs:
+    ingest exactly-once IN, changelog exactly-once OUT."""
+    from valentine_spark.cdc import LakeTable, apply_batch, mirror_changes
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    n = ev.count()
+    root = tempfile.mkdtemp(prefix="entry_lake_follow_")
+    src = LakeTable.create(os.path.join(root, "src"), spark, n_buckets=8)
+    dst = LakeTable.create(os.path.join(root, "dst"), spark, n_buckets=8)
+    ckpt = os.path.join(root, "ckpt")
+    slice_lsns = max(n // 3, 1)
+    for i in range(3):
+        lo = i * slice_lsns
+        hi = (i + 1) * slice_lsns if i < 2 else n + 1
+        batch = stream.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        apply_batch(src, batch, f"slice-{i}")
+        mirror_changes(src, dst, ckpt)  # incremental poll after each commit
+    state = dst.read()
+    return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north star's signature move, end-to-end WITH an oracle: replay
     the first half of the WAL-ordered stream normally, then the second half
@@ -1521,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": cdc_replay_state_mor,
+        "cdc_follow_mirror": cdc_follow_mirror,
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_changelog": cdc_changelog,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -1570,6 +1614,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": _CDC_REPLAY_SQL,
         # merge-on-read replay resolves to the SAME final state — same oracle
         "cdc_replay_state_mor": _CDC_REPLAY_SQL,
+        # the follower-maintained downstream mirror must equal the source's
+        # LWW image — same oracle
+        "cdc_follow_mirror": _CDC_REPLAY_SQL,
         # the drifted replay must land in the SAME final state as the
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,

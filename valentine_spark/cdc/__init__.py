@@ -13,6 +13,13 @@ from .apply import (
     resume_replay,
 )
 from .drift import resolve_drift
+from .follow import (
+    ChangelogFollower,
+    Delivery,
+    SnapshotExpiredError,
+    apply_delivery,
+    mirror_changes,
+)
 from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
 from .lake import LakeTable, bucket_expr
@@ -28,6 +35,11 @@ __all__ = [
     "batch_watermarks",
     "oracle_replay",
     "resolve_drift",
+    "ChangelogFollower",
+    "Delivery",
+    "SnapshotExpiredError",
+    "apply_delivery",
+    "mirror_changes",
     "aggregate_delta",
     "init_aggregate",
     "maintain_aggregate",
