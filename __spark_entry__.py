@@ -24,6 +24,7 @@ import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -1307,6 +1308,69 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same changelog window as ``cdc_changelog``, but consumed through
+    the ``lake_changes`` PySpark Python Data Source (streaming/lake_source.py)
+    as a REAL Structured Streaming query: offsets are lake snapshot versions
+    tracked by Spark's own checkpoint, planning emits one task per churned
+    bucket, and executors diff the two snapshots with pyarrow/pandas (Arrow
+    RecordBatch output, no per-row Python).  Sharing ``_CDC_CHANGELOG_SQL``
+    as the oracle makes the driver hash-compare the batch-vs-streaming
+    equivalence proof."""
+    from valentine_spark.cdc import LakeTable, apply_batch, replay
+    from valentine_spark.streaming.lake_source import register_lake_changes
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_chgstream_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+    from_version = lake.version
+    mid = half + (total - half) // 2
+    apply_batch(lake, stream.where((F.col("lsn") > half) & (F.col("lsn") <= mid)), "tail-1")
+    apply_batch(lake, stream.where(F.col("lsn") > mid), "tail-2")
+
+    register_lake_changes(spark)
+    batches: list = []
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("startingVersion", str(from_version))
+        .load(lake.root)
+        .writeStream.foreachBatch(lambda df, _bid: batches.append(df.toPandas()))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import pandas as pd
+
+    schema = StructType(
+        [StructField("change_op", StringType(), False)] + list(lake.schema.fields)
+    )
+    pdf = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+    out = (
+        spark.createDataFrame(pdf, schema)
+        if len(pdf)
+        else spark.createDataFrame([], schema)
+    )
+    return out.select(
+        "change_op", "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 _CDC_CHANGELOG_SQL = """
 WITH stream AS (
   SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
@@ -1567,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_follow_mirror": cdc_follow_mirror,
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_changelog": cdc_changelog,
+        "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
         "matcher_distribution_based": matcher_distribution_based,
         "matcher_cupid": matcher_cupid,
@@ -1621,6 +1686,8 @@ def oracle_sql() -> dict[str, str]:
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
+        # the streaming source must deliver the identical window — same oracle
+        "cdc_changelog_stream": _CDC_CHANGELOG_SQL,
         "cdc_incremental_agg": _CDC_IVM_SQL,
         # matcher_* : the oracle is the REFERENCE ITSELF, executed — a
         # VALUES image of the reference matchers' output on the same
