@@ -1,5 +1,6 @@
 """CDC engine walkthrough: replay a synthetic change stream exactly-once,
-kill/resume, and auto-map a drifted batch."""
+kill/resume, auto-map a drifted batch, then consume the table's own
+changelog downstream (follower mirror + readStream source)."""
 
 import tempfile
 
@@ -33,3 +34,29 @@ drifted = (
 commit = apply_batch(lake, drifted, "drifted-batch")
 print("drift mapping:", commit.get("drift_mapping"))
 print("schema:", [f.name for f in lake.schema.fields])
+
+# downstream, half 1 — exactly-once mirror via the changelog follower:
+# poll -> token-keyed MERGE -> checkpoint commit; safe to re-run anytime
+from valentine_spark.cdc import mirror_changes
+
+mirror = LakeTable.create(f"{root}/mirror", spark, n_buckets=16)
+mirror_changes(lake, mirror, f"{root}/follower_ckpt")
+assert mirror.state_checksum() == lake.state_checksum()
+print("mirror matches source:", mirror.state_checksum()["rows"], "rows")
+
+# downstream, half 2 — the same changelog as a Structured Streaming source
+from valentine_spark.streaming import register_lake_changes
+
+register_lake_changes(spark)
+q = (
+    spark.readStream.format("lake_changes")
+    .option("startingVersion", "earliest")
+    .load(lake.root)
+    .writeStream.foreachBatch(
+        lambda df, bid: print(f"micro-batch {bid}: {df.count()} change rows")
+    )
+    .option("checkpointLocation", f"{root}/stream_ckpt")
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination(120)

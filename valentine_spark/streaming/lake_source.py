@@ -43,6 +43,14 @@ The lake root must be reachable from executors (local/NFS path here; an
 object store would swap the ``open``/``pyarrow`` calls for fsspec — the
 partition/diff logic is storage-agnostic).
 
+No admission control: the Python data source API (Spark 4.1) does not pass
+read limits to ``latestOffset``, so each micro-batch covers the full
+catch-up window.  That window's COST is already bounded — one endpoint diff
+over churned buckets, never per-interior-commit work — and capping it
+reader-side would break exactly-once on restart (a capped offset can
+regress behind Spark's committed offset and re-deliver), so the cap is
+deliberately not emulated.
+
 No reference counterpart; new construction (SURVEY.md §2.8).
 """
 
