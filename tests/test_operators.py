@@ -675,3 +675,128 @@ def test_exact_duplicates_normalized(spark):
     assert norm == {1: (2, False), 2: (2, True), 3: (1, False)}
     raw = {r["doc_id"]: r["is_dup"] for r in exact_duplicates(df).collect()}
     assert raw == {1: False, 2: False, 3: False}
+
+
+def _wav_via_stdlib(samples_f32, rate, sampwidth):
+    """Cross-check writer: encode float samples (n, ch) through CPython's
+    wave module (an independent RIFF implementation) at the given PCM
+    width."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n, ch = samples_f32.shape
+    if sampwidth == 1:
+        raw = ((np.clip(samples_f32, -1, 1) * 127) + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        raw = (np.clip(samples_f32, -1, 1) * 32767).astype("<i2").tobytes()
+    elif sampwidth == 3:
+        i32 = (np.clip(samples_f32, -1, 1) * 8388607).astype("<i4")
+        raw = i32.astype("<i4").tobytes()
+        raw = b"".join(raw[i:i + 3] for i in range(0, len(raw), 4))
+    else:
+        raise AssertionError(sampwidth)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def test_wav_decode_pcm_widths_vs_stdlib_writer():
+    """decode_wav vs the stdlib wave writer: 8/16/24-bit, mono and stereo,
+    values equal to the quantized originals within one quantization step."""
+    import numpy as np
+
+    from valentine_spark.functions.wav import decode_wav
+
+    rng = np.random.default_rng(5)
+    # tolerances: one quantization step + the writer/decoder scale asymmetry
+    # (8-bit encodes at scale 127 but decodes at the spec's 128)
+    for ch in (1, 2):
+        sig = rng.uniform(-0.9, 0.9, size=(480, ch)).astype(np.float32)
+        for width, tol in ((1, 2 / 127), (2, 1e-4), (3, 5e-7)):
+            got, rate = decode_wav(_wav_via_stdlib(sig, 8_000, width))
+            assert rate == 8_000 and got.shape == (480, ch), (ch, width)
+            assert np.abs(got - sig).max() <= tol, (ch, width)
+
+
+def test_wav_decode_float_and_extensible():
+    """Hand-built float32 WAV round-trips exactly; a WAVE_FORMAT_EXTENSIBLE
+    header (tag 0xFFFE + GUID) resolves to the wrapped PCM tag; extra RIFF
+    chunks (LIST) are skipped including the odd-length alignment pad."""
+    import struct
+
+    import numpy as np
+
+    from valentine_spark.functions.wav import WavError, decode_wav
+
+    sig = np.linspace(-1, 1, 33, dtype=np.float32).reshape(-1, 1)
+
+    def riff(chunks):
+        body = b"WAVE" + b"".join(
+            cid + struct.pack("<I", len(c)) + c + (b"\0" if len(c) & 1 else b"")
+            for cid, c in chunks
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt_f32 = struct.pack("<HHIIHH", 3, 1, 16_000, 64_000, 4, 32)
+    wav = riff([(b"fmt ", fmt_f32), (b"LIST", b"INFOodd"),
+                (b"data", sig.tobytes())])
+    got, rate = decode_wav(wav)
+    assert rate == 16_000
+    assert np.array_equal(got, sig)
+
+    guid = struct.pack("<H", 1) + b"\0" * 14  # sub-format = PCM
+    # WAVEFORMATEXTENSIBLE: cbSize(22) + Samples(H) + ChannelMask(I) + GUID
+    fmt_ext = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 1, 8_000, 16_000, 2, 16, 22, 16, 0
+    ) + guid
+    pcm = (sig * 32767).astype("<i2").tobytes()
+    got2, rate2 = decode_wav(riff([(b"fmt ", fmt_ext), (b"data", pcm)]))
+    assert rate2 == 8_000 and got2.shape == sig.shape
+
+    import pytest as _pytest
+
+    with _pytest.raises(WavError):  # ADPCM (tag 2) is not supported
+        decode_wav(riff([
+            (b"fmt ", struct.pack("<HHIIHH", 2, 1, 8_000, 4_000, 1, 4)),
+            (b"data", b"\0\0\0\0"),
+        ]))
+    with _pytest.raises(WavError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_audio_features_real_decode(spark):
+    """End-to-end REAL audio path: a WAV payload flows through the Arrow
+    mapInPandas stage and yields signal statistics matching the direct
+    computation; a sine wave's rms/zcr land on the analytic values."""
+    import numpy as np
+
+    from valentine_spark.functions.wav import audio_features, decode_wav
+    from valentine_spark.operators.multimodal import extract_features
+
+    rate, freq, amp, sec = 8_000, 440.0, 0.5, 0.5
+    t = np.arange(int(rate * sec)) / rate
+    sig = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32).reshape(-1, 1)
+    payload = _wav_via_stdlib(sig, rate, 2)
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), 0, 0, 500),
+         (2, "audio", bytearray(b"RIFFnotawave"), 0, 0, 10)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    got = np.array(rows[1]["feature"], dtype=np.float32)
+    want = audio_features(*decode_wav(payload))
+    assert np.allclose(got, want, atol=1e-6)
+    # analytic checks: rms = A/sqrt(2), zcr = 2 f / rate, peak ~= A
+    assert abs(got[2] - amp / np.sqrt(2)) < 0.01
+    assert abs(got[4] - 2 * freq / rate) < 0.005
+    assert abs(got[3] - amp) < 0.01
+    assert abs(got[0] - sec / 60.0) < 1e-3
+    # malformed RIFF falls back to the stub, never kills the job
+    assert len(rows[2]["feature"]) == 8

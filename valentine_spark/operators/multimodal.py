@@ -5,11 +5,14 @@ The IMAGE path is fully real end-to-end: BMP and PNG payloads are decoded
 by the bundled pure-Python codecs (``functions/bmp.py``, ``functions/
 png.py`` — baseline 8-bit PNG, all five scanline filters, gray/RGB/
 palette/alpha color types) into (H, W, 3) arrays and feature-extracted for
-real (dimensions + channel statistics).  Audio/video and other image
-codecs (JPEG) still route to the deterministic ``decode_stub`` (clearly
-marked; the container has no codec libraries — swap in PIL/librosa/pyav
-on a real cluster).  Everything Spark-side — schema, batch
-shape, partition sizing, UDF signatures — is real and tested:
+real (dimensions + channel statistics).  The AUDIO path is real for WAV:
+``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit int, float32/64,
+extensible) to float32 frames and extracts signal statistics (rms, peak,
+zero-crossing rate, duration).  Video and remaining codecs (JPEG images,
+compressed audio) still route to the deterministic ``decode_stub``
+(clearly marked; the container has no codec libraries — swap in
+PIL/librosa/pyav on a real cluster).  Everything Spark-side — schema,
+batch shape, partition sizing, UDF signatures — is real and tested:
 
   * media rows are (media_id, kind, payload:binary, meta:struct);
   * ``extract_features`` streams Arrow batches through a pandas iterator,
@@ -53,8 +56,9 @@ def synth_media_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataF
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for codecs the container lacks (JPEG images, all audio/
-    video; BMP and PNG are really decoded — see ``decode_media``).  Deterministic: features derived from a sha256 of the payload.
+    """STUB for codecs the container lacks (JPEG images, compressed audio,
+    all video; BMP/PNG images and WAV audio are really decoded — see
+    ``decode_media``).  Deterministic: features derived from a sha256 of the payload.
     Replace with a real decoder (PIL.Image.open / soundfile.read / pyav) in
     production — the calling plumbing is identical."""
     digest = hashlib.sha256(payload or b"").digest()
@@ -83,25 +87,30 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """Feature vector per media row.  Images in BMP or PNG format take the
-    REAL path (pure-Python decode + channel statistics); everything else
-    hits the documented stub."""
-    if kind == "image" and payload is not None:
+    """Feature vector per media row.  Images in BMP or PNG format and audio
+    in WAV format take the REAL path (pure-Python decode + signal
+    statistics); everything else hits the documented stub."""
+    if payload is not None:
         raw = bytes(payload)
         try:
-            if raw[:2] == b"BM":
-                from ..functions.bmp import decode_bmp
+            if kind == "image":
+                if raw[:2] == b"BM":
+                    from ..functions.bmp import decode_bmp
 
-                return image_features(decode_bmp(raw))
-            if raw[:8] == b"\x89PNG\r\n\x1a\n":
-                from ..functions.png import decode_png
+                    return image_features(decode_bmp(raw))
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    from ..functions.png import decode_png
 
-                return image_features(decode_png(raw))
+                    return image_features(decode_png(raw))
+            elif kind == "audio" and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                from ..functions.wav import audio_features, decode_wav
+
+                return audio_features(*decode_wav(raw))
         except ValueError:
             # the magic bytes are only a sniff — arbitrary payloads can
             # start with them, and unsupported variants (8-bit/RLE BMP,
-            # 16-bit/interlaced PNG) raise; a malformed payload must not
-            # kill the whole Spark job
+            # 16-bit/interlaced PNG, ADPCM WAV) raise; a malformed payload
+            # must not kill the whole Spark job
             pass
     return decode_stub(payload, kind)
 
