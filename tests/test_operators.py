@@ -800,3 +800,95 @@ def test_audio_features_real_decode(spark):
     assert abs(got[0] - sec / 60.0) < 1e-3
     # malformed RIFF falls back to the stub, never kills the job
     assert len(rows[2]["feature"]) == 8
+
+
+def _mini_avi(w=320, h=240, frames=90, us_per_frame=33333, codec=b"h264"):
+    """Hand-built minimal AVI: RIFF('AVI ') > LIST(hdrl) > avih + LIST(strl)
+    > strh — independent byte layout per the public RIFF/AVI spec."""
+    import struct
+
+    avih = struct.pack("<IIIII", us_per_frame, 0, 0, 0, frames)
+    avih += struct.pack("<III", 0, 0, 0)  # initialFrames, streams, bufSize
+    avih += struct.pack("<II", w, h) + b"\0" * 16
+
+    strh = b"vids" + codec + b"\0" * 48
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+    strl = chunk(b"strh", strh)
+    hdrl = chunk(b"avih", avih) + chunk(b"LIST", b"strl" + strl)
+    body = b"AVI " + chunk(b"LIST", b"hdrl" + hdrl)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mini_mp4(w=1280, h=720, timescale=1000, duration=5000, n_frames=150,
+              codec=b"avc1"):
+    """Hand-built minimal MP4: ftyp + moov(mvhd + trak(tkhd + mdia(minf(
+    stbl(stsd + stsz))))) per ISO/IEC 14496-12 box layout."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", b"\0\0\0\0" + struct.pack(">III", 0, 0, timescale)
+               + struct.pack(">I", duration) + b"\0" * 80)
+    tkhd = box(b"tkhd", b"\0\0\0\0" + b"\0" * 72 + b"\0" * 8
+               + struct.pack(">II", w << 16, h << 16))
+    stsd = box(b"stsd", b"\0\0\0\0" + struct.pack(">I", 1)
+               + box(codec, b"\0" * 16))
+    stsz = box(b"stsz", b"\0\0\0\0" + struct.pack(">II", 0, n_frames))
+    stbl = box(b"stbl", stsd + stsz)
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", stbl)))
+    return ftyp + box(b"moov", mvhd + trak)
+
+
+def test_probe_video_avi_and_mp4():
+    from valentine_spark.functions.video_meta import probe_video, try_probe_video
+
+    avi = probe_video(_mini_avi())
+    assert avi == {
+        "container": "avi", "width": 320, "height": 240,
+        "duration_ms": 2999, "n_frames": 90, "fps": 30.0, "codec": "h264",
+    }
+    mp4 = probe_video(_mini_mp4())
+    assert mp4 == {
+        "container": "mp4", "width": 1280, "height": 720,
+        "duration_ms": 5000, "n_frames": 150, "fps": 30.0, "codec": "avc1",
+    }
+    # 64-bit mvhd (version 1): creation/modification are 8 bytes each,
+    # duration is a u64
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01\0\0\0" + b"\0" * 16 + struct.pack(">IQ", 1000, 7000) + b"\0" * 80,
+    )
+    mp4_v1 = box(b"ftyp", b"isom") + box(b"moov", mvhd_v1)
+    assert probe_video(mp4_v1)["duration_ms"] == 7000
+
+    assert try_probe_video(b"garbage") is None
+    assert try_probe_video(None) is None
+
+
+def test_probe_metadata_mapinpandas(spark):
+    """Arrow probe stage: AVI/MP4 metadata lands in columns; non-container
+    payloads produce null metadata, never a failed job."""
+    from valentine_spark.operators.multimodal import probe_metadata
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_mini_avi()), 0, 0, 0),
+            (2, "video", bytearray(_mini_mp4()), 0, 0, 0),
+            (3, "video", bytearray(b"\x00\x01junk"), 0, 0, 0),
+        ],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in probe_metadata(media).collect()}
+    assert rows[1]["container"] == "avi" and rows[1]["fps"] == 30.0
+    assert rows[2]["container"] == "mp4" and (rows[2]["width"], rows[2]["height"]) == (1280, 720)
+    assert rows[3]["container"] is None and rows[3]["codec"] is None

@@ -136,6 +136,34 @@ def extract_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = (
+    "media_id long, kind string, container string, width int, height int, "
+    "duration_ms long, n_frames long, fps double, codec string"
+)
+
+
+def probe_metadata(media: DataFrame) -> DataFrame:
+    """ffprobe-shaped metadata pass over binary payloads (REAL for AVI and
+    MP4 containers — ``functions/video_meta.py``; None columns for payloads
+    that are not parseable containers).  This is the cheap first stage a
+    media pipeline runs to size, route, and filter BEFORE any decode
+    fan-out: pure byte parsing per row, Arrow-batched, no codec libraries
+    needed."""
+    from ..functions.video_meta import try_probe_video
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["container", "width", "height", "duration_ms", "n_frames",
+                "fps", "codec"]
+        for pdf in batches:
+            probed = [try_probe_video(p) or {} for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"], "kind": pdf["kind"]}
+            for c in cols:
+                out[c] = [m.get(c) for m in probed]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PROBE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: expands each video row into the frame
     timestamps a decoder would extract (the expensive decode itself is the
