@@ -1059,6 +1059,103 @@ def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 5, topk: int = 3,
     )
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (``operators/pq.py``): per-subspace
+    k-means codebooks -> m-byte codes -> per-query lookup-table scan over
+    CODES ONLY.  Fully oracled: DuckDB replays the whole pipeline — m
+    independent k-means chains over list slices, argmin encoding, table
+    lookups — as unrolled CTEs (``_pq_oracle_sql``)."""
+    from valentine_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, k=3, m=4, k_sub=4, max_iter=3, seed=42)
+
+
+def _pq_oracle_sql(m: int = 4, k_sub: int = 4, iters: int = 3, topk: int = 3,
+                   n_queries: int = 5, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB replay of ``pq_train`` + ``pq_encode`` + ``pq_topk``: for each
+    subspace, the same md5-seeded farthest-point init + fixed Lloyd rounds
+    as ``_ivf_kmeans_oracle_sql`` but over the subvector slice; codes are
+    the per-subspace argmin (tie-broken by centroid index, matching the
+    (dist, idx) struct-min); ADC distance is the per-(query, subspace,
+    centroid) distance summed over the code-matched centroids, rounded to
+    6 dp like the engine."""
+
+    def dist(v: str, c: str) -> str:
+        return (f"(SELECT sum((x.a - x.b) * (x.a - x.b)) FROM "
+                f"(SELECT unnest({v}) AS a, unnest({c}) AS b) x)")
+
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        p = f"s{j}_"
+        parts.append(
+            f"{p}vecs AS MATERIALIZED (SELECT vec_id, "
+            f"(embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings "
+            f"WHERE embedding IS NOT NULL)")
+        parts.append(
+            f"{p}c0 AS MATERIALIZED (SELECT 0 AS cluster, v FROM {p}vecs "
+            f"ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id LIMIT 1)")
+        prev = f"{p}c0"
+        for i in range(1, k_sub):
+            parts.append(
+                f"{p}f{i} AS MATERIALIZED (SELECT v.vec_id, v.v, "
+                f"min({dist('v.v', 'c.v')}) AS mind "
+                f"FROM {p}vecs v CROSS JOIN {prev} c GROUP BY v.vec_id, v.v)")
+            parts.append(
+                f"{p}c{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+                f"SELECT {i} AS cluster, v "
+                f"FROM (SELECT v FROM {p}f{i} ORDER BY mind DESC, vec_id LIMIT 1))")
+            prev = f"{p}c{i}"
+        for t in range(1, iters + 1):
+            parts.append(
+                f"{p}a{t} AS MATERIALIZED (SELECT vec_id, v, cluster FROM ("
+                f"SELECT vec_id, v, cluster, "
+                f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+                f"FROM (SELECT v.vec_id, v.v, c.cluster, {dist('v.v', 'c.v')} AS d "
+                f"FROM {p}vecs v CROSS JOIN {prev} c)) WHERE rn = 1)")
+            parts.append(
+                f"{p}m{t} AS MATERIALIZED (SELECT cluster, pos, round(avg(x), 9) AS m "
+                f"FROM (SELECT cluster, unnest(v) AS x, "
+                f"unnest(generate_series(1, len(v))) AS pos FROM {p}a{t}) "
+                f"GROUP BY cluster, pos)")
+            parts.append(
+                f"{p}n{t} AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS v "
+                f"FROM {p}m{t} GROUP BY cluster)")
+            parts.append(
+                f"{p}u{t} AS MATERIALIZED (SELECT pv.cluster, coalesce(n.v, pv.v) AS v "
+                f"FROM {prev} pv LEFT JOIN {p}n{t} n USING (cluster))")
+            prev = f"{p}u{t}"
+        parts.append(
+            f"{p}codes AS MATERIALIZED (SELECT vec_id, {j} AS sub, cluster AS code "
+            f"FROM (SELECT v.vec_id, c.cluster, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist('v.v', 'c.v')}, c.cluster) AS rn "
+            f"FROM {p}vecs v CROSS JOIN {prev} c) WHERE rn = 1)")
+        parts.append(
+            f"{p}qd AS MATERIALIZED (SELECT q.vec_id AS query_id, {j} AS sub, "
+            f"c.cluster, {dist('q.v', 'c.v')} AS d "
+            f"FROM (SELECT vec_id, v FROM {p}vecs WHERE vec_id < {n_queries}) q "
+            f"CROSS JOIN {prev} c)")
+    parts.append(
+        "codes AS (SELECT * FROM " +
+        " UNION ALL SELECT * FROM ".join(f"s{j}_codes" for j in range(m)) + ")")
+    parts.append(
+        "qd AS (SELECT * FROM " +
+        " UNION ALL SELECT * FROM ".join(f"s{j}_qd" for j in range(m)) + ")")
+    parts.append(
+        "adc AS (SELECT q.query_id, c.vec_id, round(sum(q.d), 6) AS adc_dist "
+        "FROM codes c JOIN qd q ON q.sub = c.sub AND q.cluster = c.code "
+        "WHERE c.vec_id <> q.query_id GROUP BY q.query_id, c.vec_id)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT query_id, vec_id, adc_dist, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist, vec_id) AS rank FROM adc) "
+        f"WHERE rank <= {topk}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC primitives
 # ---------------------------------------------------------------------------
@@ -1625,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
         "embedding_ivf_kmeans_multiprobe": embedding_ivf_kmeans_multiprobe,
+        "embedding_pq_topk": embedding_pq_topk,
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": cdc_replay_state_mor,
@@ -1675,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": _IVF_SQL,
         "embedding_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "embedding_ivf_kmeans_multiprobe": _ivf_kmeans_oracle_sql(nprobe=2),
+        "embedding_pq_topk": _pq_oracle_sql(),
         "cdc_lww_stream": _CDC_LWW_SQL,
         "cdc_replay_state": _CDC_REPLAY_SQL,
         # merge-on-read replay resolves to the SAME final state — same oracle

@@ -892,3 +892,62 @@ def test_probe_metadata_mapinpandas(spark):
     assert rows[1]["container"] == "avi" and rows[1]["fps"] == 30.0
     assert rows[2]["container"] == "mp4" and (rows[2]["width"], rows[2]["height"]) == (1280, 720)
     assert rows[3]["container"] is None and rows[3]["codec"] is None
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes: one int per subspace, in [0, k); identical vectors get
+    identical codes; two runs agree bit-for-bit (md5-seeded training)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from valentine_spark.operators import pq_encode, pq_train
+
+    books = pq_train(emb, dim=64, m=4, k=4, max_iter=2)
+    assert len(books) == 4 and all(len(b) == 4 and len(b[0]) == 16 for b in books)
+    codes = {r["vec_id"]: r["pq_codes"]
+             for r in pq_encode(emb, books).select("vec_id", "pq_codes").collect()}
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in codes.values())
+    books2 = pq_train(emb, dim=64, m=4, k=4, max_iter=2)
+    assert books == books2
+
+
+def test_pq_adc_exact_on_codebook_vectors(spark):
+    """When every vector IS a codebook centroid (k distinct subvector
+    values per subspace), reconstruction is lossless and ADC equals the
+    exact squared L2 distance."""
+    import itertools
+
+    import numpy as np
+
+    from valentine_spark.operators import pq_topk
+
+    # 8 vectors of dim 4, m=2 subspaces, each subvector one of 2 values
+    blocks = {0: [0.0, 0.0], 1: [10.0, 10.0]}
+    rows = []
+    for i, (a, b) in enumerate(itertools.product([0, 1], repeat=2)):
+        for dup in (0, 1):  # duplicates so every centroid has >= 2 members
+            rows.append((i * 2 + dup, blocks[a] + blocks[b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pq_topk(df, k=7, m=2, k_sub=2, max_iter=3)
+    vecs = dict(rows)
+    for r in got.collect():
+        q, v = np.array(vecs[r["query_id"]]), np.array(vecs[r["vec_id"]])
+        assert abs(r["adc_dist"] - float(((q - v) ** 2).sum())) < 1e-6
+
+
+def test_pq_topk_recall_on_separable_clusters(spark):
+    """On well-separated clusters, ADC top-k stays within the query's
+    cluster — the rank-preservation property PQ is used for."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    centers = rng.uniform(-1, 1, size=(3, 32)) * 10
+    rows = []
+    for i in range(60):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.normal(0, 0.05, 32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from valentine_spark.operators import pq_topk
+
+    got = pq_topk(df, queries=df.where(F.col("vec_id") < 3), k=5, m=4,
+                  k_sub=3, max_iter=4)
+    for r in got.collect():
+        assert r["vec_id"] % 3 == r["query_id"] % 3, r

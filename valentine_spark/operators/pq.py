@@ -1,0 +1,216 @@
+"""Product quantization (PQ) over an embedding column — the memory-bound
+half of the classic IVF-PQ ANN stack (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011 — public method, original
+implementation): vectors are split into ``m`` subvectors, each subspace gets
+its own small k-means codebook, and every vector compresses to ``m`` small
+codes (bytes at k<=256).  Distances are then computed against the CODES with
+per-query lookup tables (asymmetric distance computation, ADC) — the scan
+touches m bytes per vector instead of dim floats, which is what makes
+100-TB-scale ANN memory-feasible (a 64-dim float32 corpus compresses 64x at
+m=4/k=256... here k is tiny for oracle-replayability, the shapes are what
+matter).
+
+Spark-first shape, reusing the deterministic ``kmeans.py`` machinery:
+
+* **train** (``pq_train``): one ``kmeans_fit`` per subspace over a sliced
+  view (``slice(embedding, lo, len)``) — m independent small fits, each a
+  bounded number of scans; codebooks live on the driver (m*k*dim/m = k*dim
+  doubles — tiny, exactly the matcher-results split of SURVEY.md §1.2);
+* **encode** (``pq_encode``): ONE JVM expression — per subspace an
+  argmin-of-squared-distance fold against literal centroids, assembled with
+  ``F.array`` — zero shuffle, whole-stage codegen, never per-row Python;
+* **search** (``pq_topk``): queries are a driver-scale set (same contract as
+  ``similarity.cosine_topk``); each query's m x k ADC table is computed on
+  the driver (m*k doubles) and inlined as ONE literal array-of-structs over
+  all queries, exploded against the encoded corpus — the scan reads ONLY
+  the codes column (column pruning drops the raw embedding), scores with a
+  2-level ``element_at`` lookup fold, and takes per-query top-k with the
+  standard window.  No crossJoin of raw vectors anywhere.
+
+Determinism / oracle: every stage is engine-portable — ``kmeans_fit`` is
+already md5-seeded + 9-dp-rounded per round; code assignment tie-breaks on
+the centroid index; ADC distances are exact double arithmetic rounded to
+6 dp at the end.  The DuckDB oracle replays the ENTIRE pipeline (per-
+subspace k-means as unrolled CTEs over list slices, encoding, table
+lookups) and the driver hash-compare passes — see
+``__spark_entry__._pq_oracle_sql``.
+
+ADC returns APPROXIMATE squared L2: ||q - x||^2 ~= sum_j ||q_j - c_j(x)||^2
+(exact iff x equals its reconstruction).  Ranking quality degrades
+gracefully with k/m — the standard PQ tradeoff; the tests pin recall
+against exact search on separable fixtures rather than pretending equality.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .kmeans import kmeans_fit
+
+Codebooks = List[List[List[float]]]  # [subspace][centroid][dim/m]
+
+
+def _subslice(vec_col: str, j: int, sub_dim: int):
+    return F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 3,
+    seed: int = 42,
+) -> Codebooks:
+    """Fit one k-centroid codebook per subspace.  ``dim`` must be divisible
+    by ``m`` (classic PQ; padding variants exist but hide the semantics)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books: Codebooks = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col), _subslice(vec_col, j, sub).alias(vec_col)
+        )
+        centroids, _ = kmeans_fit(
+            sliced, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+            seed=seed, tol=0.0,  # fixed round count: oracle replays exactly
+        )
+        books.append(centroids)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """codes = array<int> of length m; one JVM expression, no shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _nearest_expr_on(_subslice(vec_col, j, sub), codebooks[j])
+            for j in range(m)
+        ]
+    )
+    return df.withColumn(out_col, codes)
+
+
+def _nearest_expr_on(vec_expr, centroids: List[List[float]]):
+    """``kmeans._nearest_expr`` generalized to an arbitrary column expr."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    structs = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec_expr, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            i.alias("idx"),
+        ),
+    )
+    return F.array_min(structs).getField("idx")
+
+
+def _adc_table(q_vec: List[float], codebooks: Codebooks) -> List[List[float]]:
+    """m x k per-query lookup table: exact double arithmetic, sequential
+    over the subvector (the same element order the SQL oracle sums in)."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    table = []
+    for j in range(m):
+        qj = q_vec[j * sub:(j + 1) * sub]
+        row = []
+        for c in codebooks[j]:
+            acc = 0.0
+            for a, b in zip(qj, c):
+                acc += (float(a) - b) * (float(a) - b)
+            row.append(acc)
+        table.append(row)
+    return table
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: Optional[DataFrame] = None,
+    k: int = 3,
+    m: int = 4,
+    k_sub: int = 4,
+    dim: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, adc_dist, rank), rank by ascending
+    approximate squared L2.  ``queries`` is a driver-scale set by contract
+    (default: corpus rows with id < 5, mirroring ``cosine_topk``)."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        first = corpus.select(F.size(vec_col)).where(F.col(vec_col).isNotNull()).first()
+        dim = int(first[0])
+    books = pq_train(
+        corpus, dim, m=m, k=k_sub, id_col=id_col, vec_col=vec_col,
+        max_iter=max_iter, seed=seed,
+    )
+    encoded = pq_encode(
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), vec_col),
+        books,
+    ).select("vec_id", "pq_codes")
+
+    if queries is None:
+        queries = corpus.where(F.col(id_col) < 5)
+    queries = queries.where(F.col(vec_col).isNotNull())
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()  # driver-scale by contract (an ADC table per query is inlined)
+    qtables = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["query_id"])).alias("query_id"),
+                F.array(
+                    *[
+                        F.array(*[F.lit(d) for d in row])
+                        for row in _adc_table([float(x) for x in r["q_vec"]], books)
+                    ]
+                ).alias("tbl"),
+            )
+            for r in q_rows
+        ]
+    )
+    # scan reads ONLY (vec_id, pq_codes); the per-query score is a pure
+    # lookup fold over m codes — the PQ promise made literal in the plan
+    scored = (
+        encoded.select("vec_id", "pq_codes", F.explode(qtables).alias("q"))
+        .where(F.col("q.query_id") != F.col("vec_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("pq_codes"),
+                        F.col("q.tbl"),
+                        lambda code, trow: F.element_at(trow, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
