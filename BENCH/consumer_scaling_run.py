@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling proxy for the CHANGELOG CONSUMER path (the
+round-3 downstream surface: ``lake.changes`` scan + follower mirror), same
+protocol as ``scaling_run.py``: identical input, fresh taskset-pinned JVMs
+at N and 4N cores, best-of-K trials, cross-level output checksum equality.
+
+Experimental design note (and why v1 of this script was wrong): the source
+lake is built ONCE by a separate untimed builder worker at fixed
+parallelism, and both measured levels READ THE SAME FILES — building
+per-level would give the two levels different file layouts (a 16-core build
+writes ~4x more, smaller files per bucket than a 4-core build), turning the
+"scaling" measurement into a file-count comparison.  The measured window is
+mid-snapshot -> head (both endpoints populated), the realistic catch-up a
+lagging consumer pays, not a bootstrap diff against an empty base.
+
+Usage: python BENCH/consumer_scaling_run.py [n_events] [--cpus 4,16]
+       [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+BUILDER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+root = sys.argv[1]; n = int(sys.argv[2])
+tmpfs = os.environ.get("SCALING_TMPFS")
+builder = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.driver.memory", "16g")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false"))
+if tmpfs:
+    builder = builder.config("spark.local.dir", os.path.join(tmpfs, "spark_local_b"))
+spark = builder.getOrCreate()
+from valentine_spark.cdc import LakeTable, replay, synth_change_stream
+src = LakeTable.create(os.path.join(root, "src"), spark, n_buckets=64)
+stream = synth_change_stream(spark, n, n // 4)  # n/4 keys: sizeable endpoints
+half = n // 2
+replay(src, stream.where("lsn < %d" % half), batch_lsns=n // 8, max_lsn=half - 1)
+v_half = src.version
+replay(src, stream.where("lsn >= %d" % half), batch_lsns=n // 8,
+       batch_id_prefix="tail", max_lsn=n - 1)
+print("BUILT " + json.dumps({{"v_half": v_half, "v_full": src.version,
+                              "rows": src.state_checksum()["rows"]}}))
+"""
+
+WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+cpus = int(sys.argv[1]); root = sys.argv[2]
+v_half = int(sys.argv[3]); v_full = int(sys.argv[4])
+builder = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "16g")
+         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false"))
+shufp = os.environ.get("SCALING_SHUFFLE_PARTITIONS")
+if shufp:
+    # multi-wave sizing: partitions = k*cores smooths stage tails (same
+    # knob and rationale as scaling_run.py)
+    builder = builder.config("spark.sql.shuffle.partitions", str(int(shufp) * cpus))
+tmpfs = os.environ.get("SCALING_TMPFS")
+if tmpfs:
+    tempfile.tempdir = tmpfs
+    builder = builder.config("spark.local.dir",
+                             os.path.join(tmpfs, f"spark_local_{{cpus}}"))
+spark = builder.getOrCreate()
+from valentine_spark.cdc import LakeTable, mirror_changes
+src = LakeTable(os.path.join(root, "src"), spark)
+
+def scan_checksum(v0, v1):
+    ch = src.changes(v0, v1)
+    row = ch.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                           for c in ch.columns]).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"] or 0)
+
+scan_checksum(v_half, v_half + 1)  # JIT/codegen warmup on a small window
+n_trials = int(os.environ.get("SCALING_TRIALS", "3"))
+scan_walls, scan_sig = [], None
+for _ in range(n_trials):
+    t0 = time.time()
+    scan_sig = scan_checksum(v_half, v_full)
+    scan_walls.append(time.time() - t0)
+
+import valentine_spark.cdc.lake as lake_mod
+mirror_walls, mirror_breakdowns, mirror_ok = [], [], True
+for trial in range(2):
+    droot = tempfile.mkdtemp(prefix=f"cons_dst_{{cpus}}_")
+    dst = LakeTable.create(os.path.join(droot, "dst"), spark, n_buckets=64)
+    lake_mod.MERGE_TIMINGS = timings = []
+    t0 = time.time()
+    mirror_changes(src, dst, os.path.join(droot, "ckpt"))
+    w = time.time() - t0
+    lake_mod.MERGE_TIMINGS = None
+    mirror_walls.append(w)
+    par = sum(s for k, s in timings if k in ("merge_write", "merge_prune"))
+    cio = sum(s for k, s in timings if k == "commit_io")
+    # driver_serial = wall minus the distributed diff+write jobs: bucket
+    # collect, file-footer stats, manifest/checkpoint IO, planning residue
+    mirror_breakdowns.append({{"wall": w, "parallel_jobs": par,
+                               "commit_io": cio, "driver_serial": w - par}})
+    mirror_ok = mirror_ok and dst.state_checksum() == src.state_checksum()
+best = min(range(2), key=lambda i: mirror_walls[i])
+
+print("RESULT " + json.dumps({{
+    "cpus": cpus,
+    "scan_wall": min(scan_walls), "scan_walls": scan_walls,
+    "scan_rows": scan_sig[0], "scan_checksum": str(scan_sig[1]),
+    "mirror_wall": mirror_walls[best], "mirror_walls": mirror_walls,
+    "mirror_breakdown": mirror_breakdowns[best],
+    "mirror_state_match": mirror_ok,
+}}))
+"""
+
+
+def _run(cmd, timeout=3000):
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+
+
+def run_level(repo: str, cpus: int, root: str, v_half: int, v_full: int) -> dict:
+    script = WORKER.format(repo=repo)
+    cmd = [sys.executable, "-c", script, str(cpus), root, str(v_half), str(v_full)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = _run(cmd)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+    )
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8_000_000
+    lo, hi = 4, 16
+    if "--cpus" in sys.argv:
+        lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
+    factor = hi / lo
+    tmpfs = os.environ.get("SCALING_TMPFS")
+    if tmpfs:
+        os.makedirs(tmpfs, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="cons_src_", dir=tmpfs or None)
+    load_pre = round(os.getloadavg()[0], 2)  # before the (untimed) build
+    try:
+        out = _run([sys.executable, "-c", BUILDER.format(repo=repo), root,
+                    str(n_events)])
+        built = None
+        for line in out.stdout.splitlines():
+            if line.startswith("BUILT "):
+                built = json.loads(line[len("BUILT "):])
+        if built is None:
+            raise RuntimeError(f"builder failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+        r_lo = run_level(repo, lo, root, built["v_half"], built["v_full"])
+        r_hi = run_level(repo, hi, root, built["v_half"], built["v_full"])
+        load_post = round(os.getloadavg()[0], 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    result = {
+        "n_events": n_events,
+        "table_rows": built["rows"],
+        "window": [built["v_half"], built["v_full"]],
+        f"local{lo}": r_lo,
+        f"local{hi}": r_hi,
+        "scan_efficiency": round(r_lo["scan_wall"] / (factor * r_hi["scan_wall"]), 3),
+        "mirror_efficiency": round(r_lo["mirror_wall"] / (factor * r_hi["mirror_wall"]), 3),
+        # Amdahl attribution: efficiency of the PARALLEL portion alone
+        # (mirror wall minus the measured per-commit driver-serial component)
+        "mirror_parallel_efficiency": round(
+            (r_lo["mirror_wall"] - r_lo["mirror_breakdown"]["driver_serial"])
+            / (r_hi["mirror_wall"] - r_hi["mirror_breakdown"]["driver_serial"])
+            / factor,
+            3,
+        ),
+        "scan_checksum_match": r_lo["scan_checksum"] == r_hi["scan_checksum"]
+        and r_lo["scan_rows"] == r_hi["scan_rows"],
+        "mirror_state_match": r_lo["mirror_state_match"] and r_hi["mirror_state_match"],
+        "loadavg_pre_1m": load_pre,
+        "loadavg_post_1m": load_post,
+    }
+    print(json.dumps(result, indent=2))
+    if "--json" in sys.argv:
+        with open(sys.argv[sys.argv.index("--json") + 1], "w") as fh:
+            json.dump(result, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
