@@ -171,3 +171,34 @@ def test_mirror_survives_mor_source(spark, tmp_path):
     dst = LakeTable.create(str(tmp_path / "dst"), spark, n_buckets=2)
     mirror_changes(src, dst, str(tmp_path / "ckpt"))
     assert dst.state_checksum() == src.state_checksum()
+
+
+def test_mirror_follows_schema_evolution(spark, tmp_path):
+    """Source gains a column mid-stream: the next delivery carries it in the
+    TO-version schema, the mirror evolves additively before its MERGE, and
+    the final states (incl. the evolved column's values) match."""
+    import pyspark.sql.types as T
+
+    stream = synth_change_stream(spark, 2_000, 400, seed=83).cache()
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=2)
+    dst = LakeTable.create(str(tmp_path / "dst"), spark, n_buckets=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    replay(src, stream.where(F.col("lsn") < 1_000), batch_lsns=10_000,
+           batch_id_prefix="h", max_lsn=999)
+    mirror_changes(src, dst, ckpt)
+
+    src.evolve_schema([T.StructField("stars", T.LongType())], note="test")
+    tail = (
+        stream.where(F.col("lsn") >= 1_000)
+        .withColumn("stars", F.pmod(F.xxhash64("path"), F.lit(100)))
+    )
+    replay(src, tail, batch_lsns=10_000, batch_id_prefix="t", max_lsn=1_999)
+
+    mirror_changes(src, dst, ckpt)
+    assert "stars" in {f.name for f in dst.schema.fields}
+    assert dst.state_checksum() == src.state_checksum()
+    # evolved-column values themselves round-tripped (not just presence)
+    s = {tuple(r) for r in src.read().select("repo", "path", "commit", "stars").collect()}
+    d = {tuple(r) for r in dst.read().select("repo", "path", "commit", "stars").collect()}
+    assert s == d and any(x[-1] is not None for x in s)

@@ -162,3 +162,89 @@ def test_starting_version_latest(spark, tmp_path):
     )
     assert reader.initialOffset() == {"version": lake.version}
     assert reader.partitions(reader.initialOffset(), reader.latestOffset()) == []
+
+
+def test_include_before_option_matches_batch_changes(spark, tmp_path):
+    """includeBefore=true: the streaming source's before-image columns equal
+    changes(include_before=True) for the same window."""
+    stream = synth_change_stream(spark, 3_000, 400, seed=127).cache()
+    lake = LakeTable.create(str(tmp_path / "l"), spark, n_buckets=2)
+    replay(lake, stream.where(F.col("lsn") < 1_500), batch_lsns=750, max_lsn=1_499)
+    v_mid = lake.version
+    replay(lake, stream.where(F.col("lsn") >= 1_500), batch_lsns=750,
+           batch_id_prefix="t", max_lsn=2_999)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("change_op", T.StringType(), False)]
+        + list(lake.schema.fields)
+        + [T.StructField(f"_before_{f.name}", f.dataType)
+           for f in lake.schema.fields if f.name not in ("repo", "path", "commit")]
+    )
+    reader = LakeChangesStreamReader(
+        schema, {"path": lake.root, "startingversion": str(v_mid)}
+    )
+    parts = reader.partitions({"version": v_mid}, {"version": lake.version})
+    got = pd.concat([b.to_pandas() for p in parts for b in reader.read(p)],
+                    ignore_index=True)
+    want = lake.changes(v_mid, include_before=True).toPandas()
+    assert _canon(got).equals(_canon(want))
+
+
+def test_streaming_ivm_end_to_end(spark, tmp_path):
+    """Incremental view maintenance driven by the STREAMING source: the
+    view is bootstrapped from the half-replayed state, then rolled forward
+    only by readStream micro-batches (includeBefore), and must equal a
+    from-scratch GROUP BY over the final state."""
+    from valentine_spark.cdc import init_aggregate, maintain_aggregate
+
+    register_lake_changes(spark)
+    stream = synth_change_stream(spark, 3_000, 400, seed=131).cache()
+    lake = LakeTable.create(str(tmp_path / "l"), spark, n_buckets=2)
+    replay(lake, stream.where(F.col("lsn") < 1_500), batch_lsns=750, max_lsn=1_499)
+
+    measures = {"files": ("count", None), "bytes": ("sum", "clen")}
+
+    def prep(df):
+        out = df.withColumn("clen", F.length(F.coalesce(F.col("content"), F.lit(""))))
+        if "_before_content" in df.columns:
+            out = out.withColumn(
+                "_before_clen",
+                F.length(F.coalesce(F.col("_before_content"), F.lit(""))),
+            )
+        return out
+
+    state = {"view": init_aggregate(prep(lake.read()), ["lang"], measures).toPandas()}
+    v_bootstrap = lake.version  # the view reflects exactly this snapshot
+
+    def on_batch(df, _bid):
+        if df.isEmpty():
+            return
+        prev = spark.createDataFrame(state["view"])
+        state["view"] = maintain_aggregate(prev, prep(df), ["lang"], measures).toPandas()
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_changes")
+            .option("startingVersion", str(v_bootstrap))
+            .option("includeBefore", "true")
+            .load(lake.root)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    replay(lake, stream.where((F.col("lsn") >= 1_500) & (F.col("lsn") < 2_250)),
+           batch_lsns=750, batch_id_prefix="t1", max_lsn=2_249)
+    drain()
+    replay(lake, stream.where(F.col("lsn") >= 2_250), batch_lsns=750,
+           batch_id_prefix="t2", max_lsn=2_999)
+    drain()
+
+    want = init_aggregate(prep(lake.read()), ["lang"], measures).toPandas()
+    got = state["view"]
+    key = lambda df: df.sort_values("lang").reset_index(drop=True)[sorted(df.columns)]
+    assert key(got).astype(str).equals(key(want).astype(str))

@@ -233,9 +233,28 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
     delivery a no-op: follower at-least-once + lake idempotence =
     exactly-once mirroring, with zero sink-side bookkeeping.
 
+    Schema drift flows through: columns the source gained by
+    ``evolve_schema`` arrive in the delivery's TO-version schema, and the
+    mirror evolves additively before the MERGE (idempotent; evolution
+    before a crash-replayed MERGE is a no-op on replay), so a mirror never
+    silently drops evolved columns.
+
     A ``resync`` delivery is applied as upserts only (it cannot observe
     deletions that happened while the follower was expired); callers needing
     a byte-exact mirror after resync should recreate the target instead."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in delivery.df.schema.fields}
+    have = {f.name for f in target.schema.fields}
+    new_cols = [
+        c for c in delivery.df.columns
+        if c not in have and c != "change_op" and not c.startswith("_before_")
+    ]
+    if new_cols:
+        target.evolve_schema(
+            [T.StructField(c, by_name[c].dataType) for c in new_cols],
+            note=f"mirrored from delivery {delivery.token}",
+        )
     cols = [f.name for f in target.schema.fields]
     upserts = delivery.df.where(F.col("change_op") != "delete").select(*cols)
     deletes = delivery.df.where(F.col("change_op") == "delete").select(*KEY_COLS)

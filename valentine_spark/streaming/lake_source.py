@@ -31,7 +31,11 @@ Scale shape — this is the part a naive wrapper gets wrong:
 Equivalence contract: for any window, the union of all partitions' output
 equals ``LakeTable.changes(start, end)`` — property-tested in
 ``tests/test_lake_source.py`` over clean, dirty (MoR), delete-heavy, and
-evolved windows.
+evolved windows.  ``.option("includeBefore", "true")`` adds ``_before_<col>``
+columns (the FROM-side payload, null on inserts — equal to
+``changes(include_before=True)``), which is what lets incremental view
+maintenance (``cdc/ivm.py``) run directly off a foreachBatch of this source
+— see ``test_streaming_ivm_end_to_end``.
 
 Divergence to know about: a streaming query's schema is fixed at query start,
 so columns added by ``evolve_schema`` mid-stream are not emitted until the
@@ -167,7 +171,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        cols = [f.name for f in self.schema.fields if f.name != "change_op"]
+        before_cols = [
+            f.name for f in self.schema.fields if f.name.startswith("_before_")
+        ]
+        cols = [
+            f.name for f in self.schema.fields
+            if f.name != "change_op" and not f.name.startswith("_before_")
+        ]
         nonkey = [c for c in cols if c not in _KEY_COLS]
 
         old = _bucket_state(partition.root, partition.old_entries,
@@ -195,7 +205,11 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         dmask = out["change_op"] == "delete"
         for c in nonkey:
             out.loc[dmask, c] = None
-        out = out[["change_op"] + cols]
+        # before-images (includeBefore option): the FROM-side payload, null
+        # on inserts — same contract as changes(include_before=True)
+        for bc in before_cols:
+            out[bc] = out[f"{bc[len('_before_'):]}__old"]
+        out = out[["change_op"] + cols + before_cols]
         yield pa.RecordBatch.from_pandas(
             out, schema=to_arrow_schema(self.schema), preserve_index=False
         )
@@ -254,10 +268,19 @@ class LakeChangesDataSource(DataSource):
             raise ValueError("lake_changes requires .load(<lake root path>)")
         meta = _read_meta(root)
         table_schema = T.StructType.fromJson(json.loads(meta["schema"]))
-        return T.StructType(
-            [T.StructField("change_op", T.StringType(), False)]
-            + list(table_schema.fields)
+        fields = [T.StructField("change_op", T.StringType(), False)] + list(
+            table_schema.fields
         )
+        # includeBefore: FROM-side payload per non-key column (the
+        # before-image delta consumers like IVM retract against)
+        if str(self.options.get("includebefore",
+                                self.options.get("includeBefore", ""))).lower() in ("true", "1"):
+            fields += [
+                T.StructField(f"_before_{f.name}", f.dataType)
+                for f in table_schema.fields
+                if f.name not in _KEY_COLS
+            ]
+        return T.StructType(fields)
 
     def streamReader(self, schema: T.StructType) -> LakeChangesStreamReader:
         return LakeChangesStreamReader(schema, dict(self.options))
