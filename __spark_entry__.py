@@ -1156,6 +1156,133 @@ def _pq_oracle_sql(m: int = 4, k_sub: int = 4, iters: int = 3, topk: int = 3,
     )
 
 
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ stack (coarse-cell pruning + ADC over codes,
+    ``operators/pq.py:ivfpq_topk``), fully oracled: DuckDB replays the
+    coarse k-means chain AND the m per-subspace codebook chains, joins on
+    the probed cell, and scores by code-matched table lookups."""
+    from valentine_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, k=3, n_cells=8, m=4, k_sub=4, nprobe=2,
+                      max_iter=3, cells_max_iter=5, seed=42)
+
+
+def _kmeans_cte_chain(parts: list, prefix: str, vecs_cte: str, k: int,
+                      iters: int, seed: int, dist) -> str:
+    """Append the deterministic k-means replay (md5-seeded farthest-point
+    init + fixed Lloyd rounds, the ``kmeans_fit`` contract) as CTEs named
+    ``{prefix}*`` reading vectors from ``vecs_cte``; returns the final
+    centroid CTE name.  Shared by the IVF-PQ oracle for both the coarse
+    cells and every PQ subspace."""
+    parts.append(
+        f"{prefix}c0 AS MATERIALIZED (SELECT 0 AS cluster, v FROM {vecs_cte} "
+        f"ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id LIMIT 1)")
+    prev = f"{prefix}c0"
+    for i in range(1, k):
+        parts.append(
+            f"{prefix}f{i} AS MATERIALIZED (SELECT v.vec_id, v.v, "
+            f"min({dist('v.v', 'c.v')}) AS mind "
+            f"FROM {vecs_cte} v CROSS JOIN {prev} c GROUP BY v.vec_id, v.v)")
+        parts.append(
+            f"{prefix}c{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+            f"SELECT {i} AS cluster, v "
+            f"FROM (SELECT v FROM {prefix}f{i} ORDER BY mind DESC, vec_id LIMIT 1))")
+        prev = f"{prefix}c{i}"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"{prefix}a{t} AS MATERIALIZED (SELECT vec_id, v, cluster FROM ("
+            f"SELECT vec_id, v, cluster, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+            f"FROM (SELECT v.vec_id, v.v, c.cluster, {dist('v.v', 'c.v')} AS d "
+            f"FROM {vecs_cte} v CROSS JOIN {prev} c)) WHERE rn = 1)")
+        parts.append(
+            f"{prefix}m{t} AS MATERIALIZED (SELECT cluster, pos, round(avg(x), 9) AS m "
+            f"FROM (SELECT cluster, unnest(v) AS x, "
+            f"unnest(generate_series(1, len(v))) AS pos FROM {prefix}a{t}) "
+            f"GROUP BY cluster, pos)")
+        parts.append(
+            f"{prefix}n{t} AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS v "
+            f"FROM {prefix}m{t} GROUP BY cluster)")
+        parts.append(
+            f"{prefix}u{t} AS MATERIALIZED (SELECT pv.cluster, coalesce(n.v, pv.v) AS v "
+            f"FROM {prev} pv LEFT JOIN {prefix}n{t} n USING (cluster))")
+        prev = f"{prefix}u{t}"
+    return prev
+
+
+def _ivfpq_oracle_sql(n_cells: int = 8, cells_iters: int = 5, m: int = 4,
+                      k_sub: int = 4, iters: int = 3, topk: int = 3,
+                      n_queries: int = 5, seed: int = 42, dim: int = 64,
+                      nprobe: int = 2) -> str:
+    """DuckDB replay of ``ivfpq_topk``: the coarse-cell chain prunes
+    candidate pairs (query probes its ``nprobe`` nearest cells), the m
+    subspace chains produce codes and per-query distance tables, ADC sums
+    the code-matched entries — all three layers are the same certified
+    replays as ``_ivf_kmeans_oracle_sql`` / ``_pq_oracle_sql``, composed."""
+
+    def dist(v: str, c: str) -> str:
+        return (f"(SELECT sum((x.a - x.b) * (x.a - x.b)) FROM "
+                f"(SELECT unnest({v}) AS a, unnest({c}) AS b) x)")
+
+    sub = dim // m
+    parts = [
+        "g_vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+    ]
+    g_final = _kmeans_cte_chain(parts, "g_", "g_vecs", n_cells, cells_iters,
+                                seed, dist)
+    parts.append(
+        f"g_ranked AS MATERIALIZED (SELECT vec_id, cluster, "
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+        f"FROM (SELECT v.vec_id, c.cluster, {dist('v.v', 'c.v')} AS d "
+        f"FROM g_vecs v CROSS JOIN {g_final} c))")
+    parts.append(
+        "g_fa AS MATERIALIZED (SELECT vec_id, cluster AS cell FROM g_ranked WHERE rn = 1)")
+    parts.append(
+        f"g_qa AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS cell "
+        f"FROM g_ranked WHERE rn <= {nprobe} AND vec_id < {n_queries})")
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        p = f"s{j}_"
+        parts.append(
+            f"{p}vecs AS MATERIALIZED (SELECT vec_id, "
+            f"(embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings "
+            f"WHERE embedding IS NOT NULL)")
+        final = _kmeans_cte_chain(parts, p, f"{p}vecs", k_sub, iters, seed, dist)
+        parts.append(
+            f"{p}codes AS MATERIALIZED (SELECT vec_id, {j} AS sub, cluster AS code "
+            f"FROM (SELECT v.vec_id, c.cluster, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist('v.v', 'c.v')}, c.cluster) AS rn "
+            f"FROM {p}vecs v CROSS JOIN {final} c) WHERE rn = 1)")
+        parts.append(
+            f"{p}qd AS MATERIALIZED (SELECT q.vec_id AS query_id, {j} AS sub, "
+            f"c.cluster, {dist('q.v', 'c.v')} AS d "
+            f"FROM (SELECT vec_id, v FROM {p}vecs WHERE vec_id < {n_queries}) q "
+            f"CROSS JOIN {final} c)")
+    parts.append(
+        "codes AS (SELECT * FROM " +
+        " UNION ALL SELECT * FROM ".join(f"s{j}_codes" for j in range(m)) + ")")
+    parts.append(
+        "qd AS (SELECT * FROM " +
+        " UNION ALL SELECT * FROM ".join(f"s{j}_qd" for j in range(m)) + ")")
+    parts.append(
+        "cand AS (SELECT DISTINCT q.query_id, f.vec_id FROM g_qa q "
+        "JOIN g_fa f ON q.cell = f.cell WHERE f.vec_id <> q.query_id)")
+    parts.append(
+        "adc AS (SELECT p.query_id, p.vec_id, round(sum(q.d), 6) AS adc_dist "
+        "FROM cand p JOIN codes c ON c.vec_id = p.vec_id "
+        "JOIN qd q ON q.query_id = p.query_id AND q.sub = c.sub "
+        "AND q.cluster = c.code GROUP BY p.query_id, p.vec_id)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT query_id, vec_id, adc_dist, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist, vec_id) AS rank FROM adc) "
+        f"WHERE rank <= {topk}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC primitives
 # ---------------------------------------------------------------------------
@@ -1723,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
         "embedding_ivf_kmeans_multiprobe": embedding_ivf_kmeans_multiprobe,
         "embedding_pq_topk": embedding_pq_topk,
+        "embedding_ivfpq_topk": embedding_ivfpq_topk,
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": cdc_replay_state_mor,
@@ -1774,6 +1902,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "embedding_ivf_kmeans_multiprobe": _ivf_kmeans_oracle_sql(nprobe=2),
         "embedding_pq_topk": _pq_oracle_sql(),
+        "embedding_ivfpq_topk": _ivfpq_oracle_sql(),
         "cdc_lww_stream": _CDC_LWW_SQL,
         "cdc_replay_state": _CDC_REPLAY_SQL,
         # merge-on-read replay resolves to the SAME final state — same oracle

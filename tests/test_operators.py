@@ -951,3 +951,33 @@ def test_pq_topk_recall_on_separable_clusters(spark):
                   k_sub=3, max_iter=4)
     for r in got.collect():
         assert r["vec_id"] % 3 == r["query_id"] % 3, r
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """nprobe = n_cells degenerates IVF-PQ to plain PQ-ADC over the whole
+    corpus — the recall dial's exactness anchor, bit-for-bit."""
+    from valentine_spark.operators import ivfpq_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = ivfpq_topk(emb, k=3, n_cells=4, nprobe=4, m=2, k_sub=4, max_iter=2,
+                      cells_max_iter=2)
+    plain = pq_topk(emb, k=3, m=2, k_sub=4, max_iter=2)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
+def test_ivfpq_single_probe_subsets_full_probe(spark):
+    """nprobe=1 results are drawn from the probed cell only: every returned
+    candidate shares the query's nearest cell."""
+    from valentine_spark.operators import ivfpq_topk
+    from valentine_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ivfpq_topk(emb, k=3, n_cells=4, nprobe=1, m=2, k_sub=4, max_iter=2,
+                     cells_max_iter=2)
+    cells, _ = kmeans_fit(emb, k=4, max_iter=2)
+    cell_of = {r["vec_id"]: r["cluster"]
+               for r in kmeans_assign(emb, cells).select("vec_id", "cluster").collect()}
+    for r in got.collect():
+        assert cell_of[r["vec_id"]] == cell_of[r["query_id"]], r

@@ -16,7 +16,7 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from .pq import pq_encode, pq_topk, pq_train
+from .pq import ivfpq_topk, pq_encode, pq_topk, pq_train
 from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
 from .text import doc_fingerprints, language_id, quality_scores, token_counts
 from .window_ops import latest_event_per_user, sessionize, topk_by
@@ -33,6 +33,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
     "exact_duplicates",
     "exact_duplicates_normalized",
     "normalize_text_expr",
