@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the changelog-consumer side (the downstream
+half of the CDC loop — ``jobs/replay_job.py`` is the ingest half):
+
+    python jobs/package.py                       # -> dist/valentine_spark.zip
+    spark-submit --py-files dist/valentine_spark.zip jobs/mirror_job.py \
+        --source /path/to/src_lake --target /path/to/mirror_lake \
+        --checkpoint /path/to/follower_ckpt \
+        [--poll-seconds 30] [--max-polls 0] [--compact-threshold 16]
+
+Tails the source lake's changelog with a checkpointed follower and applies
+each delivery to the target via token-keyed MERGE — exactly-once end to end
+(crash anywhere; re-run resumes from the checkpoint, replayed deliveries
+are no-ops at the target).  ``--max-polls 0`` runs a single catch-up and
+exits (cron-style); a positive value loops with ``--poll-seconds`` sleeps
+between empty polls (daemon-style).  ``--compact-threshold`` runs the
+target's bounded-read-amplification compaction policy after each applied
+delivery.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--source", required=True)
+    parser.add_argument("--target", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--consumer-id", default="mirror")
+    parser.add_argument("--n-buckets", type=int, default=64)
+    parser.add_argument("--poll-seconds", type=float, default=30.0)
+    parser.add_argument("--max-polls", type=int, default=0,
+                        help="0 = one catch-up pass, then exit")
+    parser.add_argument("--compact-threshold", type=int, default=0,
+                        help="0 = never auto-compact the target")
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("valentine-cdc-mirror").getOrCreate()
+
+    from valentine_spark.cdc import ChangelogFollower, LakeTable, apply_delivery
+
+    source = LakeTable(args.source, spark)
+    if os.path.exists(os.path.join(args.target, "metadata", "CURRENT")):
+        target = LakeTable(args.target, spark)
+    else:
+        target = LakeTable.create(args.target, spark, n_buckets=args.n_buckets)
+
+    follower = ChangelogFollower(
+        source, args.checkpoint, consumer_id=args.consumer_id
+    )
+    applied = 0
+    polls = 0
+    while True:
+        d = follower.poll()
+        if d is not None:
+            commit = apply_delivery(target, d)
+            follower.commit(d)
+            applied += 1
+            if args.compact_threshold:
+                target.compact_if_needed(args.compact_threshold)
+            print(json.dumps({"delivery": d.token,
+                              "skipped": bool(commit.get("skipped")),
+                              "target_version": target.version}))
+        polls += 1
+        if args.max_polls == 0 and d is None:
+            break
+        if args.max_polls and polls >= args.max_polls:
+            break
+        if d is None:
+            time.sleep(args.poll_seconds)
+
+    state = target.state_checksum()
+    print(json.dumps({
+        "deliveries_applied": applied,
+        "source_version": source.version,
+        "mirror_position": follower.position,
+        "mirror_rows": state["rows"],
+        "mirror_checksum": str(state["checksum"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -708,3 +708,51 @@ def test_lookup_point_reads_with_pruning(spark, tmp_path):
     # time travel: at version 1 the original p7/p9 values are visible
     got_v1 = {r["path"]: r["content"] for r in lake.lookup(keys, version=1).collect()}
     assert got_v1 == {"p7": "v7", "p9": "v9", "p42": "v42"}
+
+
+def test_history_dataframe(spark, tmp_path):
+    """DESCRIBE HISTORY analogue: merge / compaction / schema-evolution
+    entries normalized into one DataFrame, newest first."""
+    import pyspark.sql.types as T
+
+    lake = LakeTable.create(str(tmp_path / "hist"), spark, n_buckets=2,
+                            write_mode="mor")
+    stream = synth_change_stream(spark, 1_200, 300, seed=137)
+    replay(lake, stream, batch_lsns=400, max_lsn=1_199)
+    lake.evolve_schema([T.StructField("stars", T.LongType())], note="t")
+    lake.compact(min_files=1)
+    h = lake.history()
+    rows = h.collect()
+    assert [r["version"] for r in rows] == sorted(
+        (r["version"] for r in rows), reverse=True
+    )
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"merge", "compaction", "schema_evolution"}
+    merges = [r for r in rows if r["kind"] == "merge"]
+    assert all(r["batch_id"] and r["ts"] for r in merges)
+    import json as _json
+
+    assert all(_json.loads(r["details"]) for r in rows)
+
+
+def test_compact_if_needed_policy(spark, tmp_path):
+    """Only dirty buckets at/over the file threshold are compacted; state
+    is unchanged; quiet buckets keep their files."""
+    lake = LakeTable.create(str(tmp_path / "pol"), spark, n_buckets=2,
+                            write_mode="mor")
+    # bucket-targeted churn: many merges -> dirty buckets accumulate files
+    stream = synth_change_stream(spark, 2_400, 200, seed=139).cache()
+    replay(lake, stream, batch_lsns=300, max_lsn=2_399)  # 8 MoR merges
+    before = lake.state_checksum()
+    files = lake._bucket_files(lake.metadata())
+    max_files = max(len(es) for es in files.values())
+    assert max_files >= 8, "fixture must fragment"
+    none = lake.compact_if_needed(max_files_per_bucket=max_files + 1)
+    assert none["compacted_buckets"] == 0  # threshold not reached anywhere
+    out = lake.compact_if_needed(max_files_per_bucket=4)
+    assert out["compacted_buckets"] >= 1
+    assert lake.state_checksum() == before
+    after = lake.metadata().get("dirty", {})
+    for b, es in lake._bucket_files(lake.metadata()).items():
+        if str(b) not in after:
+            assert len(es) <= 2  # compacted buckets are tight again

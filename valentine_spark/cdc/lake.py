@@ -305,6 +305,40 @@ class LakeTable:
     def watermarks(self) -> Dict[int, int]:
         return {int(k): v for k, v in self.metadata()["watermarks"].items()}
 
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame (the ``DESCRIBE HISTORY``
+        analogue): one row per lineage entry — MERGE commits, compactions,
+        schema evolutions — with the common columns normalized and the full
+        entry preserved as a JSON ``details`` string.  Audit accessor
+        (reads every lineage segment, driver-sized by the segment-roll
+        bound); newest first."""
+        rows = []
+        for e in self.lineage():
+            if "schema_evolution" in e:
+                kind = "schema_evolution"
+            elif "compaction" in e:
+                kind = "compaction"
+            else:
+                kind = "merge"
+            rows.append(
+                (
+                    int(e.get("version", -1)),
+                    kind,
+                    e.get("batch_id"),
+                    float(e["ts"]) if e.get("ts") is not None else None,
+                    len(e.get("changed_buckets", [])) or None,
+                    e.get("files_written"),
+                    e.get("bytes_written"),
+                    json.dumps(e, sort_keys=True),
+                )
+            )
+        schema = (
+            "version int, kind string, batch_id string, ts double, "
+            "n_changed_buckets int, files_written long, bytes_written long, "
+            "details string"
+        )
+        return self.spark.createDataFrame(rows, schema).orderBy(F.desc("version"))
+
     def _roll_applied(self, ap: dict, new_segments: List[Tuple[str, dict]]) -> dict:
         if len(ap["tail"]) <= 2 * _APPLIED_TAIL:
             return ap
@@ -1044,6 +1078,28 @@ class LakeTable:
             "dirty": dirty,
         })
         return entry
+
+    def compact_if_needed(self, max_files_per_bucket: int = 16) -> dict:
+        """Bounded read-amplification policy for a merge-on-read tail: a
+        dirty bucket accumulates one data file (+ tombstone file) per MoR
+        merge forever; compact exactly the buckets whose live file count
+        reached ``max_files_per_bucket``, leaving the rest untouched (no
+        write amplification for quiet buckets).  Call between micro-batches
+        or from a maintenance loop; state is unchanged (compaction
+        semantics), and the next read of the compacted buckets is scan-only
+        again.  Returns ``compact()``'s summary, or a zero summary when no
+        bucket crossed the threshold."""
+        meta = self.metadata()
+        dirty = meta.get("dirty", {})
+        if not dirty:
+            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+        files = self._bucket_files(meta, [int(b) for b in dirty])
+        over = [b for b, es in files.items() if len(es) >= max_files_per_bucket]
+        if not over:
+            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+        out = self.compact(buckets=over, min_files=1)
+        out["compacted_buckets"] = len(over)
+        return out
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Retain the last ``keep_last`` snapshots; delete older snapshot
