@@ -1094,39 +1094,7 @@ def _pq_oracle_sql(m: int = 4, k_sub: int = 4, iters: int = 3, topk: int = 3,
             f"{p}vecs AS MATERIALIZED (SELECT vec_id, "
             f"(embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings "
             f"WHERE embedding IS NOT NULL)")
-        parts.append(
-            f"{p}c0 AS MATERIALIZED (SELECT 0 AS cluster, v FROM {p}vecs "
-            f"ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id LIMIT 1)")
-        prev = f"{p}c0"
-        for i in range(1, k_sub):
-            parts.append(
-                f"{p}f{i} AS MATERIALIZED (SELECT v.vec_id, v.v, "
-                f"min({dist('v.v', 'c.v')}) AS mind "
-                f"FROM {p}vecs v CROSS JOIN {prev} c GROUP BY v.vec_id, v.v)")
-            parts.append(
-                f"{p}c{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
-                f"SELECT {i} AS cluster, v "
-                f"FROM (SELECT v FROM {p}f{i} ORDER BY mind DESC, vec_id LIMIT 1))")
-            prev = f"{p}c{i}"
-        for t in range(1, iters + 1):
-            parts.append(
-                f"{p}a{t} AS MATERIALIZED (SELECT vec_id, v, cluster FROM ("
-                f"SELECT vec_id, v, cluster, "
-                f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn "
-                f"FROM (SELECT v.vec_id, v.v, c.cluster, {dist('v.v', 'c.v')} AS d "
-                f"FROM {p}vecs v CROSS JOIN {prev} c)) WHERE rn = 1)")
-            parts.append(
-                f"{p}m{t} AS MATERIALIZED (SELECT cluster, pos, round(avg(x), 9) AS m "
-                f"FROM (SELECT cluster, unnest(v) AS x, "
-                f"unnest(generate_series(1, len(v))) AS pos FROM {p}a{t}) "
-                f"GROUP BY cluster, pos)")
-            parts.append(
-                f"{p}n{t} AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS v "
-                f"FROM {p}m{t} GROUP BY cluster)")
-            parts.append(
-                f"{p}u{t} AS MATERIALIZED (SELECT pv.cluster, coalesce(n.v, pv.v) AS v "
-                f"FROM {prev} pv LEFT JOIN {p}n{t} n USING (cluster))")
-            prev = f"{p}u{t}"
+        prev = _kmeans_cte_chain(parts, p, f"{p}vecs", k_sub, iters, seed, dist)
         parts.append(
             f"{p}codes AS MATERIALIZED (SELECT vec_id, {j} AS sub, cluster AS code "
             f"FROM (SELECT v.vec_id, c.cluster, "
@@ -1577,7 +1545,10 @@ def cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:  # timeout would silently truncate the changelog
+        q.stop()
+        raise RuntimeError("lake_changes catch-up did not finish within 300s")
     import pandas as pd
 
     schema = StructType(

@@ -834,7 +834,9 @@ def _mini_mp4(w=1280, h=720, timescale=1000, duration=5000, n_frames=150,
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     mvhd = box(b"mvhd", b"\0\0\0\0" + struct.pack(">III", 0, 0, timescale)
                + struct.pack(">I", duration) + b"\0" * 80)
-    tkhd = box(b"tkhd", b"\0\0\0\0" + b"\0" * 72 + b"\0" * 8
+    # spec layout (v0): 4 ver/flags + 20 times/id/rsv/dur + 8 reserved +
+    # 8 layer/alt/volume/rsv + 36 matrix = width at body+76
+    tkhd = box(b"tkhd", b"\0\0\0\0" + b"\0" * 72
                + struct.pack(">II", w << 16, h << 16))
     stsd = box(b"stsd", b"\0\0\0\0" + struct.pack(">I", 1)
                + box(codec, b"\0" * 16))

@@ -326,7 +326,9 @@ class LakeTable:
                     kind,
                     e.get("batch_id"),
                     float(e["ts"]) if e.get("ts") is not None else None,
-                    len(e.get("changed_buckets", [])) or None,
+                    # 0 is meaningful (a fully-deduplicated merge); NULL
+                    # means the field doesn't apply to this entry kind
+                    len(e["changed_buckets"]) if "changed_buckets" in e else None,
                     e.get("files_written"),
                     e.get("bytes_written"),
                     json.dumps(e, sort_keys=True),

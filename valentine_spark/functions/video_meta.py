@@ -31,11 +31,20 @@ class VideoMetaError(ValueError):
     """Not a parseable AVI/MP4 container."""
 
 
+_MAX_DEPTH = 32  # sane container nesting bound; corrupt/adversarial beyond
+
+
 def probe_video(raw: bytes) -> dict:
-    if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-        return _probe_avi(raw)
-    if len(raw) >= 12 and raw[4:8] == b"ftyp":
-        return _probe_mp4(raw)
+    try:
+        if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+            return _probe_avi(raw)
+        if len(raw) >= 12 and raw[4:8] == b"ftyp":
+            return _probe_mp4(raw)
+    except VideoMetaError:
+        raise
+    except (struct.error, IndexError) as exc:
+        # truncated/corrupt declared lengths — honor the documented contract
+        raise VideoMetaError(f"corrupt container: {exc}") from exc
     raise VideoMetaError("not an AVI or MP4 payload")
 
 
@@ -47,14 +56,16 @@ def _probe_avi(raw: bytes) -> dict:
         "duration_ms": None, "n_frames": None, "fps": None, "codec": None,
     }
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        if depth > _MAX_DEPTH:
+            raise VideoMetaError("AVI nesting exceeds sane depth")
         pos = lo
         while pos + 8 <= hi:
             cid = raw[pos:pos + 4]
             (clen,) = struct.unpack_from("<I", raw, pos + 4)
             body_lo, body_hi = pos + 8, min(pos + 8 + clen, hi)
             if cid == b"LIST" and body_hi - body_lo >= 4:
-                walk(body_lo + 4, body_hi)  # list type fourcc, then children
+                walk(body_lo + 4, body_hi, depth + 1)  # list type fourcc, then children
             elif cid == b"avih" and clen >= 40:
                 us_pf, _, _, _, frames = struct.unpack_from("<IIIII", raw, body_lo)
                 w, h = struct.unpack_from("<II", raw, body_lo + 32)
@@ -103,7 +114,9 @@ def _probe_mp4(raw: bytes) -> dict:
         "duration_ms": None, "n_frames": None, "fps": None, "codec": None,
     }
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        if depth > _MAX_DEPTH:
+            raise VideoMetaError("MP4 box nesting exceeds sane depth")
         pos = lo
         while True:
             box = _read_box(raw, pos, hi)
@@ -111,7 +124,7 @@ def _probe_mp4(raw: bytes) -> dict:
                 return
             btype, body, end = box
             if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(body, end)
+                walk(body, end, depth + 1)
             elif btype == b"mvhd" and meta["duration_ms"] is None:
                 version = raw[body]
                 if version == 1:
@@ -122,7 +135,10 @@ def _probe_mp4(raw: bytes) -> dict:
                     meta["duration_ms"] = int(dur * 1000 / ts)
             elif btype == b"tkhd" and meta["width"] is None:
                 version = raw[body]
-                off = body + (96 if version == 1 else 84)
+                # after the 4 version/flags bytes: v0 = 20 (times/id/rsv/dur)
+                # + 8 reserved + 8 layer/alt/volume/rsv + 36 matrix = 72;
+                # v1's 64-bit times/duration add 12 -> width at +76 / +88
+                off = body + (88 if version == 1 else 76)
                 if off + 8 <= end:
                     w, h = struct.unpack_from(">II", raw, off)
                     if w and h:  # 16.16 fixed point; audio tracks carry 0x0
@@ -151,5 +167,5 @@ def try_probe_video(raw: Optional[bytes]) -> Optional[dict]:
         return None
     try:
         return probe_video(bytes(raw))
-    except (VideoMetaError, struct.error, IndexError):
+    except VideoMetaError:
         return None

@@ -177,7 +177,11 @@ def ivf_kmeans_topk(
     vec_col: str = "embedding",
     max_iter: int = 5,
     seed: int = 42,
-    tol: float = 1e-6,
+    # 0.0 = fixed round count (early-stop only at exactly-zero drift, where
+    # further rounds are no-ops): keeps the engine round-for-round equal to
+    # the DuckDB oracle's unconditional Lloyd replay even on inputs whose
+    # drift dips below a nonzero tolerance mid-run
+    tol: float = 0.0,
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF with trained coarse centroids: join queries only against corpus

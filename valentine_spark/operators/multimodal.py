@@ -26,6 +26,7 @@ batch shape, partition sizing, UDF signatures — is real and tested:
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from typing import Iterator, List
 
 import numpy as np
@@ -106,11 +107,13 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
                 from ..functions.wav import audio_features, decode_wav
 
                 return audio_features(*decode_wav(raw))
-        except ValueError:
+        except (ValueError, _struct.error, IndexError):
             # the magic bytes are only a sniff — arbitrary payloads can
             # start with them, and unsupported variants (8-bit/RLE BMP,
-            # 16-bit/interlaced PNG, ADPCM WAV) raise; a malformed payload
-            # must not kill the whole Spark job
+            # 16-bit/interlaced PNG, ADPCM WAV) raise ValueError while
+            # TRUNCATED headers raise struct.error/IndexError from the
+            # codecs' unpacking; a malformed payload must not kill the
+            # whole Spark job
             pass
     return decode_stub(payload, kind)
 

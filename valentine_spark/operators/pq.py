@@ -136,6 +136,46 @@ def _adc_table(q_vec: List[float], codebooks: Codebooks) -> List[List[float]]:
     return table
 
 
+def _adc_scan(encoded: DataFrame, qstructs, k: int, match_cell: bool) -> DataFrame:
+    """The shared ADC search tail of ``pq_topk`` / ``ivfpq_topk``: explode
+    the per-query (table[, cell]) literals against the encoded corpus,
+    score by the code-indexed lookup fold rounded to 6 dp, take per-query
+    top-k ascending (ties broken by vec_id).  Kept in ONE place so a
+    rounding/tie-break change can never drift between the two search
+    paths."""
+    from pyspark.sql.window import Window
+
+    pred = F.col("q.query_id") != F.col("vec_id")
+    if match_cell:
+        pred = pred & (F.col("q._cell") == F.col("_cell"))
+    scored = (
+        encoded.withColumn("q", F.explode(qstructs))
+        .where(pred)
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("pq_codes"),
+                        F.col("q.tbl"),
+                        lambda code, trow: F.element_at(trow, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: Optional[DataFrame] = None,
@@ -151,8 +191,6 @@ def pq_topk(
     """ADC top-k: (query_id, vec_id, adc_dist, rank), rank by ascending
     approximate squared L2.  ``queries`` is a driver-scale set by contract
     (default: corpus rows with id < 5, mirroring ``cosine_topk``)."""
-    from pyspark.sql.window import Window
-
     if dim is None:
         first = corpus.select(F.size(vec_col)).where(F.col(vec_col).isNotNull()).first()
         dim = int(first[0])
@@ -188,32 +226,7 @@ def pq_topk(
     )
     # scan reads ONLY (vec_id, pq_codes); the per-query score is a pure
     # lookup fold over m codes — the PQ promise made literal in the plan
-    scored = (
-        encoded.select("vec_id", "pq_codes", F.explode(qtables).alias("q"))
-        .where(F.col("q.query_id") != F.col("vec_id"))
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            "vec_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("pq_codes"),
-                        F.col("q.tbl"),
-                        lambda code, trow: F.element_at(trow, code + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("adc_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
-    )
+    return _adc_scan(encoded, qtables, k, match_cell=False)
 
 
 def ivfpq_topk(
@@ -245,8 +258,6 @@ def ivfpq_topk(
     are kept orthogonal so the DuckDB oracle replays cells and codebooks
     as the same two certified chains joined on cell — see
     ``__spark_entry__._ivfpq_oracle_sql``."""
-    from pyspark.sql.window import Window
-
     from .kmeans import kmeans_assign, kmeans_assign_multi, kmeans_fit
 
     if dim is None:
@@ -256,6 +267,7 @@ def ivfpq_topk(
     cells, _ = kmeans_fit(
         corpus, k=n_cells, max_iter=cells_max_iter, id_col=id_col,
         vec_col=vec_col, seed=seed,
+        tol=0.0,  # fixed round count: the oracle replays exactly this many
     )
     books = pq_train(
         corpus, dim, m=m, k=k_sub, id_col=id_col, vec_col=vec_col,
@@ -293,32 +305,4 @@ def ivfpq_topk(
             for qid, cell in probes
         ]
     )
-    scored = (
-        encoded.select("vec_id", "_cell", "pq_codes", F.explode(qstructs).alias("q"))
-        .where(
-            (F.col("q._cell") == F.col("_cell"))
-            & (F.col("q.query_id") != F.col("vec_id"))
-        )
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            "vec_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("pq_codes"),
-                        F.col("q.tbl"),
-                        lambda code, trow: F.element_at(trow, code + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("adc_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
-    )
+    return _adc_scan(encoded, qstructs, k, match_cell=True)
