@@ -1379,6 +1379,111 @@ def cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: replay the full WAL, then read the table AS OF
+    the mid-replay snapshot version — which must equal the LWW image of the
+    stream's FIRST HALF only, exactly what the oracle computes.  Exercises
+    the retained-snapshot read path (old manifests + data files) after later
+    commits have superseded them."""
+    from valentine_spark.cdc import LakeTable, apply_batch, replay
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_tt_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+    v_half = lake.version
+    apply_batch(lake, stream.where(F.col("lsn") > half), "tail")
+    state = lake.read(version=v_half)  # time travel past the tail commit
+    return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_TIME_TRAVEL_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream WHERE lsn <= (SELECT count(*) // 2 FROM events)
+)
+SELECT repo, path, "commit", lang,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-pruned point reads (``lake.lookup``): after the full WAL
+    replay, fetch a fixed driver-scale key set — live keys, a key whose last
+    op deleted it, and a never-present key — touching only files whose
+    khash footer range can contain them.  The oracle filters the LWW image
+    to the same key set (absent keys simply produce no row)."""
+    from valentine_spark.cdc import LakeTable, replay
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    stream = ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_lake_pl_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream, batch_lsns=4000)
+    keys = [(f"r{u % 13}", f"p{u}", "head") for u in range(1, 31)]
+    keys.append(("r0", "p999999999", "head"))  # never present
+    hits = lake.lookup(keys)
+    return hits.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_POINT_LOOKUP_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit", lang,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners
+WHERE rn = 1 AND op <> 'delete'
+  AND path IN (SELECT 'p' || x FROM generate_series(1, 30) t(x))
+  AND repo = 'r' || (replace(path, 'p', '')::BIGINT % 13)
+"""
+
+
 def cdc_follow_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once DOWNSTREAM consumption (``cdc/follow.py``): replay the
     WAL-ordered stream into a source lake in micro-batches with a
@@ -1825,6 +1930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": cdc_replay_state_mor,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_point_lookup": cdc_point_lookup,
         "cdc_follow_mirror": cdc_follow_mirror,
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_changelog": cdc_changelog,
@@ -1881,6 +1988,8 @@ def oracle_sql() -> dict[str, str]:
         # the follower-maintained downstream mirror must equal the source's
         # LWW image — same oracle
         "cdc_follow_mirror": _CDC_REPLAY_SQL,
+        "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
+        "cdc_point_lookup": _CDC_POINT_LOOKUP_SQL,
         # the drifted replay must land in the SAME final state as the
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
