@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""ANN search-path benchmark: exact cosine scan vs PQ-ADC vs IVF-PQ on a
+deterministic CLUSTERED synthetic corpus (default 1M x 64-dim, 256 planted
+clusters — real embedding corpora are clustered; uniform random vectors are
+ANN's degenerate worst case and measure nothing useful).
+
+Reported, deliberately both sides of the tradeoff:
+  * per-query scan cost: exact cosine over raw floats vs the ADC lookup
+    fold over m byte-codes (the steady-state serving cost);
+  * one-time indexing cost (codebook training + encode) — dominated by the
+    farthest-point init's k-1 sequential scans, amortized over the index's
+    serving lifetime;
+  * storage footprint: parquet bytes of raw embeddings vs PQ codes — the
+    100-TB argument in one number (the scan reads THIS);
+  * retrieval quality at the fixture's resolution: exact-top-k overlap
+    (strict; tiny codebooks cannot resolve within-cluster fine structure —
+    the documented PQ tradeoff) AND cluster-recall@k (fraction of returned
+    neighbors in the query's true cluster — the semantics dedup/similarity
+    pipelines actually need).
+
+Usage: python BENCH/ann_bench.py [n_vectors] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+N_CLUSTERS = 256
+NOISE = 0.15  # relative to the unit-ish center scale
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1_000_000
+    dim, n_queries, topk = 64, 5, 10
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pyspark.sql import SparkSession, functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    from valentine_spark.operators import cosine_topk, ivfpq_topk
+
+    # clustered synthetic embeddings, fully JVM-side: vector = cluster
+    # center (hash of cluster id per dim) + per-vector noise
+    cl = F.pmod(F.col("id"), F.lit(N_CLUSTERS))
+    def u(seed_col, d):  # deterministic uniform in [-1, 1)
+        return F.pmod(F.xxhash64(F.lit(d), seed_col), 10_000) / 5_000.0 - 1.0
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(u(cl, d) + NOISE * u(F.col("id"), d + dim)).cast("float")
+              for d in range(dim)]
+        ).alias("embedding"),
+    ).persist()
+    vecs.count()
+
+    def timed(fn):
+        t0 = time.time()
+        rows = fn().collect()
+        return time.time() - t0, rows
+
+    def sets_of(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    t_exact, exact_rows = timed(lambda: cosine_topk(vecs, k=topk, n_queries=n_queries))
+    exact_sets = sets_of(exact_rows)
+
+    from valentine_spark.operators.pq import _adc_scan, _adc_table, pq_encode, pq_train
+
+    t0 = time.time()
+    books = pq_train(vecs, dim, m=8, k=16, max_iter=3)
+    encoded = pq_encode(vecs, books).select("vec_id", "pq_codes").persist()
+    encoded.count()
+    t_index = time.time() - t0
+
+    q_rows = vecs.where(F.col("vec_id") < n_queries).collect()
+    qtables = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("query_id"),
+                F.array(
+                    *[F.array(*[F.lit(d) for d in row])
+                      for row in _adc_table([float(x) for x in r["embedding"]], books)]
+                ).alias("tbl"),
+            )
+            for r in q_rows
+        ]
+    )
+    t_pq, pq_rows = timed(lambda: _adc_scan(encoded, qtables, topk, match_cell=False))
+    pq_sets = sets_of(pq_rows)
+
+    t_ivfpq, ivfpq_rows = timed(
+        lambda: ivfpq_topk(vecs, k=topk, n_cells=16, nprobe=2, m=8, k_sub=16,
+                           max_iter=3, cells_max_iter=3)
+    )
+    ivfpq_sets = sets_of(ivfpq_rows)
+
+    # storage footprint: what the serving scan actually reads
+    root = tempfile.mkdtemp(prefix="ann_bench_")
+    vecs.write.parquet(os.path.join(root, "raw"))
+    encoded.write.parquet(os.path.join(root, "codes"))
+    du = lambda p: sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    )
+    raw_bytes, code_bytes = du(os.path.join(root, "raw")), du(os.path.join(root, "codes"))
+
+    def topk_overlap(approx):
+        num = sum(len(approx.get(q, set()) & s) for q, s in exact_sets.items())
+        den = sum(len(s) for s in exact_sets.values())
+        return round(num / den, 3) if den else None
+
+    def cluster_recall(approx):
+        num = den = 0
+        for q, s in approx.items():
+            den += len(s)
+            num += sum(1 for v in s if v % N_CLUSTERS == q % N_CLUSTERS)
+        return round(num / den, 3) if den else None
+
+    la1, _, _ = os.getloadavg()
+    result = {
+        "n_vectors": n, "dim": dim, "n_clusters": N_CLUSTERS,
+        "n_queries": n_queries, "topk": topk,
+        "exact_cosine_sec": round(t_exact, 2),
+        "pq_index_sec": round(t_index, 2),
+        "pq_adc_scan_sec": round(t_pq, 2),
+        "ivfpq_end_to_end_sec": round(t_ivfpq, 2),
+        "raw_parquet_mb": round(raw_bytes / 1e6, 1),
+        "codes_parquet_mb": round(code_bytes / 1e6, 1),
+        "scan_footprint_ratio": round(raw_bytes / max(code_bytes, 1), 1),
+        "exact_cluster_recall": cluster_recall(exact_sets),
+        "pq_topk_overlap": topk_overlap(pq_sets),
+        "pq_cluster_recall": cluster_recall(pq_sets),
+        "ivfpq_topk_overlap": topk_overlap(ivfpq_sets),
+        "ivfpq_cluster_recall": cluster_recall(ivfpq_sets),
+        "pq_params": {"m": 8, "k_sub": 16},
+        "ivfpq_params": {"n_cells": 16, "nprobe": 2},
+        "loadavg_1m": round(la1, 2),
+    }
+    print(json.dumps(result))
+    if "--json" in sys.argv:
+        with open(sys.argv[sys.argv.index("--json") + 1], "w") as fh:
+            json.dump(result, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
