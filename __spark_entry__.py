@@ -28,6 +28,26 @@ from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 
+def _wal_stream(ev: DataFrame) -> DataFrame:
+    """The one WAL-ordered change stream every cdc_* query and its SQL
+    oracle share (lsn = row_number over (ts, event_id) — the real-binlog
+    invariant that LSN order and commit-timestamp order agree; the key
+    synthesis MUST stay bit-identical to the `stream` CTE each oracle
+    repeats).  The global row_number is a single-partition window:
+    harness-scale stream synthesis only, not the engine under test."""
+    w = Window.orderBy("ts", "event_id")
+    return ev.select(
+        F.row_number().over(w).cast("long").alias("lsn"),
+        F.col("ts").alias("op_ts"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -1309,17 +1329,7 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     root = tempfile.mkdtemp(prefix="entry_lake_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
     replay(lake, stream, batch_lsns=4000)
@@ -1358,17 +1368,7 @@ def cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     root = tempfile.mkdtemp(prefix="entry_lake_mor_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8, write_mode="mor")
     replay(lake, stream, batch_lsns=4000)
@@ -1388,17 +1388,7 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, replay
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_tt_")
@@ -1440,17 +1430,7 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     root = tempfile.mkdtemp(prefix="entry_lake_pl_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
     replay(lake, stream, batch_lsns=4000)
@@ -1497,17 +1477,7 @@ def cdc_follow_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, mirror_changes
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     n = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_follow_")
     src = LakeTable.create(os.path.join(root, "src"), spark, n_buckets=8)
@@ -1540,17 +1510,7 @@ def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, replay
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     half = ev.count() // 2
     root = tempfile.mkdtemp(prefix="entry_lake_drift_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
@@ -1579,17 +1539,7 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, replay
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_chg_")
@@ -1618,17 +1568,7 @@ def cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.streaming.lake_source import register_lake_changes
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_chgstream_")
@@ -1723,17 +1663,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    stream = ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
-        F.col("ts").alias("op_ts"),
-        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
-        F.lit("head").alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    stream = _wal_stream(ev)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_ivm_")

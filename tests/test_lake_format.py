@@ -756,3 +756,112 @@ def test_compact_if_needed_policy(spark, tmp_path):
     for b, es in lake._bucket_files(lake.metadata()).items():
         if str(b) not in after:
             assert len(es) <= 2  # compacted buckets are tight again
+
+
+def test_cow_merge_does_not_resurrect_clean_bucket_tombstones(spark, tmp_path):
+    """Ghost-tombstone hazard on the MERGE path (compact()/read() already
+    guard it): a MoR delete of never-present keys into an EMPTY bucket
+    leaves a tombstone file in a CLEAN bucket; a later COW merge that
+    range-hits that file must not rewrite it through the data-schema read,
+    which would resurrect the tombstoned keys as null-payload rows."""
+    lake = LakeTable.create(str(tmp_path / "ghost"), spark, n_buckets=1)
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [(1, 1.0, "delete", "r", "G1", "c", None, None),
+             (2, 2.0, "delete", "r", "G2", "c", None, None)],
+            _COLS,
+        ),
+        "del-never-present", mode="mor",
+    )
+    assert not lake.metadata().get("dirty"), "empty-bucket tombstone stays clean"
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [(3, 3.0, "upsert", "r", "G1", "c", "py", "hello")],
+            _COLS,
+        ),
+        "cow-upsert", mode="cow",
+    )
+    rows = {(r["repo"], r["path"]): r["content"] for r in lake.read().collect()}
+    assert rows == {("r", "G1"): "hello"}, f"G2 must NOT resurrect: {rows}"
+    assert lake.lookup([("r", "G2", "c")]).count() == 0
+
+
+def test_changes_distinguishes_null_from_sentinel_value(spark, tmp_path):
+    """A NULL <-> literal-sentinel content flip is a REAL update and must
+    appear in the changelog (the fingerprint hashes an is-null flag, not a
+    sentinel that a genuine value could collide with)."""
+    lake = LakeTable.create(str(tmp_path / "nullfp"), spark, n_buckets=1)
+    apply_batch(
+        lake,
+        spark.createDataFrame([(1, 1.0, "upsert", "r", "P", "c", "py", "\x00")], _COLS),
+        "b1",
+    )
+    v1 = lake.version
+    apply_batch(
+        lake,
+        spark.createDataFrame([(2, 2.0, "upsert", "r", "P", "c", "py", None)], _COLS),
+        "b2",
+    )
+    chg = lake.changes(v1).collect()
+    assert len(chg) == 1 and chg[0]["change_op"] == "update"
+    assert chg[0]["content"] is None
+    # and the reverse direction
+    apply_batch(
+        lake,
+        spark.createDataFrame([(3, 3.0, "upsert", "r", "P", "c", "py", "\x00")], _COLS),
+        "b3",
+    )
+    chg2 = lake.changes(v1 + 1).collect()
+    assert len(chg2) == 1 and chg2[0]["content"] == "\x00"
+
+
+def test_ivm_null_group_key_merges_as_one_group(spark, tmp_path):
+    """NULL group keys: groupBy treats NULL as one group, so the maintain
+    join must be null-safe — a NULL-lang group must roll forward as ONE row
+    equal to the from-scratch recompute."""
+    from valentine_spark.cdc import init_aggregate, maintain_aggregate
+
+    lake = LakeTable.create(str(tmp_path / "nullg"), spark, n_buckets=2)
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [(1, 1.0, "upsert", "r", "A", "c", None, "xx"),
+             (2, 2.0, "upsert", "r", "B", "c", None, "yyy"),
+             (3, 3.0, "upsert", "r", "C", "c", "go", "z")],
+            _COLS,
+        ),
+        "c1",
+    )
+    v1 = lake.version
+    measures = {"files": ("count", None), "bytes": ("sum", "clen")}
+
+    def prep(df):
+        out = df.withColumn("clen", F.length(F.coalesce(F.col("content"), F.lit(""))))
+        if "_before_content" in df.columns:
+            out = out.withColumn(
+                "_before_clen", F.length(F.coalesce(F.col("_before_content"), F.lit("")))
+            )
+        return out
+
+    agg = init_aggregate(prep(lake.read()), ["lang"], measures)
+    apply_batch(
+        lake,
+        spark.createDataFrame(
+            [(4, 4.0, "upsert", "r", "D", "c", None, "wwww"),
+             (5, 5.0, "delete", "r", "A", "c", None, None)],
+            _COLS,
+        ),
+        "c2",
+    )
+    chg = prep(lake.changes(v1, include_before=True))
+    rolled = maintain_aggregate(agg, chg, ["lang"], measures)
+    fresh = init_aggregate(prep(lake.read()), ["lang"], measures)
+    key = lambda df: sorted(
+        ((r["lang"], r["files"], r["bytes"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    got, want = key(rolled), key(fresh)
+    assert got == want, (got, want)
+    assert sum(1 for t in got if t[0] is None) == 1  # ONE null-keyed row

@@ -146,13 +146,22 @@ def maintain_aggregate(
     """
     delta = aggregate_delta(changes, group_cols, measures)
     d = delta.select(
-        *group_cols,
+        *[F.col(c).alias(f"_d_key_{c}") for c in group_cols],
         F.col(_GROUP_N).alias("_d_n"),
         *[F.col(out).alias(f"_d_{out}") for out in measures],
     )
-    merged = prev.join(d, group_cols, "full_outer")
+    # null-SAFE key equality: groupBy treats NULL as one group, so the
+    # merge join must too — a plain equi-join would split a NULL-keyed
+    # group into two rows that never reconcile
+    cond = None
+    for c in group_cols:
+        eq = prev[c].eqNullSafe(d[f"_d_key_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    merged = prev.join(d, cond, "full_outer")
     zero = F.lit(0)
-    out_cols = list(group_cols)
+    out_cols = [
+        F.coalesce(prev[c], d[f"_d_key_{c}"]).alias(c) for c in group_cols
+    ]
     out_cols.append(
         (F.coalesce(F.col(_GROUP_N), zero) + F.coalesce(F.col("_d_n"), zero)).alias(_GROUP_N)
     )

@@ -722,7 +722,20 @@ class LakeTable:
 
         _t0 = time.time()
         current_files = self._bucket_files(meta, changed)
-        flat_entries = [(b, e) for b, entries in current_files.items() for e in entries]
+        # tombstone entries in a CLEAN bucket name never-present keys only
+        # (a MoR delete into an empty bucket; dirty buckets were compacted
+        # above).  They are skipped at read and MUST be excluded here too:
+        # rewriting one through the data-schema read path would resurrect
+        # its keys as live null-payload rows (the ghost-tombstone hazard
+        # compact()/read() already guard).  Excluding them from the rewrite
+        # candidate set also drops them from rewritten buckets' manifests —
+        # semantics-free (nothing to suppress) — and GC reclaims the files.
+        flat_entries = [
+            (b, e)
+            for b, entries in current_files.items()
+            for e in entries
+            if e.get("kind") != "tomb"
+        ]
         if touched_hint is not None:
             # both the pruning jobs AND the write job's anti-join run off
             # the hint: a duplicate-inflated build side is cheaper than
@@ -746,10 +759,10 @@ class LakeTable:
 
         _t_write0 = time.time()
         rewrite = [flat_entries[i] for i in sorted(touched_ids)]
-        kept: Dict[int, List[dict]] = {
-            b: [e for i, (bb, e) in enumerate(flat_entries) if bb == b and i not in touched_ids]
-            for b in current_files
-        }
+        kept: Dict[int, List[dict]] = {b: [] for b in current_files}
+        for i, (b, e) in enumerate(flat_entries):  # one pass, O(n_files)
+            if i not in touched_ids:
+                kept[b].append(e)
         commit["files_rewritten"] = len(rewrite)
         commit["bytes_rewritten"] = sum(e["bytes"] for _, e in rewrite)
 
@@ -1204,7 +1217,14 @@ class LakeTable:
 
         old = _aligned(meta_from["version"])
         new = _aligned(meta_to["version"])
-        fp = lambda df: F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in nonkey])
+        # null-collision-free fingerprint: hash each value alongside an
+        # explicit is-null flag — a literal "\x00" string value and NULL
+        # must NOT collide (a NULL<->sentinel update would silently vanish
+        # from the changelog and corrupt IVM retractions)
+        fp = lambda df: F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in nonkey],
+            *[F.col(c).isNull().cast("string") for c in nonkey],
+        )
         before = [F.col(c).alias(f"_before_{c}") for c in nonkey] if include_before else []
         old = old.select(*KEY_COLS, fp(old).alias("_old_fp"), *before)
         joined = new.withColumn("_new_fp", fp(new)).join(old, KEY_COLS, "full_outer")

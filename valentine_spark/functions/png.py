@@ -114,6 +114,8 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
+            if len(body) != 13:  # keep the ValueError-only error contract
+                raise ValueError(f"malformed IHDR length {len(body)}")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
