@@ -33,11 +33,15 @@ def _wal_stream(ev: DataFrame) -> DataFrame:
     oracle share (lsn = row_number over (ts, event_id) — the real-binlog
     invariant that LSN order and commit-timestamp order agree; the key
     synthesis MUST stay bit-identical to the `stream` CTE each oracle
-    repeats).  The global row_number is a single-partition window:
-    harness-scale stream synthesis only, not the engine under test."""
-    w = Window.orderBy("ts", "event_id")
-    return ev.select(
-        F.row_number().over(w).cast("long").alias("lsn"),
+    repeats).  The rank is the distributed two-phase form
+    (utils/ranking.py), not a single-partition global window; (ts,
+    event_id) is a total key, so the values are deterministic and equal
+    to the oracles' ``row_number() OVER (ORDER BY ts, event_id)``."""
+    from valentine_spark.utils.ranking import distributed_row_number
+
+    ranked = distributed_row_number(ev, ["ts", "event_id"], rank_col="lsn")
+    return ranked.select(
+        F.col("lsn").cast("long").alias("lsn"),
         F.col("ts").alias("op_ts"),
         F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
         F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
@@ -599,7 +603,14 @@ def emd_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ev.groupBy().pivot("event_type", ["click", "view"]).agg(F.count(F.lit(1)))
     t = totals.collect()[0]
     n_click, n_view = t["click"] or 1, t["view"] or 1
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # 32-row frame by construction; partitionBy(lit(0)) is semantically a
+    # global window but keeps this benign case from emitting "WindowExec: No
+    # Partition Defined" warnings in bench tails (see utils/ranking.py)
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cdf = counts.withColumn("cdf_click", F.sum(F.col("click") / n_click).over(w)).withColumn(
         "cdf_view", F.sum(F.col("view") / n_view).over(w)
     )

@@ -45,7 +45,12 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
+    "embedding_ivfpq_topk",
+    "dedup_ngram_prefix",
     "cdc_lww_stream",
+    "cdc_changelog",
+    "cdc_follow_mirror",
+    "cdc_incremental_agg",
 ]
 
 
@@ -102,23 +107,40 @@ def run_cdc_replay(spark: SparkSession, n_events: int, n_buckets: int = 64) -> d
     state = lake.state_checksum()
 
     # merge-on-read arm: the sustained-ingest posture (O(batch) appends +
-    # tombstones, resolution deferred) — must reach the identical state
+    # tombstones, resolution deferred).  Ingest and read are timed
+    # SEPARATELY (VERDICT r3 ask #6): MoR buys O(batch) ingest at the price
+    # of a per-key resolution aggregation on uncompacted reads; compact()
+    # folds the table back to scan-only and the post-compact read shows the
+    # recovered cost.  All three states must equal the COW state.
     mor = LakeTable.create(
         os.path.join(root, "mor"), spark, n_buckets=n_buckets, write_mode="mor"
     )
     t0 = time.time()
     replay(mor, stream, batch_lsns=max(n_events // 4, 1), max_lsn=n_events - 1)
-    mor_wall = time.time() - t0
-    mor_state = mor.state_checksum()
+    mor_ingest = time.time() - t0
+    t0 = time.time()
+    mor_state = mor.state_checksum()  # uncompacted: per-key max-by resolution
+    mor_read = time.time() - t0
+    t0 = time.time()
+    mor.compact()
+    mor_compact = time.time() - t0
+    t0 = time.time()
+    mor_state_compacted = mor.state_checksum()  # scan-only again
+    mor_read_compacted = time.time() - t0
     return {
         "cdc_wall_seconds": round(wall, 3),
         "cdc_events_per_sec": round(n_events / wall, 1),
         "cdc_events": n_events,
         "cdc_final_rows": state["rows"],
         "cdc_state_checksum": str(state["checksum"]),
-        "cdc_mor_wall_seconds": round(mor_wall, 3),
-        "cdc_mor_events_per_sec": round(n_events / mor_wall, 1),
-        "cdc_mor_state_match": mor_state == state,
+        # kept = ingest-only for cross-round comparability (r2/r3 meaning)
+        "cdc_mor_wall_seconds": round(mor_ingest, 3),
+        "cdc_mor_ingest_seconds": round(mor_ingest, 3),
+        "cdc_mor_read_seconds": round(mor_read, 3),
+        "cdc_mor_compact_seconds": round(mor_compact, 3),
+        "cdc_mor_read_compacted_seconds": round(mor_read_compacted, 3),
+        "cdc_mor_events_per_sec": round(n_events / mor_ingest, 1),
+        "cdc_mor_state_match": mor_state == state and mor_state_compacted == state,
     }
 
 

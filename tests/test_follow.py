@@ -202,3 +202,47 @@ def test_mirror_follows_schema_evolution(spark, tmp_path):
     s = {tuple(r) for r in src.read().select("repo", "path", "commit", "stars").collect()}
     d = {tuple(r) for r in dst.read().select("repo", "path", "commit", "stars").collect()}
     assert s == d and any(x[-1] is not None for x in s)
+
+
+def test_aggressive_expiry_races_lagging_consumer_soak(spark, tmp_path):
+    """Soak the retention/consumer race Delta-CDF/Iceberg users actually hit:
+    ``expire_snapshots(keep_last=1)`` repeatedly removes the snapshot a
+    lagging follower is positioned on, interleaved with cycles where the
+    base survives.  The contract under test: a poll whose base snapshot was
+    expired NEVER yields an incremental delivery (which could silently gap
+    over the expired window) — it must be a resync; a poll whose base
+    survives stays incremental; and the mirror equals the source after
+    every cycle either way."""
+    import shutil
+
+    stream = synth_change_stream(spark, 6_000, 900, seed=77).cache()
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=2)
+    dst_root = str(tmp_path / "dst")
+    dst = LakeTable.create(dst_root, spark, n_buckets=2)
+    fol = ChangelogFollower(src, str(tmp_path / "ckpt"), on_expired="resync")
+    n_resync = n_incremental = 0
+    for cycle in range(6):
+        lo, hi = cycle * 1_000, (cycle + 1) * 1_000
+        batch = stream.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        replay(src, batch, batch_lsns=500, batch_id_prefix=f"c{cycle}",
+               max_lsn=6_000 - 1)
+        base = fol.position
+        if cycle in (2, 4):  # retention outruns the lagging consumer
+            src.expire_snapshots(keep_last=1)
+        base_expired = not os.path.exists(src._meta_path(base))
+        d = fol.poll()
+        assert d is not None
+        assert d.resync == base_expired  # never a silent gap, never a spurious resync
+        if d.resync:
+            n_resync += 1
+            # resync cannot observe gap-window deletes; per the documented
+            # contract the sink is recreated for a byte-exact mirror
+            shutil.rmtree(dst_root)
+            dst = LakeTable.create(dst_root, spark, n_buckets=2)
+        else:
+            n_incremental += 1
+        apply_delivery(dst, d)
+        fol.commit(d)
+        assert dst.state_checksum() == src.state_checksum()
+    assert n_resync == 2 and n_incremental == 4  # both paths actually soaked
+    assert fol.poll() is None

@@ -983,3 +983,122 @@ def test_ivfpq_single_probe_subsets_full_probe(spark):
                for r in kmeans_assign(emb, cells).select("vec_id", "cluster").collect()}
     for r in got.collect():
         assert cell_of[r["vec_id"]] == cell_of[r["query_id"]], r
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_near_lossless_q100():
+    """Quality 100 makes every quant step 1, so round-trip error is bounded
+    by FDCT/IDCT float rounding + coefficient rounding alone — a few gray
+    levels on arbitrary random content."""
+    import numpy as np
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsampling="444"))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    diff = np.abs(out.astype(int) - img.astype(int))
+    # RGB->YCbCr->RGB is float-exact; quantization rounding costs <=0.5 per
+    # coefficient, a few levels after the inverse transform
+    assert diff.max() <= 6 and diff.mean() < 2.0, (diff.max(), diff.mean())
+
+
+def test_jpeg_420_subsampling_and_odd_dims():
+    """4:2:0: chroma is 2x2 box-averaged; on a chroma-flat (gray-content)
+    image subsampling is exact, so quality-100 error stays at transform
+    rounding even with non-MCU-aligned dimensions (21x13 vs 16-px MCUs)."""
+    import numpy as np
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(8)
+    gray = rng.integers(0, 256, size=(21, 13, 1), dtype=np.uint8)
+    img = np.repeat(gray, 3, axis=2)  # R=G=B -> Cb=Cr=128 everywhere
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    assert out.shape == img.shape
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.max() <= 6 and diff.mean() < 2.0, (diff.max(), diff.mean())
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: an image spanning several MCUs encoded with restart
+    markers every 2 MCUs decodes identically to the unrestarted encoding
+    (resync + DC-predictor reset both exercised)."""
+    import numpy as np
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)  # 15 MCUs
+    plain = decode_jpeg(encode_jpeg(img, quality=85, subsampling="444"))
+    restarted = decode_jpeg(
+        encode_jpeg(img, quality=85, subsampling="444", restart_interval=2)
+    )
+    assert np.array_equal(plain, restarted)
+
+
+def test_jpeg_quality_tradeoff_and_determinism():
+    """Lower quality -> smaller payload, bounded degradation; encode is
+    bit-deterministic."""
+    import numpy as np
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(10)
+    # smooth gradient content (JPEG's design regime, unlike white noise)
+    x = np.linspace(0, 255, 32)
+    img = np.clip(
+        np.dstack([np.add.outer(x, x / 2), np.add.outer(x / 3, x), np.tile(x, (32, 1))]),
+        0, 255,
+    ).astype(np.uint8)
+    hi = encode_jpeg(img, quality=95)
+    lo = encode_jpeg(img, quality=30)
+    assert len(lo) < len(hi)
+    assert hi == encode_jpeg(img, quality=95)  # deterministic bytes
+    err_hi = np.abs(decode_jpeg(hi).astype(int) - img.astype(int)).mean()
+    err_lo = np.abs(decode_jpeg(lo).astype(int) - img.astype(int)).mean()
+    assert err_hi <= err_lo and err_lo < 20.0, (err_hi, err_lo)
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive/truncated/garbage payloads raise ValueError (the
+    decode_media contract: fall through to the stub, never kill the job)."""
+    import pytest as _pytest
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    import numpy as np
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = encode_jpeg(img)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
+    with _pytest.raises(ValueError):
+        # flip SOF0 (0xC0) to SOF2 progressive (0xC2)
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_image_features_real_jpeg_decode(spark):
+    """End-to-end REAL JPEG path through the Arrow mapInPandas stage — the
+    PNG/BMP twin: the extracted features equal a direct numpy computation
+    on the decoded (lossy) pixels."""
+    import numpy as np
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from valentine_spark.operators.multimodal import extract_features, image_features
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90, subsampling="420")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 6, 9, 0)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    rows = extract_features(media).collect()
+    got = np.array(rows[0]["feature"], dtype=np.float32)
+    assert np.allclose(got, image_features(decode_jpeg(payload)), atol=1e-6)

