@@ -110,15 +110,50 @@ def main() -> None:
     )
     ivfpq_sets = sets_of(ivfpq_rows)
 
+    # PRODUCTION-SIZE arm (VERDICT r3 ask #4): k_sub=256 / m=8 codebooks —
+    # the sizes real PQ deployments use (1 byte/code).  Not oracle-replayable
+    # (the farthest-point init would be 255 sequential scans x 8 subspaces),
+    # so it uses the scale path: hash init + training on a deterministic
+    # ~10% sample (standard PQ practice — codebooks generalize), and the
+    # Arrow-vectorized encode (the k=16 expression encode exceeds JIT
+    # limits at k=256).  Reported: exact-top-k overlap + ADC scan cost.
+    from valentine_spark.operators.pq import pq_encode_arrow
+
+    k_sub_prod = 256
+    t0 = time.time()
+    train_sample = vecs.where(F.pmod(F.xxhash64("vec_id"), 10) == 0)
+    books256 = pq_train(train_sample, dim, m=8, k=k_sub_prod, max_iter=3,
+                        init="hash")
+    encoded256 = pq_encode_arrow(vecs, books256).select("vec_id", "pq_codes").persist()
+    encoded256.count()
+    t_index256 = time.time() - t0
+
+    qtables256 = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("query_id"),
+                F.array(
+                    *[F.array(*[F.lit(d) for d in row])
+                      for row in _adc_table([float(x) for x in r["embedding"]], books256)]
+                ).alias("tbl"),
+            )
+            for r in q_rows
+        ]
+    )
+    t_pq256, pq256_rows = timed(lambda: _adc_scan(encoded256, qtables256, topk, match_cell=False))
+    pq256_sets = sets_of(pq256_rows)
+
     # storage footprint: what the serving scan actually reads
     root = tempfile.mkdtemp(prefix="ann_bench_")
     vecs.write.parquet(os.path.join(root, "raw"))
     encoded.write.parquet(os.path.join(root, "codes"))
+    encoded256.write.parquet(os.path.join(root, "codes256"))
     du = lambda p: sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
     )
     raw_bytes, code_bytes = du(os.path.join(root, "raw")), du(os.path.join(root, "codes"))
+    code256_bytes = du(os.path.join(root, "codes256"))
 
     def topk_overlap(approx):
         num = sum(len(approx.get(q, set()) & s) for q, s in exact_sets.items())
@@ -150,6 +185,13 @@ def main() -> None:
         "ivfpq_cluster_recall": cluster_recall(ivfpq_sets),
         "pq_params": {"m": 8, "k_sub": 16},
         "ivfpq_params": {"n_cells": 16, "nprobe": 2},
+        "pq256_index_sec": round(t_index256, 2),
+        "pq256_adc_scan_sec": round(t_pq256, 2),
+        "pq256_codes_parquet_mb": round(code256_bytes / 1e6, 1),
+        "pq256_topk_overlap": topk_overlap(pq256_sets),
+        "pq256_cluster_recall": cluster_recall(pq256_sets),
+        "pq256_params": {"m": 8, "k_sub": k_sub_prod, "init": "hash",
+                         "train_sample": "~10% (xxhash mod 10)"},
         "loadavg_1m": round(la1, 2),
     }
     print(json.dumps(result))

@@ -248,3 +248,97 @@ def test_streaming_ivm_end_to_end(spark, tmp_path):
     got = state["view"]
     key = lambda df: df.sort_values("lang").reset_index(drop=True)[sorted(df.columns)]
     assert key(got).astype(str).equals(key(want).astype(str))
+
+
+def test_max_versions_per_batch_offset_protocol(spark, tmp_path):
+    """Admission control at the offset level (maxVersionsPerBatch): after
+    the first (uncapped, restart-safe) catch-up offset, latestOffset
+    advances at most N versions per call, never regresses behind a
+    committed or replayed offset, and converges to the lake head."""
+    stream = synth_change_stream(spark, 2_000, 400, seed=131).cache()
+    lake = LakeTable.create(str(tmp_path / "l"), spark, n_buckets=2)
+    replay(lake, stream, batch_lsns=250, max_lsn=1_999)  # 8 commits
+    head = lake.version
+    assert head >= 8
+
+    reader = LakeChangesStreamReader(
+        _source_schema(lake),
+        {"path": lake.root, "startingversion": "0", "maxversionsperbatch": "2"},
+    )
+    assert reader.initialOffset() == {"version": 0}
+    # first call after start: safe uncapped catch-up base
+    first = reader.latestOffset()["version"]
+    assert first == head
+    # no new commits: offset must hold at head, not wander
+    assert reader.latestOffset()["version"] == head
+
+    # new commits land; the cap meters them out 2 versions per call
+    stream2 = synth_change_stream(spark, 1_200, 300, seed=132).cache()
+    replay(lake, stream2, batch_lsns=200, batch_id_prefix="t", max_lsn=1_199)  # 6 more
+    new_head = lake.version
+    seen = [head]
+    while seen[-1] < new_head:
+        nxt = reader.latestOffset()["version"]
+        assert 0 < nxt - seen[-1] <= 2
+        seen.append(nxt)
+    assert seen[-1] == new_head
+    assert len(seen) >= 1 + (new_head - head + 1) // 2
+
+    # a replayed partitions() call teaches a FRESH reader the position: its
+    # next capped offset builds on the replayed end, not on version 0
+    reader2 = LakeChangesStreamReader(
+        _source_schema(lake),
+        {"path": lake.root, "startingversion": "0", "maxversionsperbatch": "2"},
+    )
+    reader2.partitions({"version": head}, {"version": head + 2})  # Spark replays
+    nxt = reader2.latestOffset()["version"]
+    assert nxt == head + 4  # capped continuation, no regression to v0
+
+    # commit() is a floor too
+    reader2.commit({"version": new_head})
+    assert reader2.latestOffset()["version"] == new_head
+
+
+def test_max_versions_per_batch_streaming_end_to_end(spark, tmp_path):
+    """A live capped stream: commits that land after the first batch are
+    delivered in micro-batches of <= 2 versions each, and the union of all
+    batches equals the full changelog window."""
+    register_lake_changes(spark)
+    stream = synth_change_stream(spark, 2_400, 400, seed=133).cache()
+    lake = LakeTable.create(str(tmp_path / "l"), spark, n_buckets=2)
+    replay(lake, stream.where(F.col("lsn") < 400), batch_lsns=200, max_lsn=399)
+
+    collected = []
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("maxVersionsPerBatch", "2")
+        .load(lake.root)
+        .writeStream.foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # first (uncapped) batch: the 2 base commits
+        n_first = len(collected)
+        replay(lake, stream.where(F.col("lsn") >= 400), batch_lsns=200,
+               batch_id_prefix="t", max_lsn=2_399)  # 10 more commits
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    tail_batches = len(collected) - n_first
+    assert tail_batches >= 5, f"10 capped commits should need >=5 batches, got {tail_batches}"
+    # exactly-once composition: applying the batches in order (upsert on
+    # insert/update, remove on delete) must rebuild the lake's final state
+    state = {}
+    for pdf in collected:
+        for r in pdf.itertuples(index=False):
+            key = (r.repo, r.path, r.commit)
+            if r.change_op == "delete":
+                state.pop(key, None)
+            else:
+                state[key] = (r.lang, r.content)
+    want = {
+        (r["repo"], r["path"], r["commit"]): (r["lang"], r["content"])
+        for r in lake.read().collect()
+    }
+    assert state == want

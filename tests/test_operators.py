@@ -1102,3 +1102,30 @@ def test_image_features_real_jpeg_decode(spark):
     rows = extract_features(media).collect()
     got = np.array(rows[0]["feature"], dtype=np.float32)
     assert np.allclose(got, image_features(decode_jpeg(payload)), atol=1e-6)
+
+
+def test_pq_encode_arrow_matches_expression_encode(spark):
+    """The Arrow-vectorized encode (production path, k_sub=256-class) must
+    assign the same codes as the oracle-replayable expression encode, same
+    tie-break (first minimal index), on a separable clustered fixture.
+    Also covers kmeans_fit(init='hash'): one seeding job instead of k-1
+    sequential scans."""
+    from pyspark.sql import functions as F
+
+    from valentine_spark.operators.pq import pq_encode, pq_encode_arrow, pq_train
+
+    dim, n = 16, 800
+    cl = F.pmod(F.col("id"), F.lit(8))
+    u = lambda s, d: F.pmod(F.xxhash64(F.lit(d), s), 10_000) / 5_000.0 - 1.0
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(u(cl, d) + 0.1 * u(F.col("id"), d + dim)).cast("float")
+                  for d in range(dim)]).alias("embedding"),
+    )
+    books = pq_train(vecs, dim, m=4, k=8, max_iter=2, init="hash")
+    expr = {r["vec_id"]: list(r["pq_codes"])
+            for r in pq_encode(vecs, books).select("vec_id", "pq_codes").collect()}
+    arrow = {r["vec_id"]: list(r["pq_codes"])
+             for r in pq_encode_arrow(vecs, books).select("vec_id", "pq_codes").collect()}
+    assert expr == arrow
+    assert len({tuple(c) for c in expr.values()}) > 1  # codes actually vary

@@ -74,45 +74,69 @@ def kmeans_fit(
     vec_col: str = "embedding",
     seed: int = 42,
     tol: float = 1e-6,
+    init: str = "farthest",
 ) -> Tuple[List[List[float]], int]:
-    """Returns (centroids as k x dim floats, iterations run)."""
+    """Returns (centroids as k x dim floats, iterations run).
+
+    ``init``: ``"farthest"`` (default) is the deterministic k-means++
+    flavor the DuckDB oracle replays verbatim — k-1 sequential scans, fine
+    for coarse IVF cell counts (k <= ~32) but quadratic-feeling at
+    production codebook sizes; ``"hash"`` seeds all k centroids in ONE job
+    (the k distinct vectors first in md5(id:seed) order — a deterministic
+    uniform draw), the scale path for k_sub=256-class PQ training."""
     from pyspark import StorageLevel
 
+    if init not in ("farthest", "hash"):
+        raise ValueError(f"init must be 'farthest' or 'hash', got {init!r}")
     vecs = (
         df.select(id_col, vec_col)
         .where(F.col(vec_col).isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)  # scanned k-1 init passes + one per iteration
+        .persist(StorageLevel.MEMORY_AND_DISK)  # scanned per init pass + one per iteration
     )
-    # farthest-point init (deterministic k-means++ flavor): seed point by
-    # hash, then k-1 scans each adding the point farthest from the current
-    # centroid set — avoids the merged-cluster local optimum a pure random
-    # pick of k points is prone to.  k is small (coarse IVF cells), so k-1
-    # extra scans are cheap relative to the Lloyd iterations.
     # engine-portable seed hash: md5 of "id:seed" orders identically in any
     # SQL engine (the DuckDB oracle replays this init verbatim), unlike
     # Spark-only xxhash64
-    first = (
-        vecs.orderBy(
-            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
-            F.col(id_col),
-        )
-        .limit(1)
-        .collect()
+    hash_order = (
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        F.col(id_col),
     )
-    if not first:
-        raise ValueError(f"need >= {k} vectors to fit k={k}, got 0")
-    centroids = [[float(x) for x in first[0][vec_col]]]
-    while len(centroids) < k:
-        far = (
-            vecs.select(id_col, vec_col, _min_dist_expr(vec_col, centroids).alias("_d"))
-            .orderBy(F.col("_d").desc(), F.col(id_col))
-            .limit(1)
-            .collect()
-        )
-        nxt = [float(x) for x in far[0][vec_col]]
-        if far[0]["_d"] == 0.0 and any(nxt == c for c in centroids):
-            raise ValueError(f"need >= {k} distinct vectors to fit k={k}")
-        centroids.append(nxt)
+    if init == "hash":
+        # one job: over-fetch 4k rows by hash order, dedupe identical
+        # vectors driver-side, keep the first k distinct
+        rows = vecs.orderBy(*hash_order).limit(4 * k).collect()
+        centroids, seen = [], set()
+        for r in rows:
+            key = tuple(float(x) for x in r[vec_col])
+            if key not in seen:
+                seen.add(key)
+                centroids.append(list(key))
+                if len(centroids) == k:
+                    break
+        if len(centroids) < k:
+            raise ValueError(
+                f"need >= {k} distinct vectors to fit k={k} "
+                f"(found {len(centroids)} among the first {4 * k} by hash)"
+            )
+    else:
+        # farthest-point init (deterministic k-means++ flavor): seed point
+        # by hash, then k-1 scans each adding the point farthest from the
+        # current centroid set — avoids the merged-cluster local optimum a
+        # pure random pick of k points is prone to.
+        first = vecs.orderBy(*hash_order).limit(1).collect()
+        if not first:
+            raise ValueError(f"need >= {k} vectors to fit k={k}, got 0")
+        centroids = [[float(x) for x in first[0][vec_col]]]
+        while len(centroids) < k:
+            far = (
+                vecs.select(id_col, vec_col, _min_dist_expr(vec_col, centroids).alias("_d"))
+                .orderBy(F.col("_d").desc(), F.col(id_col))
+                .limit(1)
+                .collect()
+            )
+            nxt = [float(x) for x in far[0][vec_col]]
+            if far[0]["_d"] == 0.0 and any(nxt == c for c in centroids):
+                raise ValueError(f"need >= {k} distinct vectors to fit k={k}")
+            centroids.append(nxt)
 
     iters = 0
     for _ in range(max_iter):

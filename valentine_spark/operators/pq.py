@@ -45,6 +45,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .kmeans import kmeans_fit
@@ -65,9 +67,16 @@ def pq_train(
     vec_col: str = "embedding",
     max_iter: int = 3,
     seed: int = 42,
+    init: str = "farthest",
 ) -> Codebooks:
     """Fit one k-centroid codebook per subspace.  ``dim`` must be divisible
-    by ``m`` (classic PQ; padding variants exist but hide the semantics)."""
+    by ``m`` (classic PQ; padding variants exist but hide the semantics).
+
+    ``init="farthest"`` (default) is the oracle-replayable k-means++ flavor
+    — right for oracle-sized k; production codebooks (k=256) should pass
+    ``init="hash"`` (one seeding job instead of k-1 sequential scans) and
+    train on a deterministic sample of the corpus, the standard PQ practice
+    (codebooks generalize; see BENCH/ann_bench.py's production arm)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -79,6 +88,7 @@ def pq_train(
         centroids, _ = kmeans_fit(
             sliced, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
             seed=seed, tol=0.0,  # fixed round count: oracle replays exactly
+            init=init,
         )
         books.append(centroids)
     return books
@@ -100,6 +110,44 @@ def pq_encode(
         ]
     )
     return df.withColumn(out_col, codes)
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow-vectorized encode — the production-codebook path.  The
+    expression encode above builds O(m * k * sub) codegen terms per row:
+    ideal at oracle sizes (k=16), but at k_sub=256 the generated method
+    blows past JIT limits and falls back to interpreted evaluation.  This
+    variant ships the codebooks to executors once (broadcast via closure,
+    k*dim floats) and lets numpy do the (batch, k) argmin per subspace —
+    one Arrow-batched pandas UDF, no per-row Python, same tie-break
+    (first minimal index) as the expression form."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]  # k x sub
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j, B in enumerate(books):
+            S = X[:, j * sub : (j + 1) * sub]
+            # ||s-b||^2 = ||s||^2 - 2 s.b + ||b||^2 without the 3-D tensor
+            d = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ B.T)
+                + (B * B).sum(axis=1)
+            )
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
 
 
 def _nearest_expr_on(vec_expr, centroids: List[List[float]]):

@@ -47,13 +47,20 @@ The lake root must be reachable from executors (local/NFS path here; an
 object store would swap the ``open``/``pyarrow`` calls for fsspec — the
 partition/diff logic is storage-agnostic).
 
-No admission control: the Python data source API (Spark 4.1) does not pass
-read limits to ``latestOffset``, so each micro-batch covers the full
-catch-up window.  That window's COST is already bounded — one endpoint diff
-over churned buckets, never per-interior-commit work — and capping it
-reader-side would break exactly-once on restart (a capped offset can
-regress behind Spark's committed offset and re-deliver), so the cap is
-deliberately not emulated.
+Admission control: the Python data source API (Spark 4.1) does not pass
+read limits to ``latestOffset``, so by default each micro-batch covers the
+full catch-up window (whose COST is already bounded — one endpoint diff
+over churned buckets, never per-interior-commit work).
+``.option("maxVersionsPerBatch", N)`` bounds steady-state batches to N lake
+versions each.  The cap is MONOTONE — computed relative to the last offset
+this reader emitted (or learned from a replayed ``partitions`` call), never
+from scratch — because a from-scratch cap could regress behind Spark's
+committed offset and the resulting inverted window would commit an empty
+batch over data that then re-delivers.  The one window the cap cannot
+bound is the FIRST batch after a (re)start with no pending batch to replay:
+the committed offset is not observable from ``latestOffset``, so the first
+call returns the lake head (a single safe catch-up batch) and capping
+begins from there.
 
 No reference counterpart; new construction (SURVEY.md §2.8).
 """
@@ -128,6 +135,12 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             self._start = _read_meta(self.root)["version"]
         else:
             self._start = int(start)
+        self._max_versions = int(
+            options.get("maxversionsperbatch", options.get("maxVersionsPerBatch", 0))
+        )
+        # highest offset this reader has emitted or observed (see module
+        # docstring, "Admission control"); None until the first call
+        self._last_end: Optional[int] = None
 
     # -- offsets -----------------------------------------------------------
 
@@ -135,15 +148,31 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _read_meta(self.root)["version"]}
+        cur = _read_meta(self.root)["version"]
+        if self._max_versions <= 0:
+            return {"version": cur}
+        if self._last_end is None:
+            # first call after (re)start: the committed offset is not
+            # observable here, and emitting anything below it would invert
+            # the next window — one uncapped catch-up batch is the safe base
+            self._last_end = cur
+        else:
+            self._last_end = min(cur, self._last_end + self._max_versions)
+        return {"version": self._last_end}
 
     def commit(self, end: dict) -> None:
-        pass  # retention is the table's policy, not the consumer's
+        # retention is the table's policy, not the consumer's; but a
+        # committed end is a floor for the monotone admission cap
+        v = int(end["version"])
+        if self._last_end is None or v > self._last_end:
+            self._last_end = v
 
     # -- planning (driver) ---------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> List[InputPartition]:
         v0, v1 = int(start["version"]), int(end["version"])
+        if self._last_end is None or v1 > self._last_end:
+            self._last_end = v1  # learn position from a replayed batch
         if v1 <= v0:
             return []
         m0, m1 = _read_meta(self.root, v0), _read_meta(self.root, v1)
