@@ -402,6 +402,104 @@ _ENC_AC_SYMS = [0x00, 0xF0] + [
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0]
 _ENC_AC_VALS = bytes(_ENC_AC_SYMS)
 
+# ITU T.81 Annex K "typical" Huffman tables (Tables K.3-K.6) — the tables
+# every MJPEG decoder assumes when an AVI frame omits its DHT segment
+# (the OpenDML/MJPEG convention: frames carry quant tables but not Huffman
+# tables).  Public-spec data, transcribed from the standard.
+_STD_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_LUM_VALS = bytes(range(12))
+_STD_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_STD_DC_CHR_VALS = bytes(range(12))
+_STD_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_LUM_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+_STD_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_STD_AC_CHR_VALS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+# (class, table id, bits, vals) in the standard luma=0/chroma=1 assignment
+_STD_TABLES = (
+    (0, 0, _STD_DC_LUM_BITS, _STD_DC_LUM_VALS),
+    (1, 0, _STD_AC_LUM_BITS, _STD_AC_LUM_VALS),
+    (0, 1, _STD_DC_CHR_BITS, _STD_DC_CHR_VALS),
+    (1, 1, _STD_AC_CHR_BITS, _STD_AC_CHR_VALS),
+)
+
+
+def standard_dht_segment() -> bytes:
+    """One DHT marker segment declaring all four Annex-K tables — exactly
+    the bytes an MJPEG player splices into a table-less AVI frame."""
+    body = b"".join(
+        bytes([(cls << 4) | tid]) + bytes(bits) + vals
+        for cls, tid, bits, vals in _STD_TABLES
+    )
+    return bytes([0xFF, 0xC4]) + struct.pack(">H", 2 + len(body)) + body
+
+
+def ensure_dht(data: bytes) -> bytes:
+    """Return ``data`` with Huffman tables guaranteed present: if the frame
+    declares no DHT before its first SOS (the MJPEG AVI convention), splice
+    the Annex-K default tables in front of the SOS.  Frames that already
+    carry tables pass through untouched."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xC4:
+            return data  # tables present
+        if marker == 0xDA:  # first SOS, no DHT seen
+            return data[:pos] + standard_dht_segment() + data[pos:]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + seglen
+    raise ValueError("jpeg: no SOS scan to splice tables for")
+
 
 def _enc_codes(bits: List[int], vals: bytes) -> Dict[int, Tuple[int, int]]:
     """symbol -> (code_length, code), canonical order (inverse of decode)."""
@@ -450,11 +548,17 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int) -> int:
+def _encode_block(
+    w: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_code: Dict[int, Tuple[int, int]] = _DC_CODE,
+    ac_code: Dict[int, Tuple[int, int]] = _AC_CODE,
+) -> int:
     dc = int(zz[0])
     diff = dc - pred
     size = _category(diff)
-    length, code = _DC_CODE[size]
+    length, code = dc_code[size]
     w.write(code, length)
     if size:
         w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
@@ -466,16 +570,16 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int) -> int:
             run += 1
             continue
         while run > 15:
-            length, code = _AC_CODE[0xF0]
+            length, code = ac_code[0xF0]
             w.write(code, length)
             run -= 16
         size = _category(v)
-        length, code = _AC_CODE[(run << 4) | size]
+        length, code = ac_code[(run << 4) | size]
         w.write(code, length)
         w.write(v if v >= 0 else v + (1 << size) - 1, size)
         run = 0
     if last_nz < 63:
-        length, code = _AC_CODE[0x00]
+        length, code = ac_code[0x00]
         w.write(code, length)
     return dc
 
@@ -505,12 +609,37 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    tables: str = "fixed",
+    omit_dht: bool = False,
 ) -> bytes:
-    """(H, W, 3) uint8 RGB -> baseline JFIF bytes (see module docstring)."""
+    """(H, W, 3) uint8 RGB -> baseline JFIF bytes (see module docstring).
+
+    ``tables="standard"`` entropy-codes with the Annex-K typical tables
+    (luma pair id 0, chroma pair id 1) instead of the module's fixed-length
+    canonical pair; ``omit_dht=True`` (MJPEG AVI frame convention, only
+    meaningful with standard tables) skips the DHT segment — the decoder
+    must splice it back via :func:`ensure_dht`."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (H, W, 3) uint8")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if tables not in ("fixed", "standard"):
+        raise ValueError(f"tables must be 'fixed' or 'standard', got {tables!r}")
+    if omit_dht and tables != "standard":
+        raise ValueError("omit_dht requires tables='standard'")
+    if tables == "standard":
+        dc_y = _enc_codes(_STD_DC_LUM_BITS, _STD_DC_LUM_VALS)
+        ac_y = _enc_codes(_STD_AC_LUM_BITS, _STD_AC_LUM_VALS)
+        dc_c = _enc_codes(_STD_DC_CHR_BITS, _STD_DC_CHR_VALS)
+        ac_c = _enc_codes(_STD_AC_CHR_BITS, _STD_AC_CHR_VALS)
+        dht_tables = _STD_TABLES
+    else:
+        dc_y = dc_c = _DC_CODE
+        ac_y = ac_c = _AC_CODE
+        dht_tables = (
+            (0, 0, _ENC_DC_BITS, _ENC_DC_VALS), (1, 0, _ENC_AC_BITS, _ENC_AC_VALS),
+            (0, 1, _ENC_DC_BITS, _ENC_DC_VALS), (1, 1, _ENC_AC_BITS, _ENC_AC_VALS),
+        )
     h_img, w_img = img.shape[:2]
     sub = 2 if subsampling == "420" else 1
     qy = _quality_scale(_Q_LUM, quality)
@@ -537,13 +666,10 @@ def encode_jpeg(
     sof += bytes([2, 0x11, 1])  # Cb
     sof += bytes([3, 0x11, 1])  # Cr
     w.out += bytes([0xFF, 0xC0]) + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT: same table pair declared for both classes' ids 0 and 1
-    for cls, tid, bits, vals in (
-        (0, 0, _ENC_DC_BITS, _ENC_DC_VALS), (1, 0, _ENC_AC_BITS, _ENC_AC_VALS),
-        (0, 1, _ENC_DC_BITS, _ENC_DC_VALS), (1, 1, _ENC_AC_BITS, _ENC_AC_VALS),
-    ):
-        body = bytes([(cls << 4) | tid]) + bytes(bits) + vals
-        w.out += bytes([0xFF, 0xC4]) + struct.pack(">H", 2 + len(body)) + body
+    if not omit_dht:
+        for cls, tid, bits, vals in dht_tables:
+            body = bytes([(cls << 4) | tid]) + bytes(bits) + vals
+            w.out += bytes([0xFF, 0xC4]) + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         w.out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, restart_interval)
     # SOS
@@ -563,11 +689,11 @@ def encode_jpeg(
                 for hx in range(sub):
                     by, bx = (my * sub + vy) * 8, (mx * sub + hx) * 8
                     zz = _quantize_zz(ypl[by : by + 8, bx : bx + 8], qy)
-                    preds["y"] = _encode_block(w, zz, preds["y"])
+                    preds["y"] = _encode_block(w, zz, preds["y"], dc_y, ac_y)
             for name, plane in (("cb", cbp), ("cr", crp)):
                 by, bx = my * 8, mx * 8
                 zz = _quantize_zz(plane[by : by + 8, bx : bx + 8], qc)
-                preds[name] = _encode_block(w, zz, preds[name])
+                preds[name] = _encode_block(w, zz, preds[name], dc_c, ac_c)
             n_mcu += 1
     w.marker(0xD9)  # EOI (pads first)
     return bytes(w.out)

@@ -10,10 +10,14 @@ baseline sequential SOF0, arbitrary Huffman/quant tables, 4:4:4/4:2:0/
 feature-extracted for real (dimensions + channel statistics).  The AUDIO
 path is real for WAV: ``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit
 int, float32/64, extensible) to float32 frames and extracts signal
-statistics (rms, peak, zero-crossing rate, duration).  Video frame decode
-and remaining codecs (progressive JPEG, compressed audio) still route to
-the deterministic ``decode_stub`` (clearly marked; the container has no
-codec libraries — swap in PIL/librosa/pyav on a real cluster).
+statistics (rms, peak, zero-crossing rate, duration).  The VIDEO path is
+real for MJPEG AVI: ``functions/video_frames.py`` extracts movi-chunk
+frames, splices the Annex-K default Huffman tables table-less MJPEG frames
+omit, and decodes each sampled frame through the JPEG codec
+(``frame_features`` below).  Remaining codecs (progressive JPEG,
+compressed audio, non-MJPEG video) still route to the deterministic
+``decode_stub`` (clearly marked; the container has no codec libraries —
+swap in PIL/librosa/pyav on a real cluster).
 Everything Spark-side — schema,
 batch shape, partition sizing, UDF signatures — is real and tested:
 
@@ -172,6 +176,56 @@ def probe_metadata(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, PROBE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_index int, decoded boolean, feature array<float>"
+
+
+def frame_features(media: DataFrame, every_n: int = 1,
+                   max_frames_per_video: int = 64) -> DataFrame:
+    """REAL video frame sampling + decode for MJPEG AVI payloads
+    (``functions/video_frames.py``: movi-chunk extraction, Annex-K DHT
+    splice, baseline JPEG decode), emitting one ``image_features`` vector
+    per sampled frame.  Payloads outside that envelope (other codecs,
+    non-AVI bytes — the sandbox bundles no codec libraries) emit one
+    ``decoded=false`` stub row instead of failing the job, mirroring
+    ``decode_media``'s dirty-payload contract.  ``max_frames_per_video``
+    bounds the per-row work so one pathological payload cannot stall an
+    Arrow batch."""
+    import struct as _st
+
+    from ..functions.video_frames import decode_avi_frames
+    from ..functions.video_meta import VideoMetaError
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: List[int] = []
+            idxs: List[int] = []
+            ok: List[bool] = []
+            feats: List[list] = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind == "video" and payload is not None:
+                    try:
+                        for fi, img in decode_avi_frames(
+                            bytes(payload), every_n=every_n,
+                            max_frames=max_frames_per_video,
+                        ):
+                            ids.append(mid)
+                            idxs.append(fi)
+                            ok.append(True)
+                            feats.append(image_features(img).tolist())
+                        continue
+                    except (VideoMetaError, ValueError, _st.error, IndexError):
+                        pass
+                ids.append(mid)
+                idxs.append(-1)
+                ok.append(False)
+                feats.append(decode_stub(payload, kind).tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "decoded": ok, "feature": feats}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
