@@ -1821,6 +1821,56 @@ def _matcher_oracle_sqls() -> dict[str, str]:
     return sqls
 
 
+def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path end-to-end: deterministic MJPEG AVI fixtures
+    (pure-Python encoder, six videos of varying frame counts/heights) ->
+    ``operators/multimodal.frame_features`` (movi-chunk extraction, Annex-K
+    DHT splice for the table-less frames MJPEG writes, baseline JPEG decode,
+    every-2nd-frame sampling) -> decoded frame geometry.  The oracle
+    recomputes the expected sampled-frame set and per-frame decoded
+    dimensions in SQL; pixel-level decode values are pinned by the
+    tests/test_video_frames.py round-trips (not SQL-expressible)."""
+    import numpy as np
+
+    from valentine_spark.functions.video_frames import encode_avi_mjpeg
+    from valentine_spark.operators.multimodal import frame_features
+
+    rows = []
+    for vid in range(6):
+        h, w, n_frames = 16 + 8 * (vid % 2), 24, 3 + vid % 3
+        frames = [
+            (np.add.outer(np.arange(h) * 3, np.arange(w) * 7)[:, :, None]
+             + np.arange(3) * 11 + vid * 17 + fi * 29).astype(np.uint8)
+            for fi in range(n_frames)
+        ]
+        rows.append((vid, "video", bytearray(encode_avi_mjpeg(frames, fps=10)),
+                     w, h, n_frames * 100))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, "
+              "height int, duration_ms int")
+    feats = frame_features(media, every_n=2)
+    # image_features leads with (w/4096, h/4096); both are dyadic rationals,
+    # exact in float32, so the round-trip back to ints is lossless
+    return feats.select(
+        "media_id", "frame_index",
+        F.round(F.element_at("feature", 1) * 4096).cast("int").alias("frame_w"),
+        F.round(F.element_at("feature", 2) * 4096).cast("int").alias("frame_h"),
+    ).orderBy("media_id", "frame_index")
+
+
+_MEDIA_FRAMES_SQL = """
+WITH vids AS (SELECT CAST(v AS BIGINT) AS media_id, 24 AS w,
+                     16 + 8 * (v % 2) AS h, 3 + v % 3 AS nf
+              FROM generate_series(0, 5) s(v)),
+     fis AS (SELECT f AS fi FROM generate_series(0, 4) t(f))
+SELECT media_id, CAST(fi AS INT) AS frame_index,
+       CAST(w AS INT) AS frame_w, CAST(h AS INT) AS frame_h
+FROM vids, fis
+WHERE fi < nf AND fi % 2 = 0
+ORDER BY media_id, frame_index
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1878,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
+        "media_frame_features": media_frame_features,
         "matcher_distribution_based": matcher_distribution_based,
         "matcher_cupid": matcher_cupid,
         "matcher_similarity_flooding": matcher_similarity_flooding,
@@ -1938,6 +1989,9 @@ def oracle_sql() -> dict[str, str]:
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,
         "cdc_incremental_agg": _CDC_IVM_SQL,
+        # Spark really decodes the MJPEG frames; SQL recomputes the expected
+        # sampled-frame geometry (pixel values live in pytest round-trips)
+        "media_frame_features": _MEDIA_FRAMES_SQL,
         # matcher_* : the oracle is the REFERENCE ITSELF, executed — a
         # VALUES image of the reference matchers' output on the same
         # drifted-customer fixture (regenerated live by subprocess when the
