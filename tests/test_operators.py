@@ -770,6 +770,49 @@ def test_wav_decode_float_and_extensible():
         decode_wav(b"RIFFxxxxNOPE")
 
 
+def test_wav_ima_adpcm_roundtrip():
+    """IMA/DVI ADPCM (tag 0x11): encode -> decode tracks the original to
+    4-bit-codec fidelity, mono and stereo, including a short padded final
+    block trimmed back via the fact chunk."""
+    import numpy as np
+
+    from valentine_spark.functions.wav import (
+        WavError,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(2000) / 8_000.0
+    mono = (0.6 * np.sin(2 * np.pi * 440 * t)).astype(np.float32).reshape(-1, 1)
+    got, rate = decode_wav(encode_wav_ima_adpcm(mono, 8_000))
+    assert rate == 8_000 and got.shape[1] == 1
+    # 2000 frames over 505-frame blocks: final 485-frame chunk keeps
+    # 1 + floor(484/8)*8 = 481 -> fact = 3*505 + 481
+    assert got.shape[0] == 3 * 505 + 481
+    n = got.shape[0]
+    err = np.abs(got[:, 0] - mono[:n, 0])
+    assert err.mean() < 0.02 and err.max() < 0.2, (err.mean(), err.max())
+
+    stereo = np.stack(
+        [0.5 * np.sin(2 * np.pi * 300 * t), 0.4 * np.sin(2 * np.pi * 700 * t)],
+        axis=1,
+    ).astype(np.float32)
+    got2, _ = decode_wav(encode_wav_ima_adpcm(stereo, 8_000))
+    assert got2.shape[1] == 2
+    for c in range(2):
+        err = np.abs(got2[:, c] - stereo[: len(got2), c])
+        assert err.mean() < 0.02, (c, err.mean())
+
+    with _py_raises(WavError):
+        encode_wav_ima_adpcm(mono, 8_000, block_frames=10)  # not 1 + 8k
+
+
+def _py_raises(exc):
+    import pytest as _pytest
+
+    return _pytest.raises(exc)
+
+
 def test_audio_features_real_decode(spark):
     """End-to-end REAL audio path: a WAV payload flows through the Arrow
     mapInPandas stage and yields signal statistics matching the direct

@@ -5,12 +5,15 @@ path from a documented stub to a real decode using only the stdlib + numpy
 keep the identical Spark plumbing).
 
 Supported: canonical RIFF/WAVE files with PCM (format tag 1: unsigned 8-bit,
-signed 16/24/32-bit little-endian) or IEEE-float (format tag 3: float32/
-float64) samples, any channel count and sample rate, plus WAVE_FORMAT_
-EXTENSIBLE (tag 0xFFFE) wrapping either.  Chunks other than ``fmt `` and
-``data`` (LIST, fact, cue, ...) are skipped per the RIFF spec's
-word-alignment rule.  Output is float32 in [-1, 1], shape (n_frames,
-n_channels) — the normalization every audio pipeline starts from.
+signed 16/24/32-bit little-endian), IEEE-float (format tag 3: float32/
+float64), or IMA/DVI ADPCM (format tag 0x11: 4-bit compressed, any channel
+count, block-structured) samples, any channel count and sample rate, plus
+WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping any of them.  Chunks other
+than ``fmt `` and ``data`` (LIST, fact, cue, ...) are skipped per the RIFF
+spec's word-alignment rule.  Output is float32 in [-1, 1], shape
+(n_frames, n_channels) — the normalization every audio pipeline starts
+from.  ``encode_wav_ima_adpcm`` writes the matching fixture payloads (the
+same encoder-for-round-trip pattern as ``jpeg.encode_jpeg``).
 
 Format layout is public knowledge (the Microsoft/IBM RIFF WAVE spec, also
 restated in the CPython ``wave`` module docs); the implementation here is
@@ -29,6 +32,72 @@ class WavError(ValueError):
     """Malformed or unsupported WAV payload."""
 
 
+# IMA/DVI ADPCM tables (public spec: IMA Digital Audio Compression &
+# Exchange Standard; restated in the Microsoft WAVE format docs)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> Tuple[int, int]:
+    """One IMA ADPCM decode step: (new predictor, new step index)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nibble])))
+    return pred, index
+
+
+def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM data chunk -> int16 array of interleaved frames.  Block
+    layout per the WAVE spec: a 4-byte header per channel (int16 predictor,
+    uint8 step index, reserved), then nibble words of 4 bytes (8 samples)
+    per channel, channels round-robin."""
+    if block_align < 4 * n_ch or block_align % 4:
+        raise WavError(f"bad ADPCM block align {block_align} for {n_ch} ch")
+    out: list = []
+    for blk in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[blk:blk + block_align]
+        preds, idxs, chans = [], [], []
+        for c in range(n_ch):
+            pred, index = struct.unpack_from("<hB", block, 4 * c)
+            if index > 88:
+                raise WavError(f"ADPCM step index {index} out of range")
+            preds.append(pred)
+            idxs.append(index)
+            chans.append([pred])  # header predictor IS the first sample
+        pos = 4 * n_ch
+        while pos + 4 * n_ch <= len(block):
+            for c in range(n_ch):
+                word = block[pos + 4 * c:pos + 4 * c + 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+            pos += 4 * n_ch
+        n = min(len(ch) for ch in chans)
+        out.append(np.stack([np.array(ch[:n], dtype=np.int16) for ch in chans], axis=1))
+    if not out:
+        raise WavError("ADPCM data shorter than one block")
+    return np.concatenate(out, axis=0).reshape(-1)
+
+
 def decode_wav(raw: bytes) -> Tuple[np.ndarray, int]:
     """Decode WAV bytes -> (samples float32 (n_frames, n_channels) in
     [-1, 1], sample_rate).  Raises :class:`WavError` on anything that is not
@@ -38,27 +107,30 @@ def decode_wav(raw: bytes) -> Tuple[np.ndarray, int]:
     pos, size = 12, len(raw)
     fmt = None
     data = None
+    fact_frames = None
     while pos + 8 <= size:
         cid = raw[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", raw, pos + 4)
         body = raw[pos + 8:pos + 8 + clen]
-        if cid == b"fmt ":
+        if cid == b"fact" and clen >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
+        elif cid == b"fmt ":
             if clen < 16:
                 raise WavError("fmt chunk too short")
-            tag, n_ch, rate, _byte_rate, _block, bits = struct.unpack_from(
+            tag, n_ch, rate, _byte_rate, block, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
             if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
                 if clen < 26:
                     raise WavError("extensible fmt chunk too short")
                 (tag,) = struct.unpack_from("<H", body, 24)
-            fmt = (tag, n_ch, rate, bits)
+            fmt = (tag, n_ch, rate, bits, block)
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None:
         raise WavError("missing fmt or data chunk")
-    tag, n_ch, rate, bits = fmt
+    tag, n_ch, rate, bits, block = fmt
     if n_ch < 1 or rate < 1:
         raise WavError(f"bad fmt: channels={n_ch} rate={rate}")
     if tag == 1:  # integer PCM
@@ -90,12 +162,94 @@ def decode_wav(raw: bytes) -> Tuple[np.ndarray, int]:
             x = np.frombuffer(data, dtype="<f8").astype(np.float32)
         else:
             raise WavError(f"unsupported float bit depth {bits}")
+    elif tag == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise WavError(f"IMA ADPCM must be 4-bit, got {bits}")
+        x = _decode_ima_adpcm(data, n_ch, block).astype(np.float32) / 32768.0
+        if fact_frames is not None:  # trim final-block padding samples
+            x = x[: fact_frames * n_ch]
     else:
         raise WavError(f"unsupported format tag {tag}")
     n_frames = len(x) // n_ch
     if n_frames == 0:
         raise WavError("empty data chunk")
     return x[: n_frames * n_ch].reshape(n_frames, n_ch), rate
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, rate: int, block_frames: int = 505
+) -> bytes:
+    """Fixture writer: float32 (n_frames, n_channels) in [-1, 1] -> IMA
+    ADPCM WAV bytes (format tag 0x11, standard block layout, fact chunk).
+    The standard encoder quantization: successive step-halving of the
+    prediction residual, state updated by the decoder's own rule so encoder
+    and decoder predictors stay in lockstep."""
+    if samples.ndim != 2:
+        raise WavError("encode expects (n_frames, n_channels)")
+    n_frames, n_ch = samples.shape
+    if n_frames < 2 or n_ch < 1:
+        raise WavError("need >=2 frames and >=1 channel")
+    if (block_frames - 1) % 8:
+        raise WavError("block_frames must be 1 + multiple of 8")
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype(np.int32)
+    block_align = 4 * n_ch + ((block_frames - 1) // 2) * n_ch
+    blocks = bytearray()
+    total = 0
+    idxs = [0] * n_ch
+    for start in range(0, n_frames, block_frames):
+        chunk = pcm[start:start + block_frames]
+        if len(chunk) < 2:
+            break
+        nib_frames = ((len(chunk) - 1) // 8) * 8  # whole 8-sample words only
+        if nib_frames == 0:
+            break
+        preds = [int(chunk[0, c]) for c in range(n_ch)]
+        for c in range(n_ch):
+            # encoder-side freedom: seed the block's step index near the
+            # block's mean |delta| (the decoder reads it from the header),
+            # avoiding the slew-limited attack transient of index 0
+            d = float(np.abs(np.diff(chunk[:, c])).mean()) if len(chunk) > 1 else 0.0
+            idxs[c] = int(np.argmin(np.abs(_IMA_STEPS - d)))
+            blocks += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibbles: list = [[] for _ in range(n_ch)]
+        for f in range(1, nib_frames + 1):
+            for c in range(n_ch):
+                step = int(_IMA_STEPS[idxs[c]])
+                diff = int(chunk[f, c]) - preds[c]
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibbles[c].append(nib)
+        for w in range(0, nib_frames, 8):
+            for c in range(n_ch):
+                grp = nibbles[c][w:w + 8]
+                blocks += bytes(
+                    grp[i] | (grp[i + 1] << 4) for i in range(0, 8, 2)
+                )
+        pad = block_align - (4 * n_ch + (nib_frames // 2) * n_ch)
+        blocks += b"\x00" * pad  # short final block padded to block_align
+        total += nib_frames + 1
+    byte_rate = max(1, rate * block_align // block_frames)  # informational
+    fmt = struct.pack("<HHIIHHH", 0x11, n_ch, rate, byte_rate, block_align, 4, 2)
+    fmt += struct.pack("<H", block_frames)  # samples per block (cbSize data)
+    fact = struct.pack("<I", total)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:

@@ -9,13 +9,14 @@ baseline sequential SOF0, arbitrary Huffman/quant tables, 4:4:4/4:2:0/
 4:2:2 sampling, restart intervals) into (H, W, 3) arrays and
 feature-extracted for real (dimensions + channel statistics).  The AUDIO
 path is real for WAV: ``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit
-int, float32/64, extensible) to float32 frames and extracts signal
-statistics (rms, peak, zero-crossing rate, duration).  The VIDEO path is
+int, float32/64, extensible) AND IMA/DVI ADPCM (tag 0x11, 4-bit
+compressed) to float32 frames and extracts signal statistics (rms, peak,
+zero-crossing rate, duration).  The VIDEO path is
 real for MJPEG AVI: ``functions/video_frames.py`` extracts movi-chunk
 frames, splices the Annex-K default Huffman tables table-less MJPEG frames
 omit, and decodes each sampled frame through the JPEG codec
 (``frame_features`` below).  Remaining codecs (progressive JPEG,
-compressed audio, non-MJPEG video) still route to the deterministic
+psychoacoustic audio, non-MJPEG video) still route to the deterministic
 ``decode_stub`` (clearly marked; the container has no codec libraries —
 swap in PIL/librosa/pyav on a real cluster).
 Everything Spark-side — schema,
