@@ -1122,8 +1122,65 @@ def test_jpeg_rejects_unsupported_variants():
     with _pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
     with _pytest.raises(ValueError):
-        # flip SOF0 (0xC0) to SOF2 progressive (0xC2)
+        # flipping SOF0 to SOF2 leaves a baseline scan header (Se=63) on
+        # what now claims to be a progressive DC scan — malformed, rejected
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with _pytest.raises(ValueError):
+        # SOF1 (extended sequential) stays unsupported
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1))
+
+
+def test_jpeg_progressive_equals_baseline_exactly():
+    """Progressive (SOF2) round-trip: the successive-approximation chains
+    (DC arithmetic-shift + bit refinement, AC magnitude truncation + ±1
+    insertions and correction bits) reconstruct the quantized coefficients
+    EXACTLY, so progressive decode must equal baseline decode bit-for-bit
+    at every quality/subsampling — and the flat fixture drives multi-block
+    EOB runs through the decoder."""
+    import numpy as np
+
+    from valentine_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(21, 29, 3), dtype=np.uint8)
+    for subs in ("444", "420"):
+        for q in (90, 50):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=subs))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, subsampling=subs))
+            assert np.array_equal(base, prog), (subs, q)
+
+    flat = np.full((64, 64, 3), 77, dtype=np.uint8)  # long EOB runs
+    flat[40:44, 8:12] = 200
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=85)),
+        decode_jpeg(encode_jpeg_progressive(flat, quality=85)),
+    )
+    # deeper successive-approximation chain: two DC + two AC refine scans
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=80)),
+        decode_jpeg(encode_jpeg_progressive(img, quality=80, dc_al=2, ac_al=2)),
+    )
+
+
+def test_jpeg_progressive_through_decode_media():
+    """A progressive payload sniffs as JPEG and takes the real decode path
+    in the multimodal stage (no stub fallback)."""
+    import numpy as np
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg_progressive
+    from valentine_spark.operators.multimodal import decode_media, image_features
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=95)
+    got = decode_media(payload, "image")
+    expect = image_features(decode_jpeg(payload))
+    assert np.array_equal(got, expect)
+    assert abs(got[0] - 16 / 4096) < 1e-6  # real dimensions, not stub hash
 
 
 def test_image_features_real_jpeg_decode(spark):

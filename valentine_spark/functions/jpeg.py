@@ -1,29 +1,35 @@
-"""Pure-Python baseline JPEG codec — upgrades the multimodal image path to
-the codec real corpora are dominated by (VERDICT r3 ask #7), with no image
-libraries: stdlib ``struct`` + numpy only (sibling pattern:
-``functions/png.py``, ``functions/bmp.py``).
+"""Pure-Python JPEG codec (baseline + progressive) — upgrades the
+multimodal image path to the codec real corpora are dominated by (VERDICT
+r3 ask #7), with no image libraries: stdlib ``struct`` + numpy only
+(sibling pattern: ``functions/png.py``, ``functions/bmp.py``).
 
-Decode supports the baseline sequential DCT profile (ITU T.81 / JFIF):
+Decode supports the baseline sequential AND progressive DCT profiles
+(ITU T.81 / JFIF):
 
-  * SOF0, 8-bit samples, 1 (grayscale) or 3 (YCbCr) components with
-    arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...);
+  * SOF0 (sequential) and SOF2 (progressive: spectral selection +
+    successive approximation — DC first/refine, AC first/refine with EOB
+    runs, per T.81 G.2), 8-bit samples, 1 (grayscale) or 3 (YCbCr)
+    components with arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...);
   * arbitrary DHT Huffman tables (canonical, up to 16-bit codes) and up to
     four DQT quantization tables (8- or 16-bit precision);
   * interleaved and single-component scans, 0xFF00 byte stuffing, and DRI
-    restart intervals (RST0-7 resync + DC-predictor reset);
+    restart intervals (RST0-7 resync + DC-predictor/EOB-run reset);
   * APPn/COM/ancillary segments skipped.
 
-Raises ``ValueError`` on anything outside that profile (progressive SOF2,
-arithmetic coding, 12-bit precision, truncated streams) — callers
-(``operators/multimodal.decode_media``) catch it and fall through to the
-documented stub, so a malformed payload cannot kill a Spark job.
+Raises ``ValueError`` on anything outside those profiles (arithmetic
+coding, hierarchical/lossless SOFs, 12-bit precision, truncated streams) —
+callers (``operators/multimodal.decode_media``) catch it and fall through
+to the documented stub, so a malformed payload cannot kill a Spark job.
 
-``encode_jpeg`` exists for fixtures/round-trip tests: baseline SOF0 with
-the standard Annex-K quantization tables under IJG quality scaling,
-4:4:4 or 4:2:0 subsampling, optional restart intervals, and self-declared
-canonical Huffman tables (fixed-length canonical codes — valid JPEG, and
-deliberately NOT the Annex-K defaults so decode exercises the general DHT
-path rather than one baked-in table shape).
+``encode_jpeg`` / ``encode_jpeg_progressive`` exist for fixtures and
+round-trip tests: the standard Annex-K quantization tables under IJG
+quality scaling, 4:4:4 or 4:2:0 subsampling, optional restart intervals
+(baseline), and self-declared canonical Huffman tables (fixed-length
+canonical codes — valid JPEG, and deliberately NOT the Annex-K defaults so
+decode exercises the general DHT path rather than one baked-in table
+shape).  The progressive encoder's successive-approximation chains
+reconstruct the quantized coefficients exactly, so progressive decode is
+asserted EQUAL to baseline decode of the same image.
 
 The IDCT/FDCT pair is the exact orthonormal 8x8 DCT-II as two 8x8 matrix
 products (numpy, float64) — not the integer-approximation fast kernels, so
@@ -216,8 +222,176 @@ def _decode_block(
     return _idct2(coeff), pred
 
 
+# -- progressive (SOF2) scan decoding: T.81 G.2 successive approximation ----
+
+def _ac_first_prog(r, ac_t, coef, ss, se, al, eobrun):
+    """AC first scan (Ah=0) for one block; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _decode_symbol(r, ac_t)
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.receive(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("jpeg: AC run overflows spectral band")
+        coef[k] = _extend(r.receive(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_prog(r, ac_t, coef, ss, se, al, eobrun):
+    """AC refinement scan (Ah=Al+1) for one block; correction bits for
+    already-nonzero coefficients interleave with newly-significant ±1<<Al
+    insertions and EOB runs.  Returns the new EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if r.read_bit() and not (int(coef[k]) & p1):
+            coef[k] += p1 if coef[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_symbol(r, ac_t)
+            run, size = sym >> 4, sym & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run  # includes THIS block's remainder
+                    if run:
+                        eobrun += r.receive(run)
+                    break
+            else:
+                if size != 1:
+                    raise ValueError("jpeg: AC refinement size must be 1")
+                val = p1 if r.read_bit() else m1
+            # cross `run` zero-history slots, correcting nonzero ones passed
+            while k <= se:
+                if coef[k]:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB block: only correction bits for nonzero slots
+            if coef[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_prog(data, pos, frame, scan, huff, restart_interval,
+                      coefs, ss, se, ah, al):
+    """Entropy-decode one progressive scan into per-component zigzag
+    coefficient arrays (``coefs[comp_id][by, bx]`` is a length-64 int32
+    view).  Returns the stream position after the scan."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    h_img, w_img = frame["h"], frame["w"]
+    interleaved = len(scan) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: DC scan must have Se=0")
+    if ss > 0 and interleaved:
+        raise ValueError("jpeg: progressive AC scans are single-component")
+    if ss > se or se > 63:
+        raise ValueError(f"jpeg: bad spectral band {ss}..{se}")
+
+    if interleaved:
+        mcus_x = -(-w_img // (8 * hmax))
+        mcus_y = -(-h_img // (8 * vmax))
+        units = [(s, vy, hx) for s in scan
+                 for vy in range(s["comp"]["v"]) for hx in range(s["comp"]["h"])]
+    else:
+        c = scan[0]["comp"]
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        mcus_x, mcus_y = -(-cw // 8), -(-ch // 8)
+        units = [(scan[0], 0, 0)]
+
+    r = _BitReader(data, pos)
+    preds = {s["comp"]["id"]: 0 for s in scan}
+    eobrun = 0
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                r.restart(rst)
+                rst = (rst + 1) & 7
+                preds = {k: 0 for k in preds}
+                eobrun = 0
+            for s, vy, hx in units:
+                c = s["comp"]
+                if interleaved:
+                    by, bx = my * c["v"] + vy, mx * c["h"] + hx
+                else:
+                    by, bx = my, mx
+                coef = coefs[c["id"]][by, bx]
+                if ss == 0:  # DC scan
+                    if ah == 0:
+                        try:
+                            dc_t = huff[(0, s["dc"])]
+                        except KeyError as exc:
+                            raise ValueError(f"jpeg: missing table {exc}") from exc
+                        size = _decode_symbol(r, dc_t)
+                        preds[c["id"]] += _extend(r.receive(size), size)
+                        coef[0] = preds[c["id"]] << al
+                    else:  # DC refinement: one bit per block
+                        if r.read_bit():
+                            coef[0] |= 1 << al
+                else:
+                    try:
+                        ac_t = huff[(1, s["ac"])]
+                    except KeyError as exc:
+                        raise ValueError(f"jpeg: missing table {exc}") from exc
+                    if ah == 0:
+                        eobrun = _ac_first_prog(r, ac_t, coef, ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine_prog(r, ac_t, coef, ss, se, al, eobrun)
+            n_mcu += 1
+    return r.pos
+
+
+def _finalize_progressive(frame, coefs, qtabs):
+    """Dequantize + batched IDCT of the accumulated coefficient arrays."""
+    planes = {}
+    zz_nat = _ZZ_ROWS * 8 + _ZZ_COLS
+    for c in frame["comps"]:
+        arr = coefs[c["id"]]
+        bh, bw = arr.shape[:2]
+        try:
+            qtab = qtabs[c["tq"]]
+        except KeyError as exc:
+            raise ValueError(f"jpeg: missing quant table {exc}") from exc
+        qflat = qtab.reshape(-1)[zz_nat]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, zz_nat] = arr * qflat  # dezigzag + dequantize, batched
+        blocks = nat.reshape(bh, bw, 8, 8)
+        # batched 2-D IDCT: C.T @ B @ C over all blocks at once
+        spatial = np.einsum("ij,yxjk,kl->yxil", _C.T, blocks, _C)
+        planes[c["id"]] = (
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return planes
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB array."""
+    """Baseline or progressive JPEG bytes -> (H, W, 3) uint8 RGB array."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -226,6 +400,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame: Optional[dict] = None
     restart_interval = 0
     planes: Dict[int, np.ndarray] = {}
+    coefs: Dict[int, np.ndarray] = {}  # progressive coefficient buffers
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -264,7 +439,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("jpeg: truncated DHT values")
                 huff[(cls, tid)] = _build_huff(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"jpeg: {precision}-bit precision unsupported")
@@ -276,15 +451,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                # per-component zigzag coefficient buffers, sized to the
+                # MCU-padded block grid (covers interleaved DC scans; the
+                # non-interleaved grid is never larger)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                for c in comps:
+                    bw = -(-w // (8 * hmax)) * c["h"]
+                    bh = -(-h // (8 * vmax)) * c["v"]
+                    coefs[c["id"]] = np.zeros((bh, bw, 64), dtype=np.int32)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(f"jpeg: SOF 0x{marker:02x} (non-baseline) unsupported")
+            raise ValueError(f"jpeg: SOF 0x{marker:02x} unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("jpeg: SOS before SOF0")
+                raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
             scan = []
             for s in range(ns):
@@ -292,12 +478,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({"comp": comp, "dc": tds >> 4, "ac": tds & 0x0F})
             pos = pos + 2 + seglen
-            pos = _decode_scan(data, pos, frame, scan, qtabs, huff,
-                               restart_interval, planes)
+            if frame["progressive"]:
+                ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                pos = _decode_scan_prog(data, pos, frame, scan, huff,
+                                        restart_interval, coefs,
+                                        ss, se, ahl >> 4, ahl & 0x0F)
+            else:
+                pos = _decode_scan(data, pos, frame, scan, qtabs, huff,
+                                   restart_interval, planes)
             continue
         # APPn / COM / other ancillary: skip
         pos = pos + 2 + seglen
 
+    if frame is not None and frame["progressive"]:
+        if not coefs:
+            raise ValueError("jpeg: no decoded scan")
+        return _assemble(frame, _finalize_progressive(frame, coefs, qtabs))
     if frame is None or not planes:
         raise ValueError("jpeg: no decoded scan")
     return _assemble(frame, planes)
@@ -696,4 +892,241 @@ def encode_jpeg(
                 preds[name] = _encode_block(w, zz, preds[name], dc_c, ac_c)
             n_mcu += 1
     w.marker(0xD9)  # EOI (pads first)
+    return bytes(w.out)
+
+
+# -- progressive encoder (fixtures for the SOF2 decode path) ----------------
+
+# AC table for progressive scans: the baseline fixed-length table lacks the
+# EOBn symbols (r<<4, r=1..14) progressive EOB runs need; 176 symbols, all
+# at code length 8 (canonical codes 0..175 — valid, all-ones unused)
+_PROG_AC_SYMS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = bytes(_PROG_AC_SYMS)
+_PROG_AC_CODE = _enc_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+
+def _emit_ac_sym(w: _BitWriter, sym: int) -> None:
+    length, code = _PROG_AC_CODE[sym]
+    w.write(code, length)
+
+
+def _flush_eobrun(w: _BitWriter, n: int) -> int:
+    """Emit a pending EOB run (n blocks ended, current-stream-position
+    first) as EOBr + extension bits; returns 0."""
+    if n:
+        r = n.bit_length() - 1
+        _emit_ac_sym(w, r << 4)
+        if r:
+            w.write(n - (1 << r), r)
+    return 0
+
+
+def _encode_ac_first(w: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
+    """AC first scan (Ah=0) over a component's blocks in raster order;
+    magnitudes point-transformed by ``al`` (truncation toward zero)."""
+    pending = 0
+    for zz in blocks:
+        scaled = [
+            (abs(int(zz[k])) >> al) * (1 if zz[k] > 0 else -1)
+            for k in range(ss, se + 1)
+        ]
+        last = max((i for i, v in enumerate(scaled) if v), default=-1)
+        if last < 0:
+            pending += 1
+            if pending == 0x7FFF:
+                pending = _flush_eobrun(w, pending)
+            continue
+        pending = _flush_eobrun(w, pending)
+        run = 0
+        for v in scaled[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                _emit_ac_sym(w, 0xF0)
+                run -= 16
+            size = abs(v).bit_length()
+            _emit_ac_sym(w, (run << 4) | size)
+            w.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < se - ss:  # trailing zeros -> this block ends with an EOB
+            pending += 1
+            if pending == 0x7FFF:
+                pending = _flush_eobrun(w, pending)
+    _flush_eobrun(w, pending)
+
+
+def _encode_ac_refine(w: _BitWriter, blocks, ss: int, se: int,
+                      ah: int, al: int) -> None:
+    """AC refinement scan (Ah=Al+1): mirrors the decoder's crossing
+    structure exactly — correction bits for previously-significant slots
+    interleave with ZRL/newly-significant symbols in decoder consumption
+    order.  EOB events flush per block (run length 1), which exercises the
+    decoder's in-block EOB tail."""
+    for zz in blocks:
+        # classify band slots: 'z' still zero, 'c' previously significant
+        # (emits a correction bit), 'n' newly significant (emits a symbol)
+        slots = []
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            absv = abs(t)
+            if (absv >> al) == 0:
+                slots.append(("z", 0))
+            elif (absv >> ah) != 0:
+                slots.append(("c", (absv >> al) & 1))
+            else:
+                slots.append(("n", 1 if t > 0 else 0))
+        i, n = 0, len(slots)
+        while True:
+            j = i
+            while j < n and slots[j][0] != "n":
+                j += 1
+            if j == n:
+                break
+            z_span = sum(1 for t, _ in slots[i:j] if t == "z")
+            while z_span > 15:
+                _emit_ac_sym(w, 0xF0)
+                crossed = 0
+                while crossed < 16:
+                    cls, bit = slots[i]
+                    i += 1
+                    if cls == "c":
+                        w.write(bit, 1)
+                    else:
+                        crossed += 1
+                z_span -= 16
+            _emit_ac_sym(w, (z_span << 4) | 1)
+            w.write(slots[j][1], 1)  # sign of the new ±1<<al
+            while i < j:
+                cls, bit = slots[i]
+                i += 1
+                if cls == "c":
+                    w.write(bit, 1)
+            i = j + 1
+        if i < n:  # tail: EOB event + correction bits for remaining 'c'
+            _flush_eobrun(w, 1)
+            for cls, bit in slots[i:]:
+                if cls == "c":
+                    w.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> PROGRESSIVE (SOF2) JFIF bytes: spectral
+    selection + successive approximation.  Scan script: interleaved DC
+    first at Al=dc_al, DC refinements down to 0, then per-component AC
+    first (full band 1..63) at Al=ac_al and AC refinements down to 0.
+    The successive-approximation chains reconstruct the quantized
+    coefficients EXACTLY, so decoding this must equal decoding the
+    baseline encoding at the same quality (the round-trip test's
+    invariant)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects (H, W, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    h_img, w_img = img.shape[:2]
+    sub = 2 if subsampling == "420" else 1
+    qy = _quality_scale(_Q_LUM, quality)
+    qc = _quality_scale(_Q_CHROM, quality)
+
+    ycc = _rgb_to_ycbcr(img)
+    mcu = 8 * sub
+    mcus_x, mcus_y = -(-w_img // mcu), -(-h_img // mcu)
+    ypl = _pad_edge(ycc[:, :, 0], mcus_y * mcu, mcus_x * mcu)
+    cbp = _pad_edge(ycc[:, :, 1], mcus_y * mcu, mcus_x * mcu)
+    crp = _pad_edge(ycc[:, :, 2], mcus_y * mcu, mcus_x * mcu)
+    if sub == 2:
+        cbp = cbp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+        crp = crp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+
+    def grid(plane, qtab):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                arr[by, bx] = _quantize_zz(
+                    plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8], qtab
+                )
+        return arr
+
+    coefs = {1: grid(ypl, qy), 2: grid(cbp, qc), 3: grid(crp, qc)}
+
+    w = _BitWriter()
+    w.out += bytes([0xFF, 0xD8])  # SOI
+    for tid, q in ((0, qy), (1, qc)):
+        zzq = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
+        w.out += bytes([0xFF, 0xDB]) + struct.pack(">H", 67) + bytes([tid]) + zzq.tobytes()
+    sof = struct.pack(">BHHB", 8, h_img, w_img, 3)
+    sof += bytes([1, (sub << 4) | sub, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    w.out += bytes([0xFF, 0xC2]) + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for cls, tid, bits, vals in (
+        (0, 0, _ENC_DC_BITS, _ENC_DC_VALS), (1, 0, _PROG_AC_BITS, _PROG_AC_VALS),
+    ):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + vals
+        w.out += bytes([0xFF, 0xC4]) + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(comp_ids, ss, se, ah, al):
+        w.pad()
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # dc table 0, ac table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        w.out += bytes([0xFF, 0xDA]) + struct.pack(">H", 2 + len(body)) + body
+
+    # MCU-interleaved unit order shared by the two DC scan kinds
+    units = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for vy in range(sub):
+                for hx in range(sub):
+                    units.append((1, my * sub + vy, mx * sub + hx))
+            units.append((2, my, mx))
+            units.append((3, my, mx))
+
+    sos([1, 2, 3], 0, 0, 0, dc_al)  # DC first
+    preds = {1: 0, 2: 0, 3: 0}
+    for cid, by, bx in units:
+        v = int(coefs[cid][by, bx, 0]) >> dc_al  # arithmetic shift per spec
+        diff = v - preds[cid]
+        preds[cid] = v
+        size = _category(diff)
+        length, code = _DC_CODE[size]
+        w.write(code, length)
+        if size:
+            w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    for al in range(dc_al - 1, -1, -1):  # DC refinements
+        sos([1, 2, 3], 0, 0, al + 1, al)
+        for cid, by, bx in units:
+            w.write((int(coefs[cid][by, bx, 0]) >> al) & 1, 1)
+
+    # per-component non-interleaved block grids (unpadded portion)
+    def comp_blocks(cid, ch, cv):
+        cw = -(-w_img * ch // sub)
+        chh = -(-h_img * cv // sub)
+        nbw, nbh = -(-cw // 8), -(-chh // 8)
+        arr = coefs[cid]
+        return [arr[by, bx] for by in range(nbh) for bx in range(nbw)]
+
+    comp_geom = [(1, sub, sub), (2, 1, 1), (3, 1, 1)]
+    for cid, ch, cv in comp_geom:  # AC first scans
+        sos([cid], 1, 63, 0, ac_al)
+        _encode_ac_first(w, comp_blocks(cid, ch, cv), 1, 63, ac_al)
+    for al in range(ac_al - 1, -1, -1):  # AC refinement scans
+        for cid, ch, cv in comp_geom:
+            sos([cid], 1, 63, al + 1, al)
+            _encode_ac_refine(w, comp_blocks(cid, ch, cv), 1, 63, al + 1, al)
+
+    w.marker(0xD9)
     return bytes(w.out)

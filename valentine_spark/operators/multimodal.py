@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through ``mapInPandas`` (Arrow-batched).
 
-The IMAGE path is fully real end-to-end: BMP, PNG, and baseline JPEG
-payloads are decoded by the bundled pure-Python codecs (``functions/
-bmp.py``, ``functions/png.py`` — baseline 8-bit PNG, all five scanline
-filters, gray/RGB/palette/alpha color types; ``functions/jpeg.py`` —
-baseline sequential SOF0, arbitrary Huffman/quant tables, 4:4:4/4:2:0/
-4:2:2 sampling, restart intervals) into (H, W, 3) arrays and
-feature-extracted for real (dimensions + channel statistics).  The AUDIO
+The IMAGE path is fully real end-to-end: BMP, PNG, and JPEG (baseline AND
+progressive) payloads are decoded by the bundled pure-Python codecs
+(``functions/bmp.py``, ``functions/png.py`` — baseline 8-bit PNG, all five
+scanline filters, gray/RGB/palette/alpha color types; ``functions/
+jpeg.py`` — sequential SOF0 + progressive SOF2 successive approximation,
+arbitrary Huffman/quant tables, 4:4:4/4:2:0/4:2:2 sampling, restart
+intervals) into (H, W, 3) arrays and feature-extracted for real
+(dimensions + channel statistics).  The AUDIO
 path is real for WAV: ``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit
 int, float32/64, extensible) AND IMA/DVI ADPCM (tag 0x11, 4-bit
 compressed) to float32 frames and extracts signal statistics (rms, peak,
@@ -15,10 +16,10 @@ zero-crossing rate, duration).  The VIDEO path is
 real for MJPEG AVI: ``functions/video_frames.py`` extracts movi-chunk
 frames, splices the Annex-K default Huffman tables table-less MJPEG frames
 omit, and decodes each sampled frame through the JPEG codec
-(``frame_features`` below).  Remaining codecs (progressive JPEG,
-psychoacoustic audio, non-MJPEG video) still route to the deterministic
-``decode_stub`` (clearly marked; the container has no codec libraries —
-swap in PIL/librosa/pyav on a real cluster).
+(``frame_features`` below).  Remaining codecs (psychoacoustic audio,
+non-MJPEG video) still route to the deterministic ``decode_stub``
+(clearly marked; the container has no codec libraries — swap in
+PIL/librosa/pyav on a real cluster).
 Everything Spark-side — schema,
 batch shape, partition sizing, UDF signatures — is real and tested:
 
@@ -65,10 +66,11 @@ def synth_media_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataF
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for codecs the container lacks (JPEG images, compressed audio,
-    all video; BMP/PNG images and WAV audio are really decoded — see
-    ``decode_media``).  Deterministic: features derived from a sha256 of the payload.
-    Replace with a real decoder (PIL.Image.open / soundfile.read / pyav) in
+    """STUB for codecs the container lacks (psychoacoustic audio, non-MJPEG
+    video; BMP/PNG/JPEG images, WAV/ADPCM audio, and MJPEG AVI frames are
+    really decoded — see ``decode_media`` / ``frame_features``).
+    Deterministic: features derived from a sha256 of the payload.  Replace
+    with a real decoder (PIL.Image.open / soundfile.read / pyav) in
     production — the calling plumbing is identical."""
     digest = hashlib.sha256(payload or b"").digest()
     return (np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32) / 255.0)[:8]
