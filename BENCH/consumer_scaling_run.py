@@ -166,8 +166,28 @@ def main() -> None:
                 built = json.loads(line[len("BUILT "):])
         if built is None:
             raise RuntimeError(f"builder failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
-        r_lo = run_level(repo, lo, root, built["v_half"], built["v_full"])
-        r_hi = run_level(repo, hi, root, built["v_half"], built["v_full"])
+        # interleave the levels (lo,hi,lo,hi) and keep each level's best:
+        # host drift between measurements then biases BOTH levels equally
+        # instead of silently corrupting the ratio (the r4 lesson: a
+        # sequential lo-then-hi run is one background task away from a
+        # garbage efficiency number)
+        rounds = int(os.environ.get("SCALING_INTERLEAVE", "2"))
+        r_lo = r_hi = None
+
+        def _better(a, b):
+            if a is None:
+                return b
+            best = a if a["mirror_wall"] <= b["mirror_wall"] else b
+            best = dict(best)
+            best["scan_wall"] = min(a["scan_wall"], b["scan_wall"])
+            best["scan_walls"] = a["scan_walls"] + b["scan_walls"]
+            best["mirror_walls"] = a["mirror_walls"] + b["mirror_walls"]
+            best["mirror_state_match"] = a["mirror_state_match"] and b["mirror_state_match"]
+            return best
+
+        for _ in range(max(1, rounds)):
+            r_lo = _better(r_lo, run_level(repo, lo, root, built["v_half"], built["v_full"]))
+            r_hi = _better(r_hi, run_level(repo, hi, root, built["v_half"], built["v_full"]))
         load_post = round(os.getloadavg()[0], 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
