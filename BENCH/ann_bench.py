@@ -29,6 +29,8 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+
 N_CLUSTERS = 256
 NOISE = 0.15  # relative to the unit-ish center scale
 
@@ -160,6 +162,34 @@ def main() -> None:
         den = sum(len(s) for s in exact_sets.values())
         return round(num / den, 3) if den else None
 
+    # true-similarity ratio: mean TRUE cosine of the retrieved set over the
+    # exact top-k's mean — the serving-quality metric that stays meaningful
+    # when a clustered corpus makes within-cluster members near-equidistant
+    # ties (where exact-rank identity is unattainable for ANY 1-byte PQ)
+    all_ids = sorted(
+        {v for s in (exact_sets, pq_sets, ivfpq_sets, pq256_sets)
+         for vs in s.values() for v in vs}
+    )
+    id_vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vecs.where(F.col("vec_id").isin(all_ids)).collect()
+    }
+    q_vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+              for r in q_rows}
+
+    def _cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    def sim_ratio(approx):
+        ratios = []
+        for q, s in exact_sets.items():
+            if q not in approx or not approx[q]:
+                continue
+            ex = np.mean([_cos(q_vecs[q], id_vecs[v]) for v in s])
+            ap = np.mean([_cos(q_vecs[q], id_vecs[v]) for v in approx[q]])
+            ratios.append(ap / ex if ex else 1.0)
+        return round(float(np.mean(ratios)), 4) if ratios else None
+
     def cluster_recall(approx):
         num = den = 0
         for q, s in approx.items():
@@ -180,6 +210,9 @@ def main() -> None:
         "scan_footprint_ratio": round(raw_bytes / max(code_bytes, 1), 1),
         "exact_cluster_recall": cluster_recall(exact_sets),
         "pq_topk_overlap": topk_overlap(pq_sets),
+        "pq_sim_ratio": sim_ratio(pq_sets),
+        "ivfpq_sim_ratio": sim_ratio(ivfpq_sets),
+        "pq256_sim_ratio": sim_ratio(pq256_sets),
         "pq_cluster_recall": cluster_recall(pq_sets),
         "ivfpq_topk_overlap": topk_overlap(ivfpq_sets),
         "ivfpq_cluster_recall": cluster_recall(ivfpq_sets),

@@ -76,7 +76,12 @@ def pq_train(
     — right for oracle-sized k; production codebooks (k=256) should pass
     ``init="hash"`` (one seeding job instead of k-1 sequential scans) and
     train on a deterministic sample of the corpus, the standard PQ practice
-    (codebooks generalize; see BENCH/ann_bench.py's production arm)."""
+    (codebooks generalize).  Measured at 1 M×64d (BENCH/BASELINE.md §3c-r4):
+    the k=256 arm indexes 2.4× faster than farthest-init k=16 and retrieves
+    neighbors whose TRUE cosine is within 0.9 % of the exact top-k
+    (sim_ratio 0.991, cluster-recall 1.0) at a 42× smaller scan footprint;
+    exact-rank overlap is corpus-bound there (near-tie clusters), not an
+    index property — see the honest discussion in that section."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
