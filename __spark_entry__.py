@@ -936,6 +936,61 @@ GROUP BY doc_id
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (duplicate-word fraction, top word /
+    bigram share, longest same-word run) — zero-shuffle higher-order array
+    folds; see operators/text.py:repetition_stats."""
+    from valentine_spark.operators import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# the oracle recomputes each in-row fold relationally: unnest + group-by for
+# word/bigram modes, gaps-and-islands (i - row_number) for the longest run
+_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS i FROM w
+),
+word_top AS (
+  SELECT doc_id, max(c) AS top_word_cnt
+  FROM (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1
+),
+big AS (
+  SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+  FROM tok
+),
+big_top AS (
+  SELECT doc_id, max(c) AS top_bigram_cnt
+  FROM (SELECT doc_id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL GROUP BY 1, 2)
+  GROUP BY 1
+),
+runs AS (
+  SELECT doc_id, max(c) AS max_run FROM (
+    SELECT doc_id, word, count(*) AS c
+    FROM (SELECT doc_id, word, i,
+                 i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS grp
+          FROM tok)
+    GROUP BY doc_id, word, grp) GROUP BY 1
+)
+SELECT w.doc_id,
+       len(words) AS n_words,
+       round(1.0 - len(list_distinct(words)) * 1.0 / greatest(len(words), 1), 6)
+         AS dup_word_frac,
+       round(coalesce(word_top.top_word_cnt, 0) * 1.0 / greatest(len(words), 1), 6)
+         AS top_word_frac,
+       CASE WHEN len(words) < 2 THEN 0.0
+            ELSE round(coalesce(big_top.top_bigram_cnt, 0) * 1.0 / (len(words) - 1), 6)
+       END AS top_bigram_frac,
+       coalesce(runs.max_run, 0) AS max_word_run
+FROM w LEFT JOIN word_top USING (doc_id) LEFT JOIN big_top USING (doc_id)
+       LEFT JOIN runs USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1912,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": text_quality_scores,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
+        "text_repetition_stats": text_repetition_stats,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
@@ -1967,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": _quality_oracle_sql(),
         "text_language_id": _langid_oracle_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
+        "text_repetition_stats": _REPETITION_SQL,
         "embedding_cosine_topk": _COSINE_SQL,
         "embedding_ivf_topk": _IVF_SQL,
         "embedding_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),

@@ -1229,3 +1229,40 @@ def test_pq_encode_arrow_matches_expression_encode(spark):
              for r in pq_encode_arrow(vecs, books).select("vec_id", "pq_codes").collect()}
     assert expr == arrow
     assert len({tuple(c) for c in expr.values()}) > 1  # codes actually vary
+
+
+def test_repetition_stats_hand_computed(spark):
+    from valentine_spark.operators import repetition_stats
+
+    rows = [
+        (1, "a a a b"),          # top word 'a' x3, run 3, bigram 'a a' x2/3
+        (2, "x y x y x"),        # no adjacent repeats; bigram 'x y' 2/4
+        (3, "unique words only here"),
+        (4, "solo"),             # single word: bigram frac defined as 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    assert got[1] == {
+        "doc_id": 1, "n_words": 4, "dup_word_frac": 0.5,
+        "top_word_frac": 0.75, "top_bigram_frac": round(2 / 3, 6),
+        "max_word_run": 3,
+    }
+    assert got[2]["top_word_frac"] == 0.6          # 'x' 3/5
+    assert got[2]["top_bigram_frac"] == 0.5        # 'x y' 2/4
+    assert got[2]["max_word_run"] == 1             # alternating
+    assert got[2]["dup_word_frac"] == 0.6          # 5 words, 2 distinct
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["max_word_run"] == 1
+    assert got[4] == {
+        "doc_id": 4, "n_words": 1, "dup_word_frac": 0.0,
+        "top_word_frac": 1.0, "top_bigram_frac": 0.0, "max_word_run": 1,
+    }
+
+
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    from valentine_spark.operators import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

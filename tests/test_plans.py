@@ -92,16 +92,30 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert len(key_exchanges) <= 2, text  # dedup agg + asof window
 
 
-def test_distributed_rank_reuses_range_exchange(spark):
-    """The lazy-offsets rank is only correct if both branches read ONE
-    physical range exchange — assert ReuseExchange fires."""
+def test_distributed_rank_plan_stays_parallel(spark):
+    """The literal-split-points rank (utils/ranking.py, round-4 rewrite) no
+    longer depends on exchange reuse for correctness — bucket ids are pure
+    row-local expressions, so both branches agree by construction (stability
+    is asserted in test_rank_parity).  The load-bearing PLAN properties now:
+    the full-data window is partitioned by bucket id (parallel), and the
+    only SinglePartition exchange feeds the tiny per-bucket-counts
+    aggregate, never the full data."""
     from valentine_spark.utils.ranking import distributed_row_number
 
     df = spark.range(10_000).select((F.col("id") * 7 % 1000).alias("v"), "id")
     ranked = distributed_row_number(df, ["v", "id"], num_partitions=4)
-    ranked.collect()
+    n = ranked.count()
+    assert n == 10_000
     plan = ranked._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan or "table cache" in plan, plan
+    # full-data exchange + window keyed on the bucket id
+    assert "hashpartitioning(_rank_pid" in plan, plan
+    # every SinglePartition exchange sits directly above an aggregate of
+    # the per-bucket counts (#buckets rows), not above full-width data
+    lines = plan.splitlines()
+    singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert singles, plan
+    for i in singles:
+        assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 3])
 
 
 def test_cobucketed_join_no_shuffle(spark, tmp_path, sf_dir):

@@ -18,7 +18,13 @@ from .dedup import (
 )
 from .pq import ivfpq_topk, pq_encode, pq_topk, pq_train
 from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
-from .text import doc_fingerprints, language_id, quality_scores, token_counts
+from .text import (
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    repetition_stats,
+    token_counts,
+)
 from .window_ops import latest_event_per_user, sessionize, topk_by
 
 __all__ = [
@@ -48,6 +54,7 @@ __all__ = [
     "sign_bucket",
     "embedding_neardup_pairs",
     "token_counts",
+    "repetition_stats",
     "quality_scores",
     "language_id",
     "doc_fingerprints",

@@ -1,22 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through ``mapInPandas`` (Arrow-batched).
 
-The IMAGE path is fully real end-to-end: BMP, PNG, and JPEG (baseline AND
-progressive) payloads are decoded by the bundled pure-Python codecs
+The IMAGE path is fully real end-to-end: BMP, PNG, GIF, and JPEG (baseline
+AND progressive) payloads are decoded by the bundled pure-Python codecs
 (``functions/bmp.py``, ``functions/png.py`` — baseline 8-bit PNG, all five
 scanline filters, gray/RGB/palette/alpha color types; ``functions/
 jpeg.py`` — sequential SOF0 + progressive SOF2 successive approximation,
 arbitrary Huffman/quant tables, 4:4:4/4:2:0/4:2:2 sampling, restart
-intervals) into (H, W, 3) arrays and feature-extracted for real
+intervals; ``functions/gif.py`` — full LZW, interlace, transparency,
+animation compositing) into (H, W, 3) arrays and feature-extracted for real
 (dimensions + channel statistics).  The AUDIO
 path is real for WAV: ``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit
 int, float32/64, extensible) AND IMA/DVI ADPCM (tag 0x11, 4-bit
 compressed) to float32 frames and extracts signal statistics (rms, peak,
 zero-crossing rate, duration).  The VIDEO path is
-real for MJPEG AVI: ``functions/video_frames.py`` extracts movi-chunk
-frames, splices the Annex-K default Huffman tables table-less MJPEG frames
-omit, and decodes each sampled frame through the JPEG codec
-(``frame_features`` below).  Remaining codecs (psychoacoustic audio,
+real for MJPEG AVI and animated GIF: ``functions/video_frames.py``
+extracts movi-chunk frames, splices the Annex-K default Huffman tables
+table-less MJPEG frames omit, and decodes each sampled frame through the
+JPEG codec; animated GIFs stream their composed frames through the same
+sampled-frame contract (``frame_features`` below).  Remaining codecs (psychoacoustic audio,
 non-MJPEG video) still route to the deterministic ``decode_stub``
 (clearly marked; the container has no codec libraries — swap in
 PIL/librosa/pyav on a real cluster).
@@ -67,7 +69,8 @@ def synth_media_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataF
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """STUB for codecs the container lacks (psychoacoustic audio, non-MJPEG
-    video; BMP/PNG/JPEG images, WAV/ADPCM audio, and MJPEG AVI frames are
+    video; BMP/PNG/GIF/JPEG images, WAV/ADPCM audio, and MJPEG AVI +
+    animated-GIF frames are
     really decoded — see ``decode_media`` / ``frame_features``).
     Deterministic: features derived from a sha256 of the payload.  Replace
     with a real decoder (PIL.Image.open / soundfile.read / pyav) in
@@ -98,7 +101,7 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """Feature vector per media row.  Images in BMP, PNG, or baseline JPEG
+    """Feature vector per media row.  Images in BMP, PNG, GIF, or JPEG
     format and audio in WAV format take the REAL path (pure-Python decode +
     signal statistics); everything else hits the documented stub."""
     if payload is not None:
@@ -117,6 +120,10 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
                     from ..functions.jpeg import decode_jpeg
 
                     return image_features(decode_jpeg(raw))
+                if raw[:4] == b"GIF8":
+                    from ..functions.gif import decode_gif
+
+                    return image_features(decode_gif(raw))
             elif kind == "audio" and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                 from ..functions.wav import audio_features, decode_wav
 
@@ -207,19 +214,42 @@ def frame_features(media: DataFrame, every_n: int = 1,
             ok: List[bool] = []
             feats: List[list] = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                if kind == "video" and payload is not None:
-                    try:
-                        for fi, img in decode_avi_frames(
-                            bytes(payload), every_n=every_n,
+                raw = bytes(payload) if payload is not None else None
+                emitted = 0
+                try:
+                    if raw and raw[:4] == b"GIF8":
+                        # animated GIF: same sampled-frame contract as AVI
+                        # (frames composed with disposal/transparency rules)
+                        from ..functions.gif import gif_frames
+
+                        frames = (
+                            (fi, img)
+                            for fi, img in enumerate(gif_frames(raw))
+                            if fi % every_n == 0
+                        )
+                    elif raw and kind == "video":
+                        frames = decode_avi_frames(
+                            raw, every_n=every_n,
                             max_frames=max_frames_per_video,
-                        ):
+                        )
+                    else:
+                        frames = None
+                    if frames is not None:
+                        for fi, img in frames:
                             ids.append(mid)
                             idxs.append(fi)
                             ok.append(True)
                             feats.append(image_features(img).tolist())
-                        continue
-                    except (VideoMetaError, ValueError, _st.error, IndexError):
-                        pass
+                            emitted += 1
+                            if emitted >= max_frames_per_video:
+                                break
+                except (VideoMetaError, ValueError, _st.error, IndexError):
+                    # a payload that breaks mid-stream keeps its decoded
+                    # frames; only a payload with NO decodable frame gets
+                    # the stub row below
+                    pass
+                if emitted:
+                    continue
                 ids.append(mid)
                 idxs.append(-1)
                 ok.append(False)

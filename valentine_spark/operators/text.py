@@ -117,3 +117,57 @@ def doc_fingerprints(
             f"i -> md5(substring({text_col}, i, {n}))))"
         ).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1 "repetition
+    removal"): duplicate-word fraction, most-frequent-word share,
+    most-frequent-bigram share, and the longest consecutive same-word run.
+    High values on any of them mark machine-generated / boilerplate text a
+    pretraining corpus should drop.
+
+    Plan shape: every statistic is folded INSIDE the row with higher-order
+    array expressions (``array_sort`` + ``aggregate`` run-length fold) — a
+    pure whole-stage-codegen map with ZERO shuffles and no UDFs, so the
+    operator costs one scan regardless of corpus size.  The naive form
+    (explode words → groupBy(doc, word) → max count) shuffles the full
+    token stream twice; at 100 TB that is the difference between a map job
+    and the biggest shuffle in the pipeline."""
+    words = f"filter(split({text_col}, ' '), x -> x != '')"
+    # longest run of identical adjacent elements; on the SORTED array this
+    # is the max frequency of any element (run-length encoding of a sorted
+    # multiset groups equal values together)
+    run_fold = (
+        "aggregate({arr}, named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x = acc.prev, acc.run + 1L, 1L), "
+        "  'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
+    )
+    bigrams = (
+        f"transform(sequence(1, size({words}) - 1), "
+        f"i -> concat(element_at({words}, i), ' ', element_at({words}, i + 1)))"
+    )
+    n = F.expr(f"size({words})")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(
+            1.0 - F.expr(f"size(array_distinct({words}))") / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.expr(run_fold.format(arr=f"array_sort({words})")) / F.greatest(n, F.lit(1)),
+            6,
+        ).alias("top_word_frac"),
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.expr(run_fold.format(arr=f"array_sort({bigrams})")) / (n - 1), 6
+            )
+        )
+        .alias("top_bigram_frac"),
+        F.expr(run_fold.format(arr=words)).cast("long").alias("max_word_run"),
+    )
