@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "text_language_id",
     "text_fingerprints",
+    "text_repetition_stats",
+    "media_frame_features",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
     "embedding_ivfpq_topk",
