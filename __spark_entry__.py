@@ -991,6 +991,55 @@ FROM w LEFT JOIN word_top USING (doc_id) LEFT JOIN big_top USING (doc_id)
 """
 
 
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-corpus pipeline: sequential survivor counts
+    through length -> language-ID -> quality -> repetition gates plus an
+    exact-dedup distinct count — one scan, one aggregate
+    (operators/text.py:curation_funnel)."""
+    from valentine_spark.operators import curation_funnel
+
+    return curation_funnel(_t(spark, sf_dir, "documents"))
+
+
+def _funnel_oracle_sql() -> str:
+    """Composes the three per-family oracles as derived tables (each is the
+    exact SQL image of its Spark operator, independently hash-verified) and
+    recomputes the gate conjunctions + funnel counts on top."""
+    return f"""
+WITH f AS (
+  SELECT d.doc_id,
+         (q.n_chars >= 150) AS f_len,
+         (q.n_chars >= 150 AND l.pred_lang = 'en') AS f_lang,
+         (q.n_chars >= 150 AND l.pred_lang = 'en' AND q.quality >= 0.5) AS f_qual,
+         (q.n_chars >= 150 AND l.pred_lang = 'en' AND q.quality >= 0.5
+          AND r.dup_word_frac <= 0.6 AND r.top_bigram_frac <= 0.2) AS f_rep,
+         CASE WHEN q.n_chars >= 150 AND l.pred_lang = 'en' AND q.quality >= 0.5
+                   AND r.dup_word_frac <= 0.6 AND r.top_bigram_frac <= 0.2
+              THEN md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')))
+         END AS norm_hash
+  FROM documents d
+  JOIN ({_quality_oracle_sql()}) q USING (doc_id)
+  JOIN ({_langid_oracle_sql()}) l USING (doc_id)
+  JOIN ({_REPETITION_SQL}) r USING (doc_id)
+),
+a AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS pass_min_length,
+         sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS pass_language,
+         sum(CASE WHEN f_qual THEN 1 ELSE 0 END) AS pass_quality,
+         sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS pass_repetition,
+         count(DISTINCT norm_hash) AS kept_after_exact_dedup
+  FROM f
+)
+SELECT 1::INT AS stage_order, 'total' AS stage, total::BIGINT AS n_docs FROM a
+UNION ALL SELECT 2, 'pass_min_length', pass_min_length FROM a
+UNION ALL SELECT 3, 'pass_language', pass_language FROM a
+UNION ALL SELECT 4, 'pass_quality', pass_quality FROM a
+UNION ALL SELECT 5, 'pass_repetition', pass_repetition FROM a
+UNION ALL SELECT 6, 'kept_after_exact_dedup', kept_after_exact_dedup FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1968,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
         "text_repetition_stats": text_repetition_stats,
+        "corpus_curation_funnel": corpus_curation_funnel,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
@@ -2024,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _langid_oracle_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "text_repetition_stats": _REPETITION_SQL,
+        "corpus_curation_funnel": _funnel_oracle_sql(),
         "embedding_cosine_topk": _COSINE_SQL,
         "embedding_ivf_topk": _IVF_SQL,
         "embedding_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),

@@ -1266,3 +1266,38 @@ def test_repetition_stats_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_curation_funnel_stages_and_dedup(spark):
+    from valentine_spark.operators import curation_funnel
+
+    long_en = ("the data " * 25).strip()          # 224 chars, stopword-rich
+    rows = [
+        (1, long_en),                             # survives all gates
+        (2, long_en + "!!"),                      # normalized-dup of doc 1
+        (3, "the " + "x y z w v u t s r q " * 16),  # long, en, low repetition
+        (4, "short the and of"),                  # fails min length
+        (5, "der und das ist " * 16),             # long but German
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel(
+            df, min_chars=100, min_quality=0.3,
+            max_dup_word_frac=0.99, max_top_bigram_frac=0.99,
+        ).collect()
+    }
+    assert got["total"] == 5
+    assert got["pass_min_length"] == 4          # doc 4 out
+    assert got["pass_language"] == 3            # doc 5 out
+    assert got["pass_quality"] == 3
+    assert got["pass_repetition"] == 3
+    assert got["kept_after_exact_dedup"] == 2   # docs 1+2 normalize equal
+
+
+def test_curation_funnel_single_scan_no_join(spark):
+    from valentine_spark.operators import curation_funnel
+
+    df = spark.createDataFrame([(1, "the a b")], "doc_id long, text string")
+    plan = curation_funnel(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan              # gates compose in one projection

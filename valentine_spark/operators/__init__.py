@@ -19,6 +19,7 @@ from .dedup import (
 from .pq import ivfpq_topk, pq_encode, pq_topk, pq_train
 from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
 from .text import (
+    curation_funnel,
     doc_fingerprints,
     language_id,
     quality_scores,
@@ -55,6 +56,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "token_counts",
     "repetition_stats",
+    "curation_funnel",
     "quality_scores",
     "language_id",
     "doc_fingerprints",

@@ -54,6 +54,14 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [0,1]: length band, stopword presence,
     punctuation balance — the usual pretraining quality gates."""
+    e = _quality_exprs(text_col)
+    return df.select(F.col(id_col), *[e[k].alias(k) for k in e])
+
+
+def _quality_exprs(text_col: str) -> dict:
+    """The quality columns as a name→Column dict, so composite operators
+    (``curation_funnel``) evaluate them in the SAME single projection as
+    the other gate families instead of self-joining per stat."""
     text = F.col(text_col)
     padded = _padded_lower(text_col)
     n_chars = F.length(text)
@@ -70,18 +78,22 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     stop_score = F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (punct_ratio - 0.1) * 5.0))
-    return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        F.round(stop_hits, 6).alias("stopword_hits"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round((0.4 * length_score + 0.4 * stop_score + 0.2 * punct_score), 6).alias("quality"),
-    )
+    return {
+        "n_chars": n_chars,
+        "stopword_hits": F.round(stop_hits, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality": F.round((0.4 * length_score + 0.4 * stop_score + 0.2 * punct_score), 6),
+    }
 
 
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: per language, count marker-word hits;
     predict the argmax (deterministic tie-break: en > de > fr > es order)."""
+    e = _langid_exprs(text_col)
+    return df.select(F.col(id_col), *[e[k].alias(k) for k in e])
+
+
+def _langid_exprs(text_col: str) -> dict:
     padded = _padded_lower(text_col)
     scores = {
         lang: sum((_count_occurrences(padded, f" {w} ") for w in words), F.lit(0).cast("double"))
@@ -91,11 +103,8 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     pred = F.when(best <= 0, F.lit("unknown"))
     for lang in ("en", "de", "fr", "es"):
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    out = df.select(
-        F.col(id_col),
-        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in ("en", "de", "fr", "es")],
-        pred.alias("pred_lang"),
-    )
+    out = {f"score_{lang}": F.round(scores[lang], 6) for lang in ("en", "de", "fr", "es")}
+    out["pred_lang"] = pred
     return out
 
 
@@ -135,6 +144,11 @@ def repetition_stats(
     (explode words → groupBy(doc, word) → max count) shuffles the full
     token stream twice; at 100 TB that is the difference between a map job
     and the biggest shuffle in the pipeline."""
+    e = _repetition_exprs(text_col)
+    return df.select(F.col(id_col), *[e[k].alias(k) for k in e])
+
+
+def _repetition_exprs(text_col: str) -> dict:
     words = f"filter(split({text_col}, ' '), x -> x != '')"
     # longest run of identical adjacent elements; on the SORTED array this
     # is the max frequency of any element (run-length encoding of a sorted
@@ -152,22 +166,83 @@ def repetition_stats(
         f"i -> concat(element_at({words}, i), ' ', element_at({words}, i + 1)))"
     )
     n = F.expr(f"size({words})")
-    return df.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        F.round(
+    return {
+        "n_words": n.cast("long"),
+        "dup_word_frac": F.round(
             1.0 - F.expr(f"size(array_distinct({words}))") / F.greatest(n, F.lit(1)), 6
-        ).alias("dup_word_frac"),
-        F.round(
+        ),
+        "top_word_frac": F.round(
             F.expr(run_fold.format(arr=f"array_sort({words})")) / F.greatest(n, F.lit(1)),
             6,
-        ).alias("top_word_frac"),
-        F.when(n < 2, F.lit(0.0))
-        .otherwise(
-            F.round(
-                F.expr(run_fold.format(arr=f"array_sort({bigrams})")) / (n - 1), 6
-            )
-        )
-        .alias("top_bigram_frac"),
-        F.expr(run_fold.format(arr=words)).cast("long").alias("max_word_run"),
+        ),
+        "top_bigram_frac": F.when(n < 2, F.lit(0.0)).otherwise(
+            F.round(F.expr(run_fold.format(arr=f"array_sort({bigrams})")) / (n - 1), 6)
+        ),
+        "max_word_run": F.expr(run_fold.format(arr=words)).cast("long"),
+    }
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 150,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """The end-to-end pretraining-corpus gate pipeline as ONE query:
+    sequential survivor counts through length → language-ID → quality →
+    repetition gates, then an exact-dedup distinct count (normalized text,
+    ``dedup.normalize_text_expr``) over the full survivors — the C4/Gopher
+    curation funnel every corpus report tabulates.
+
+    Plan shape: all four gate families evaluate in a SINGLE zero-shuffle
+    projection (the per-family expression dicts above — no self-joins of
+    per-operator outputs), followed by one partial-aggregated global
+    aggregate; the dedup stage is a count_distinct over an md5, i.e. the
+    standard two-phase distinct aggregate.  One scan + one small shuffle
+    total at any corpus size.
+
+    Output: (stage_order, stage, n_docs) — 6 rows."""
+    from .dedup import normalize_text_expr
+
+    q = _quality_exprs(text_col)
+    l = _langid_exprs(text_col)
+    r = _repetition_exprs(text_col)
+    g_len = q["n_chars"] >= F.lit(min_chars)
+    g_lang = g_len & (l["pred_lang"] == F.lit(lang))
+    g_qual = g_lang & (q["quality"] >= F.lit(min_quality))
+    g_rep = (
+        g_qual
+        & (r["dup_word_frac"] <= F.lit(max_dup_word_frac))
+        & (r["top_bigram_frac"] <= F.lit(max_top_bigram_frac))
+    )
+    flags = df.select(
+        g_len.alias("f_len"),
+        g_lang.alias("f_lang"),
+        g_qual.alias("f_qual"),
+        g_rep.alias("f_rep"),
+        F.when(g_rep, F.md5(normalize_text_expr(F.col(text_col)))).alias("norm_hash"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("f_len").cast("long")).alias("pass_min_length"),
+        F.sum(F.col("f_lang").cast("long")).alias("pass_language"),
+        F.sum(F.col("f_qual").cast("long")).alias("pass_quality"),
+        F.sum(F.col("f_rep").cast("long")).alias("pass_repetition"),
+        F.count_distinct(F.col("norm_hash")).alias("kept_after_exact_dedup"),
+    )
+    stages = [
+        "total", "pass_min_length", "pass_language",
+        "pass_quality", "pass_repetition", "kept_after_exact_dedup",
+    ]
+    stack = ", ".join(f"{i + 1}, '{s}', {s}" for i, s in enumerate(stages))
+    return agg.select(
+        F.expr(f"stack({len(stages)}, {stack}) AS (stage_order, stage, n_docs)")
+    ).select(
+        F.col("stage_order").cast("int"),
+        "stage",
+        F.col("n_docs").cast("long"),
     )
