@@ -139,3 +139,34 @@ def test_frame_features_animated_gif(spark):
     assert got[(7, 2)]["feature"] == pytest.approx(
         image_features(frames[2]).tolist(), abs=1e-6
     )
+
+
+def test_probe_gif_metadata_only():
+    from valentine_spark.functions.gif import probe_gif
+
+    frames = [_random_image(11, 13, 4, s) for s in range(3)]
+    meta = probe_gif(encode_gif(frames, delay_cs=25))
+    assert meta == {
+        "container": "gif", "width": 13, "height": 11, "duration_ms": 750,
+        "n_frames": 3, "fps": 4.0, "codec": "gif-lzw",
+    }
+    still = probe_gif(encode_gif(frames[0]))
+    assert (still["n_frames"], still["duration_ms"], still["fps"]) == (1, 0, None)
+    with pytest.raises(ValueError):
+        probe_gif(encode_gif(frames)[:-1])  # missing trailer
+
+
+def test_probe_metadata_routes_gif(spark):
+    from valentine_spark.operators.multimodal import probe_metadata
+
+    raw = encode_gif([_random_image(6, 8, 4, s) for s in range(2)], delay_cs=10)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(raw), 8, 6, 0),
+         (2, "image", bytearray(b"junk"), 0, 0, 0)],
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in probe_metadata(df).collect()}
+    assert rows[1]["container"] == "gif" and rows[1]["n_frames"] == 2
+    assert rows[1]["duration_ms"] == 200 and rows[1]["codec"] == "gif-lzw"
+    assert rows[2]["container"] is None

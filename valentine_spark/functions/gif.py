@@ -345,3 +345,59 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def probe_gif(data: bytes) -> dict:
+    """ffprobe-shaped metadata for a GIF payload WITHOUT decoding pixels:
+    walks the block structure (sub-block lengths only — no LZW), counting
+    frames and summing Graphic Control delays.  O(blocks), suitable as the
+    pre-decode sizing/routing pass (``operators/multimodal.probe_metadata``).
+    Raises ``ValueError`` on malformed streams like the decoder."""
+    data = bytes(data)
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n = len(data)
+    n_frames = 0
+    duration_cs = 0
+    while pos < n:
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            dur_ms = duration_cs * 10
+            fps = (
+                round(n_frames * 1000.0 / dur_ms, 3) if dur_ms and n_frames else None
+            )
+            return {
+                "container": "gif",
+                "width": int(width),
+                "height": int(height),
+                "duration_ms": int(dur_ms),
+                "n_frames": int(n_frames),
+                "fps": fps,
+                "codec": "gif-lzw",
+            }
+        if block == 0x21:
+            if pos >= n:
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            body, pos = _sub_blocks(data, pos + 1)
+            if label == 0xF9 and len(body) >= 4:
+                duration_cs += int.from_bytes(body[1:3], "little")
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        if pos >= n:
+            raise ValueError("truncated GIF image data")
+        _, pos = _sub_blocks(data, pos + 1)  # skip min-code byte + data
+        n_frames += 1
+    raise ValueError("GIF stream ended without trailer")

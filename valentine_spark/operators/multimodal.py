@@ -168,18 +168,32 @@ PROBE_SCHEMA = (
 
 def probe_metadata(media: DataFrame) -> DataFrame:
     """ffprobe-shaped metadata pass over binary payloads (REAL for AVI and
-    MP4 containers — ``functions/video_meta.py``; None columns for payloads
-    that are not parseable containers).  This is the cheap first stage a
+    MP4 containers — ``functions/video_meta.py`` — and GIF, including
+    frame count + GCE-delay duration without any LZW decode —
+    ``functions/gif.py:probe_gif``; None columns for payloads that are
+    not parseable containers).  This is the cheap first stage a
     media pipeline runs to size, route, and filter BEFORE any decode
     fan-out: pure byte parsing per row, Arrow-batched, no codec libraries
     needed."""
+    from ..functions.gif import probe_gif
     from ..functions.video_meta import try_probe_video
+
+    def probe_one(p) -> dict:
+        m = try_probe_video(p)
+        if m is not None:
+            return m
+        if p is not None and bytes(p)[:4] == b"GIF8":
+            try:
+                return probe_gif(bytes(p))
+            except ValueError:
+                return {}
+        return {}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["container", "width", "height", "duration_ms", "n_frames",
                 "fps", "codec"]
         for pdf in batches:
-            probed = [try_probe_video(p) or {} for p in pdf["payload"]]
+            probed = [probe_one(p) for p in pdf["payload"]]
             out = {"media_id": pdf["media_id"], "kind": pdf["kind"]}
             for c in cols:
                 out[c] = [m.get(c) for m in probed]
