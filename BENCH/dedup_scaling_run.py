@@ -86,8 +86,17 @@ def pairs_checksum():
     ).collect()[0]
     return int(row["c"]), int(row["h"] or 0)
 
+# the map-only arm runs on a 50x replicated view of the same corpus
+# (explode, zero extra storage): at n_docs (and still at 10x) the
+# zero-shuffle pass finishes in a couple of seconds at the 4N level and
+# the measurement is mostly job-launch overhead, not scaling — v1/v2 of
+# this harness recorded meaningless 0.35/0.47 that way
+docs_rep = docs.select(
+    "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(49))).alias("rep")
+).select((F.col("doc_id") * 50 + F.col("rep")).alias("doc_id"), "text")
+
 def rep_checksum():
-    r = repetition_stats(docs)
+    r = repetition_stats(docs_rep)
     row = r.agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.xxhash64(*[F.col(c).cast("string") for c in r.columns])
