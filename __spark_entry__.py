@@ -603,16 +603,23 @@ def emd_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ev.groupBy().pivot("event_type", ["click", "view"]).agg(F.count(F.lit(1)))
     t = totals.collect()[0]
     n_click, n_view = t["click"] or 1, t["view"] or 1
-    # 32-row frame by construction; partitionBy(lit(0)) is semantically a
-    # global window but keeps this benign case from emitting "WindowExec: No
-    # Partition Defined" warnings in bench tails (see utils/ranking.py)
-    w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # 32-row frame by construction; the CDF prefix sums are a broadcast
+    # triangular self-join (bucket' <= bucket) rather than a global window
+    # — a window here warns "No Partition Defined" on every bench run even
+    # under partitionBy(lit(0)), because Catalyst folds the constant key
+    # away (see utils/ranking.py for the same fix)
+    lower = counts.select(
+        F.col("bucket").alias("bucket_lo"),
+        F.col("click").alias("click_lo"),
+        F.col("view").alias("view_lo"),
     )
-    cdf = counts.withColumn("cdf_click", F.sum(F.col("click") / n_click).over(w)).withColumn(
-        "cdf_view", F.sum(F.col("view") / n_view).over(w)
+    cdf = (
+        counts.join(F.broadcast(lower), F.col("bucket_lo") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(
+            (F.sum("click_lo") / n_click).alias("cdf_click"),
+            (F.sum("view_lo") / n_view).alias("cdf_view"),
+        )
     )
     return cdf.agg(
         F.round(F.sum(F.abs(F.col("cdf_click") - F.col("cdf_view"))) / 32.0, 6).alias("emd")

@@ -109,13 +109,11 @@ def test_distributed_rank_plan_stays_parallel(spark):
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     # full-data exchange + window keyed on the bucket id
     assert "hashpartitioning(_rank_pid" in plan, plan
-    # every SinglePartition exchange sits directly above an aggregate of
-    # the per-bucket counts (#buckets rows), not above full-width data
-    lines = plan.splitlines()
-    singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
-    assert singles, plan
-    for i in singles:
-        assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 3])
+    # the offsets prefix sum is a broadcast triangular join over the tiny
+    # counts frame — NO single-partition exchange and NO unpartitioned
+    # window anywhere in the plan (the WindowExec warning source)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
 def test_cobucketed_join_no_shuffle(spark, tmp_path, sf_dir):

@@ -117,18 +117,25 @@ def distributed_row_number(
     w = Window.partitionBy(_PID).orderBy(*sort_exprs)
     ranked = part.withColumn(_RN, F.row_number().over(w))
 
-    # per-bucket offsets: a #buckets-row aggregate branch plus a cumsum
-    # window over those few rows (partitionBy(lit(0)) keeps the benign
-    # tiny-frame case from emitting "WindowExec: No Partition Defined"
-    # warnings that would mask REAL single-partition regressions in bench
-    # tails — VERDICT r2 #10).  Pure function of the data: even if Spark
-    # evaluates this branch with a separate scan, it must agree.
+    # per-bucket offsets: a #buckets-row aggregate branch whose prefix sum
+    # is computed as a broadcast TRIANGULAR JOIN (sum of strictly-lower
+    # buckets' counts) rather than a global window.  A window here — even
+    # one "partitioned" by lit(0) — emits "WindowExec: No Partition
+    # Defined" on every evaluation, because Catalyst constant-folds the
+    # literal partition key away (round-4 finding: the lit(0) trick never
+    # worked); that warning noise masks REAL single-partition regressions
+    # in bench tails (VERDICT r2 #10 / r3 #5).  The join is #buckets² / 2
+    # comparisons over a broadcast — trivial at any num_partitions — and a
+    # pure function of the data, so even if Spark evaluates this branch
+    # with a separate scan it must agree with the ranked branch.
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
-    off_w = (
-        Window.partitionBy(F.lit(0)).orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    lower = counts.select(
+        F.col(_PID).alias("_pid_lo"), F.col("_cnt").alias("_cnt_lo")
     )
-    offsets = counts.select(
-        _PID, F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias(_OFF)
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_pid_lo") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(F.coalesce(F.sum("_cnt_lo"), F.lit(0)).alias(_OFF))
     )
     return (
         ranked.join(F.broadcast(offsets), _PID)
