@@ -1301,3 +1301,47 @@ def test_curation_funnel_single_scan_no_join(spark):
     df = spark.createDataFrame([(1, "the a b")], "doc_id long, text string")
     plan = curation_funnel(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan              # gates compose in one projection
+
+
+def test_wav_g711_tables_match_cpython_reference():
+    """The μ-law/A-law expansion tables must equal CPython's audioop
+    (the G.711 reference implementation) on all 256 codes."""
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+    import numpy as np
+
+    from valentine_spark.functions.wav import _ALAW_TABLE, _ULAW_TABLE
+
+    ul = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+    al = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+    assert np.array_equal(_ULAW_TABLE, ul)
+    assert np.array_equal(_ALAW_TABLE, al)
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_wav_g711_roundtrip(law):
+    import numpy as np
+
+    from valentine_spark.functions.wav import decode_wav, encode_wav_g711
+
+    t = np.linspace(0, 1, 4000, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    dec, rate = decode_wav(encode_wav_g711(sig, 8000, law=law))
+    assert rate == 8000 and dec.shape == (4000, 1)
+    # companding is log-quantized: ~1% worst-case error at half scale
+    assert np.abs(dec[:, 0] - sig).max() < 0.02
+    stereo = np.stack([sig, -sig], axis=1)
+    dec2, _ = decode_wav(encode_wav_g711(stereo, 16000, law=law))
+    assert dec2.shape == (4000, 2)
+    assert np.abs(dec2[:, 1] + sig).max() < 0.02
+
+
+def test_wav_g711_rejects_wrong_bits():
+    import struct
+
+    from valentine_spark.functions.wav import WavError, decode_wav
+
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)  # 16-bit mu-law: invalid
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(WavError, match="G.711"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -6,7 +6,9 @@ keep the identical Spark plumbing).
 
 Supported: canonical RIFF/WAVE files with PCM (format tag 1: unsigned 8-bit,
 signed 16/24/32-bit little-endian), IEEE-float (format tag 3: float32/
-float64), or IMA/DVI ADPCM (format tag 0x11: 4-bit compressed, any channel
+float64), G.711 companded telephony audio (format tags 6 A-law / 7 μ-law:
+8-bit log-quantized, table-expanded exactly per the CCITT segment layout),
+or IMA/DVI ADPCM (format tag 0x11: 4-bit compressed, any channel
 count, block-structured) samples, any channel count and sample rate, plus
 WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping any of them.  Chunks other
 than ``fmt `` and ``data`` (LIST, fact, cue, ...) are skipped per the RIFF
@@ -98,6 +100,33 @@ def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
     return np.concatenate(out, axis=0).reshape(-1)
 
 
+def _build_ulaw_table() -> np.ndarray:
+    """G.711 μ-law expansion, all 256 codes (CCITT: bytes are transmitted
+    complemented; BIAS 0x84 segment layout)."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF
+    mant = u & 0x0F
+    exp = (u >> 4) & 0x07
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """G.711 A-law expansion, all 256 codes (even bits inverted by 0x55;
+    sign bit SET means positive, unlike μ-law)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    mag = np.where(
+        seg == 0, mant + 8,
+        np.where(seg == 1, mant + 0x108, (mant + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
 def decode_wav(raw: bytes) -> Tuple[np.ndarray, int]:
     """Decode WAV bytes -> (samples float32 (n_frames, n_channels) in
     [-1, 1], sample_rate).  Raises :class:`WavError` on anything that is not
@@ -162,6 +191,11 @@ def decode_wav(raw: bytes) -> Tuple[np.ndarray, int]:
             x = np.frombuffer(data, dtype="<f8").astype(np.float32)
         else:
             raise WavError(f"unsupported float bit depth {bits}")
+    elif tag in (6, 7):  # G.711 A-law / mu-law companded telephony audio
+        if bits != 8:
+            raise WavError(f"G.711 must be 8-bit, got {bits}")
+        table = _ALAW_TABLE if tag == 6 else _ULAW_TABLE
+        x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
     elif tag == 0x11:  # IMA/DVI ADPCM
         if bits != 4:
             raise WavError(f"IMA ADPCM must be 4-bit, got {bits}")
@@ -249,6 +283,35 @@ def encode_wav_ima_adpcm(
         + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
     )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
+    """G.711 fixture encoder: maps each sample to the NEAREST expansion-
+    table code (a 256-entry argmin — trivially correct by construction,
+    which is the point of a round-trip fixture encoder; production
+    encoders use the segment bit-twiddle for speed, not accuracy).
+    ``samples``: float in [-1, 1], (n_frames,) or (n_frames, n_channels)."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', not {law!r}")
+    table = _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE
+    tag = 7 if law == "ulaw" else 6
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int32).reshape(-1)
+    codes = np.abs(
+        pcm[:, None] - table.astype(np.int32)[None, :]
+    ).argmin(axis=1).astype(np.uint8)
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch, n_ch, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes.tobytes()
+    )
+    if len(codes) & 1:
+        body += b"\x00"  # RIFF word alignment for the odd-length chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

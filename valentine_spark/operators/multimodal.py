@@ -11,8 +11,9 @@ intervals; ``functions/gif.py`` — full LZW, interlace, transparency,
 animation compositing) into (H, W, 3) arrays and feature-extracted for real
 (dimensions + channel statistics).  The AUDIO
 path is real for WAV: ``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit
-int, float32/64, extensible) AND IMA/DVI ADPCM (tag 0x11, 4-bit
-compressed) to float32 frames and extracts signal statistics (rms, peak,
+int, float32/64, extensible), G.711 μ-law/A-law telephony audio (tags
+6/7, tables proven equal to CPython's reference), AND IMA/DVI ADPCM
+(tag 0x11, 4-bit compressed) to float32 frames and extracts signal statistics (rms, peak,
 zero-crossing rate, duration).  The VIDEO path is
 real for MJPEG AVI and animated GIF: ``functions/video_frames.py``
 extracts movi-chunk frames, splices the Annex-K default Huffman tables
