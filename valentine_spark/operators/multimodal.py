@@ -13,13 +13,15 @@ animation compositing) into (H, W, 3) arrays and feature-extracted for real
 path is real for WAV: ``functions/wav.py`` decodes RIFF/PCM (8/16/24/32-bit
 int, float32/64, extensible), G.711 μ-law/A-law telephony audio (tags
 6/7, tables proven equal to CPython's reference), AND IMA/DVI ADPCM
-(tag 0x11, 4-bit compressed) to float32 frames and extracts signal statistics (rms, peak,
-zero-crossing rate, duration).  The VIDEO path is
+(tag 0x11, 4-bit compressed) to float32 frames, and ``functions/flac.py``
+decodes FLAC losslessly (all subframe types incl. LPC, Rice residuals,
+stereo decorrelation, CRC-verified frames); signal statistics (rms, peak,
+zero-crossing rate, duration) flow from either.  The VIDEO path is
 real for MJPEG AVI and animated GIF: ``functions/video_frames.py``
 extracts movi-chunk frames, splices the Annex-K default Huffman tables
 table-less MJPEG frames omit, and decodes each sampled frame through the
 JPEG codec; animated GIFs stream their composed frames through the same
-sampled-frame contract (``frame_features`` below).  Remaining codecs (psychoacoustic audio,
+sampled-frame contract (``frame_features`` below).  Remaining codecs (psychoacoustic/lossy audio,
 non-MJPEG video) still route to the deterministic ``decode_stub``
 (clearly marked; the container has no codec libraries — swap in
 PIL/librosa/pyav on a real cluster).
@@ -129,6 +131,11 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
                 from ..functions.wav import audio_features, decode_wav
 
                 return audio_features(*decode_wav(raw))
+            elif kind == "audio" and raw[:4] == b"fLaC":
+                from ..functions.flac import decode_flac
+                from ..functions.wav import audio_features
+
+                return audio_features(*decode_flac(raw))
         except (ValueError, _struct.error, IndexError):
             # the magic bytes are only a sniff — arbitrary payloads can
             # start with them, and unsupported variants (8-bit/RLE BMP,
