@@ -71,10 +71,9 @@ def synth_media_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataF
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for codecs the container lacks (psychoacoustic audio, non-MJPEG
-    video; BMP/PNG/GIF/JPEG images, WAV/ADPCM audio, and MJPEG AVI +
-    animated-GIF frames are
-    really decoded — see ``decode_media`` / ``frame_features``).
+    """STUB for codecs the container lacks (psychoacoustic/lossy audio,
+    non-MJPEG video; BMP/PNG/GIF/JPEG images, WAV/G.711/ADPCM/FLAC
+    audio, and MJPEG AVI + animated-GIF frames are really decoded — see ``decode_media`` / ``frame_features``).
     Deterministic: features derived from a sha256 of the payload.  Replace
     with a real decoder (PIL.Image.open / soundfile.read / pyav) in
     production — the calling plumbing is identical."""
@@ -105,7 +104,8 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
     """Feature vector per media row.  Images in BMP, PNG, GIF, or JPEG
-    format and audio in WAV format take the REAL path (pure-Python decode +
+    format and audio in WAV (PCM/float/G.711/ADPCM) or FLAC format take
+    the REAL path (pure-Python decode +
     signal statistics); everything else hits the documented stub."""
     if payload is not None:
         raw = bytes(payload)
