@@ -1444,10 +1444,10 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE, manifests, watermarks), and return the final state.  Because
     batches respect the per-key (op_ts, lsn) order, the replayed lake state
     equals a one-shot LWW window + delete anti-filter — which is exactly
-    what the DuckDB oracle computes.  The global row_number is a
-    single-partition window: acceptable at the sf0.01/sf0.1 harness scale
-    only (a production tail reads lsn from the log itself); the replay path
-    under test is the lake machinery, not the stream synthesis."""
+    what the DuckDB oracle computes.  LSN assignment uses the distributed
+    two-phase rank (utils/ranking.py) — deterministic on (ts, event_id),
+    no single-partition window; the replay path under test is the lake
+    machinery, not the stream synthesis."""
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
@@ -1457,6 +1457,30 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay(lake, stream, batch_lsns=4000)
     state = lake.read()
     return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout evolution mid-stream: replay the first half of the WAL
+    into an 8-bucket lake, ``rebucket`` to 16 (the 100-TB growth move —
+    cdc/lake.py:rebucket), then replay the rest into the NEW layout.  The
+    final state must be byte-identical to an uninterrupted replay — same
+    oracle as cdc_replay_state."""
+    from valentine_spark.cdc import LakeTable, replay
+
+    stream = _wal_stream(_t(spark, sf_dir, "events"))
+    mid = stream.agg(F.max("lsn")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_rb_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= mid), batch_lsns=4000, max_lsn=mid)
+    lake.rebucket(16, note="mid-stream layout growth")
+    replay(
+        lake, stream.where(F.col("lsn") > mid),
+        batch_lsns=4000, batch_id_prefix="post",
+    )
+    return lake.read().select(
         "repo", "path", "commit", "lang",
         F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
     )
@@ -2034,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": cdc_replay_state_mor,
+        "cdc_rebucket_replay": cdc_rebucket_replay,
         "cdc_time_travel": cdc_time_travel,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_follow_mirror": cdc_follow_mirror,
@@ -2092,6 +2117,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": _CDC_REPLAY_SQL,
         # merge-on-read replay resolves to the SAME final state — same oracle
         "cdc_replay_state_mor": _CDC_REPLAY_SQL,
+        # a mid-stream bucket-layout change must land in the SAME final
+        # state as an uninterrupted replay — same oracle by design
+        "cdc_rebucket_replay": _CDC_REPLAY_SQL,
         # the follower-maintained downstream mirror must equal the source's
         # LWW image — same oracle
         "cdc_follow_mirror": _CDC_REPLAY_SQL,

@@ -205,10 +205,19 @@ class ChangelogFollower:
                 )
             return self._resync_delivery(current)
         df = self.lake.changes(pos, current, include_before=self.include_before)
+        # a window crossing a rebucket() mixes two bucket layouts: the
+        # manifest-diff ids are not a valid pruning hint for the sink's
+        # layout, so drop the hint (the sink falls back to its distributed
+        # distinct-buckets path — correct, one-time cost at the boundary)
+        to_n = self.lake.metadata(current)["n_buckets"]
+        crossed = self.lake.metadata(pos)["n_buckets"] != to_n
         return Delivery(
             df, pos, current, self.consumer_id,
-            changed_buckets=self.lake.changed_buckets_between(pos, current),
-            source_n_buckets=self.lake.metadata(current)["n_buckets"],
+            changed_buckets=(
+                None if crossed
+                else self.lake.changed_buckets_between(pos, current)
+            ),
+            source_n_buckets=to_n,
         )
 
     def _resync_delivery(self, current: int) -> Delivery:

@@ -1099,6 +1099,135 @@ class LakeTable:
         })
         return entry
 
+    def rebucket(self, new_n_buckets: int, note: Optional[str] = None) -> dict:
+        """Bucket-layout evolution (the Iceberg partition-evolution analogue
+        for hash buckets): rewrite the table's CURRENT state into
+        ``new_n_buckets`` hash buckets and install it as one commit.  A
+        bucket count chosen at bootstrap scale does not hold at 100 TB —
+        growth keeps per-bucket file sets ~1 GB-class as the table grows;
+        shrink consolidates an over-partitioned small table.
+
+        Constraints and semantics:
+
+        * the factor must be an INTEGER (``new % old == 0`` or
+          ``old % new == 0``).  That invariant is what keeps every consumer
+          correct across the boundary with no key re-hashing: for g =
+          gcd(old, new), ``key_bucket mod g`` is layout-independent, so the
+          streaming source pairs old/new buckets by their id mod g and the
+          follower simply drops its changed-bucket pruning hint for a
+          window that crosses the boundary (``changes()`` itself never
+          pairs buckets — its full-outer key diff is layout-agnostic);
+        * table STATE is unchanged (``state_checksum`` identical); dirty
+          (merge-on-read) buckets are resolved on the way through, exactly
+          like ``compact``;
+        * time travel still works: each snapshot carries its own
+          ``n_buckets``, so reads at pre-rebucket versions use the old
+          layout untouched (old files age out via ``expire_snapshots``);
+        * per-bucket watermarks remap with the keys: on growth every new
+          bucket inherits its source bucket's watermark (exact — all its
+          keys came from ``b mod old_n``); on shrink a merged bucket takes
+          the MIN over its sources when all of them carry one (the
+          conservative resume point; with the default range-watermark
+          replay all buckets share one value, so min is exact), else none.
+
+        Returns the lineage entry.  Cost: one full-table read + write —
+        the explicit one-time price of a layout change, never paid by
+        normal commits."""
+        meta = self.metadata()
+        old_n = meta["n_buckets"]
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        if new_n_buckets == old_n:
+            raise ValueError(f"table already has {old_n} buckets")
+        if new_n_buckets % old_n and old_n % new_n_buckets:
+            raise ValueError(
+                f"bucket count must grow or shrink by an integer factor "
+                f"(got {old_n} -> {new_n_buckets}); chain factors for "
+                f"other targets"
+            )
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        files = self._bucket_files(meta, None)
+        dirty = meta.get("dirty", {})
+        clean_paths = [
+            e["path"] for b, es in files.items() if str(b) not in dirty
+            for e in es if e.get("kind") != "tomb"
+        ]
+        mor_data = [
+            e["path"] for b, es in files.items() if str(b) in dirty
+            for e in es if e.get("kind") != "tomb"
+        ]
+        mor_tombs = [
+            e["path"] for b, es in files.items() if str(b) in dirty
+            for e in es if e.get("kind") == "tomb"
+        ]
+        new_version = meta["version"] + 1
+        parts: List[DataFrame] = []
+        if clean_paths:
+            # note new_n_buckets: rows are labeled in the NEW layout
+            parts.append(self._read_files(clean_paths, schema, new_n_buckets))
+        if mor_data or mor_tombs:
+            parts.append(
+                self._resolved_files(mor_data, mor_tombs, schema, new_n_buckets)
+            )
+        new_files: Dict[int, List[dict]] = {}
+        if parts:
+            df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            rel_dir = os.path.join("data", f"v{new_version}")
+            out_dir = os.path.join(self.root, rel_dir)
+            (
+                df.repartition(new_n_buckets, F.col(BUCKET_COL))
+                .sortWithinPartitions(BUCKET_COL, KHASH_COL)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+                .partitionBy(BUCKET_COL)
+                .parquet(out_dir)
+            )
+            new_files = self._new_file_stats(out_dir, rel_dir)
+        manifest_rel = f"metadata/m-{new_version}.json"
+        bucket_map = {str(b): manifest_rel for b in new_files}
+
+        old_wms = meta.get("watermarks", {})
+        new_wms: Dict[str, int] = {}
+        if old_wms:
+            if new_n_buckets % old_n == 0:
+                for b in range(new_n_buckets):
+                    src = str(b % old_n)
+                    if src in old_wms:
+                        new_wms[str(b)] = old_wms[src]
+            else:
+                k = old_n // new_n_buckets
+                for b in range(new_n_buckets):
+                    srcs = [str(b + i * new_n_buckets) for i in range(k)]
+                    if all(s in old_wms for s in srcs):
+                        new_wms[str(b)] = min(old_wms[s] for s in srcs)
+
+        entry = {
+            "rebucket": [old_n, new_n_buckets],
+            "version": new_version,
+            "files_after": sum(len(es) for es in new_files.values()),
+        }
+        if note:
+            entry["note"] = note
+        lineage_tail, lineage_segs = self._roll_lineage(
+            meta["lineage"] + [entry], meta["lineage_segments"], new_segments := []
+        )
+        for rel, payload in new_segments:
+            self._write_json_atomic(rel, payload)
+        self._write_json_atomic(
+            manifest_rel, {"buckets": {str(b): es for b, es in new_files.items()}}
+        )
+        self._write_metadata({
+            **meta,
+            "version": new_version,
+            "n_buckets": new_n_buckets,
+            "buckets": bucket_map,
+            "watermarks": new_wms,
+            "dirty": {},
+            "lineage": lineage_tail,
+            "lineage_segments": lineage_segs,
+        })
+        return entry
+
     def compact_if_needed(self, max_files_per_bucket: int = 16) -> dict:
         """Bounded read-amplification policy for a merge-on-read tail: a
         dirty bucket accumulates one data file (+ tombstone file) per MoR

@@ -177,18 +177,42 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             return []
         m0, m1 = _read_meta(self.root, v0), _read_meta(self.root, v1)
         d0, d1 = m0.get("dirty", {}), m1.get("dirty", {})
+        # Buckets are paired by id mod gcd(n_buckets(v0), n_buckets(v1)).
+        # With equal layouts g == n and this is the plain per-bucket diff;
+        # across a rebucket() boundary the integer-factor invariant makes
+        # key_bucket mod g layout-INDEPENDENT, so grouping both layouts'
+        # buckets by id mod g pairs exactly the buckets that can hold the
+        # same keys — no key re-hashing, at the one-time cost of coarser
+        # (g-granular) boundary-batch partitions.
+        import math
+
+        g = math.gcd(int(m0["n_buckets"]), int(m1["n_buckets"]))
+        groups: dict = {}
+        for b in set(m0["buckets"]) | set(m1["buckets"]):
+            groups.setdefault(int(b) % g, []).append(b)
         parts: List[InputPartition] = []
-        for b in sorted(set(m0["buckets"]) | set(m1["buckets"]), key=int):
-            if m0["buckets"].get(b) == m1["buckets"].get(b):
-                continue  # manifest pointer unchanged => bucket state unchanged
+        for c in sorted(groups):
+            members = sorted(groups[c], key=int)
+            if all(m0["buckets"].get(b) == m1["buckets"].get(b) for b in members):
+                continue  # every pointer unchanged => group state unchanged
+            old_e: List[dict] = []
+            new_e: List[dict] = []
+            od = nd = False
+            for b in members:
+                if b in m0["buckets"]:
+                    old_e.extend(_bucket_entries(self.root, m0, b))
+                    od = od or b in d0
+                if b in m1["buckets"]:
+                    new_e.extend(_bucket_entries(self.root, m1, b))
+                    nd = nd or b in d1
             parts.append(
                 BucketDiffPartition(
                     root=self.root,
-                    bucket=int(b),
-                    old_entries=_bucket_entries(self.root, m0, b) if b in m0["buckets"] else [],
-                    new_entries=_bucket_entries(self.root, m1, b) if b in m1["buckets"] else [],
-                    old_dirty=b in d0,
-                    new_dirty=b in d1,
+                    bucket=c,
+                    old_entries=old_e,
+                    new_entries=new_e,
+                    old_dirty=od,
+                    new_dirty=nd,
                 )
             )
         return parts
