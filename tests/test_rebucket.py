@@ -164,3 +164,14 @@ def test_rebucket_chain_gcd_pairing(spark, tmp_path):
         spark, lake,
         _reader_window_df(spark, lake, v_mid, lake.version), v_mid, lake.version,
     )
+
+
+def test_expire_after_rebucket_reclaims_old_layout(spark, tmp_path):
+    lake, stream, half = _build(spark, tmp_path, "gc", n=2000, keys=200)
+    pre_version = lake.version
+    lake.rebucket(16)
+    checksum = lake.state_checksum()
+    gc = lake.expire_snapshots(keep_last=1)
+    assert gc["removed_files"] > 0          # the whole old layout is gone
+    assert lake.state_checksum() == checksum
+    assert not os.path.exists(lake._meta_path(pre_version))
