@@ -36,7 +36,15 @@ def _wal_stream(ev: DataFrame) -> DataFrame:
     repeats).  The rank is the distributed two-phase form
     (utils/ranking.py), not a single-partition global window; (ts,
     event_id) is a total key, so the values are deterministic and equal
-    to the oracles' ``row_number() OVER (ORDER BY ts, event_id)``."""
+    to the oracles' ``row_number() OVER (ORDER BY ts, event_id)``.
+
+    The result is PERSISTED: a replay consumes the stream ~3 jobs per
+    micro-batch across dozens of batches, and a production tail reads its
+    log once from disk — re-running the rank per job would time fixture
+    synthesis (40-75x), not the lake machinery under test (measured 3.8
+    vs 0.7 s/batch at sf0.1)."""
+    from pyspark import StorageLevel
+
     from valentine_spark.utils.ranking import distributed_row_number
 
     ranked = distributed_row_number(ev, ["ts", "event_id"], rank_col="lsn")
@@ -49,7 +57,15 @@ def _wal_stream(ev: DataFrame) -> DataFrame:
         F.lit("head").alias("commit"),
         F.col("event_type").alias("lang"),
         F.col("props").alias("content"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _batch_lsns(n: int, target_batches: int = 6) -> int:
+    """Fixture batch sizing: keep replay MULTI-batch at every sf (the
+    semantics under test) while bounding the batch COUNT, so per-commit
+    machinery doesn't dominate fixture wall at larger sf (25 4k-batches at
+    sf0.1 spent ~1.4 s/commit timing the harness, not the engine)."""
+    return max(4000, n // target_batches)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1452,9 +1468,10 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     stream = _wal_stream(ev)
+    total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    replay(lake, stream, batch_lsns=4000)
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
     state = lake.read()
     return state.select(
         "repo", "path", "commit", "lang",
@@ -1474,11 +1491,11 @@ def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = stream.agg(F.max("lsn")).collect()[0][0] // 2
     root = tempfile.mkdtemp(prefix="entry_lake_rb_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    replay(lake, stream.where(F.col("lsn") <= mid), batch_lsns=4000, max_lsn=mid)
+    replay(lake, stream.where(F.col("lsn") <= mid), batch_lsns=_batch_lsns(mid), max_lsn=mid)
     lake.rebucket(16, note="mid-stream layout growth")
     replay(
         lake, stream.where(F.col("lsn") > mid),
-        batch_lsns=4000, batch_id_prefix="post",
+        batch_lsns=_batch_lsns(mid), batch_id_prefix="post",
     )
     return lake.read().select(
         "repo", "path", "commit", "lang",
@@ -1515,9 +1532,10 @@ def cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     stream = _wal_stream(ev)
+    total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_mor_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8, write_mode="mor")
-    replay(lake, stream, batch_lsns=4000)
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
     state = lake.read()
     return state.select(
         "repo", "path", "commit", "lang",
@@ -1539,7 +1557,7 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_tt_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=_batch_lsns(half), max_lsn=half)
     v_half = lake.version
     apply_batch(lake, stream.where(F.col("lsn") > half), "tail")
     state = lake.read(version=v_half)  # time travel past the tail commit
@@ -1577,9 +1595,10 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     stream = _wal_stream(ev)
+    total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_pl_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    replay(lake, stream, batch_lsns=4000)
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
     keys = [(f"r{u % 13}", f"p{u}", "head") for u in range(1, 31)]
     keys.append(("r0", "p999999999", "head"))  # never present
     hits = lake.lookup(keys)
@@ -1690,7 +1709,7 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_chg_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=_batch_lsns(half), max_lsn=half)
     from_version = lake.version
     mid = half + (total - half) // 2
     apply_batch(lake, stream.where((F.col("lsn") > half) & (F.col("lsn") <= mid)), "tail-1")
@@ -1719,7 +1738,7 @@ def cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_chgstream_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=_batch_lsns(half), max_lsn=half)
     from_version = lake.version
     mid = half + (total - half) // 2
     apply_batch(lake, stream.where((F.col("lsn") > half) & (F.col("lsn") <= mid)), "tail-1")
@@ -1814,7 +1833,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_ivm_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
-    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=4000, max_lsn=half)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=_batch_lsns(half), max_lsn=half)
 
     measures = {"files": ("count", None), "bytes": ("sum", "clen")}
 
