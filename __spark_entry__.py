@@ -1479,6 +1479,55 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three MERGE-ON-READ writers RACE key-disjoint slices of the full WAL
+    into one lake table through the optimistic put-if-absent commit
+    protocol (cdc/lake.py: ``_try_install_snapshot`` + seq-stamped rebase —
+    the Delta log-store / Iceberg catalog-CAS analogue).  Install order is
+    nondeterministic, but the slices partition the KEY space, so every
+    key's whole history commits from exactly one writer and the final LWW
+    state is interleaving-independent — the plain replay SQL image oracles
+    the race.  The driver's hash check is therefore a lost-update detector:
+    any clobbered commit drops that writer's keys from the result."""
+    import threading
+
+    from valentine_spark.cdc import LakeTable, apply_batch
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(ev)
+    n_writers = 3
+    root = tempfile.mkdtemp(prefix="entry_lake_conc_")
+    path = os.path.join(root, "t")
+    LakeTable.create(path, spark, n_buckets=8, write_mode="mor")
+    slices = [
+        stream.where(F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_writers)) == i)
+        for i in range(n_writers)
+    ]
+    barrier = threading.Barrier(n_writers)
+    errors: list = []
+
+    def writer(i: int) -> None:
+        try:
+            handle = LakeTable(path, spark)  # one handle per writer
+            barrier.wait()
+            apply_batch(handle, slices[i], f"writer-{i}")
+        except Exception as e:  # noqa: BLE001 — re-raised on the driver
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    state = LakeTable(path, spark).read()
+    return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-layout evolution mid-stream: replay the first half of the WAL
     into an 8-bucket lake, ``rebucket`` to 16 (the 100-TB growth move —
@@ -2077,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": cdc_replay_state_mor,
+        "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_rebucket_replay": cdc_rebucket_replay,
         "cdc_time_travel": cdc_time_travel,
         "cdc_point_lookup": cdc_point_lookup,
@@ -2136,6 +2186,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": _CDC_REPLAY_SQL,
         # merge-on-read replay resolves to the SAME final state — same oracle
         "cdc_replay_state_mor": _CDC_REPLAY_SQL,
+        # three racing optimistic writers over key-disjoint slices must
+        # land in the SAME final state as one serial replay — same oracle;
+        # a hash mismatch here means a lost update in the commit race
+        "cdc_concurrent_writers": _CDC_REPLAY_SQL,
         # a mid-stream bucket-layout change must land in the SAME final
         # state as an uninterrupted replay — same oracle by design
         "cdc_rebucket_replay": _CDC_REPLAY_SQL,

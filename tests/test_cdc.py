@@ -218,22 +218,22 @@ def test_crash_between_data_write_and_metadata_install(spark, tmp_path, stream):
     before = lake.state_checksum()
     v_before = lake.version
 
-    orig = LakeTable._write_metadata
+    orig = LakeTable._try_install_snapshot
     calls = {"n": 0}
 
     def exploding(self, meta):
         # the crash: data for batch 2 is on disk by the time merge() calls
-        # this; the pointer never moves
+        # this; no snapshot file is ever linked in
         calls["n"] += 1
         raise OSError("simulated crash before metadata install")
 
-    LakeTable._write_metadata = exploding
+    LakeTable._try_install_snapshot = exploding
     try:
         batch2 = stream.where((F.col("lsn") >= 3_000) & (F.col("lsn") < 6_000))
         with pytest.raises(OSError):
             apply_batch(lake, batch2, "batch-3000-6000", watermark_lsn=5_999)
     finally:
-        LakeTable._write_metadata = orig
+        LakeTable._try_install_snapshot = orig
     assert calls["n"] == 1
 
     # table unchanged: same version, same checksum, batch not recorded

@@ -22,10 +22,11 @@ from .follow import (
 )
 from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
-from .lake import LakeTable, bucket_expr
+from .lake import CommitConflictError, LakeTable, bucket_expr
 
 __all__ = [
     "LakeTable",
+    "CommitConflictError",
     "bucket_expr",
     "apply_batch",
     "replay",

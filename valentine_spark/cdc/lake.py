@@ -16,13 +16,16 @@ the batch id (SURVEY.md §2.3 note on MERGE).
 Layout::
 
     root/
-      metadata/v{N}.json        # snapshot (see below)
-      metadata/CURRENT          # atomic pointer (os.replace)
-      metadata/m-{N}.json       # per-commit manifest: file lists + key-hash
+      metadata/v{N}.json        # snapshot, published put-if-absent (os.link)
+      metadata/CURRENT          # latest-version HINT (os.replace; readers
+                                #   walk forward past it — see _latest_version)
+      metadata/m-{N}-{uid}.json # per-commit manifest: file lists + key-hash
                                 #   ranges for the buckets commit N changed
-      metadata/applied-{k}.json # rolled segment of old applied batch ids
-      metadata/lineage-{k}.json # rolled segment of old lineage entries
-      data/v{N}/_bucket=.../    # only files WRITTEN by commit N
+      metadata/applied-*.json   # rolled segment of old applied batch ids
+      metadata/lineage-*.json   # rolled segment of old lineage entries
+      data/c-{uid}/_bucket=.../ # files STAGED by one commit attempt; their
+                                #   MoR resolution order is the manifest
+                                #   entry's install-time ``seq``, not the path
 
 Snapshot (format 2) is O(n_buckets + tail limits) — INDEPENDENT of commit
 count::
@@ -70,11 +73,28 @@ merge touching a dirty bucket resolves it first (see ``merge``).  The
 COW/MoR crossover is measured in BENCH/merge_prune_bench.py.
 
 Correctness argument for exactly-once: all commit state (which batches are
-applied, watermarks, live files) lives in ONE metadata file installed with
-an atomic rename; segment/manifest files are immutable and written BEFORE
-the snapshot that references them.  A crash before the rename leaves orphan
-files but an unchanged table (``expire_snapshots`` garbage-collects them);
-re-running the batch is a no-op once its batch_id is recorded applied.
+applied, watermarks, live files) lives in ONE metadata file published with
+an atomic put-if-absent link; segment/manifest files are immutable and
+written BEFORE the snapshot that references them.  A crash before the
+publish leaves orphan files but an unchanged table (``expire_snapshots``
+garbage-collects them); re-running the batch is a no-op once its batch_id
+is recorded applied.
+
+MULTI-WRITER (optimistic concurrency, the Delta log-store / Iceberg
+catalog-CAS analogue): exactly one writer can publish ``v{N}.json`` (the
+``os.link`` put-if-absent races atomically; on an object store the same
+protocol is a conditional PUT).  A loser re-reads the winner's snapshot and
+REBASES: MoR merges read no table state, so their already-staged files
+simply re-stamp to a later manifest ``seq`` — no Spark work re-runs;
+COW merges/compactions validate that no interleaved commit touched the
+buckets they read, and re-run their body otherwise (``CommitConflictError``
+after ``_BODY_ATTEMPTS``).  Exactly-once survives the race: a rebase
+re-checks the batch id against the winner's applied set.  ``CURRENT`` is a
+hint, not truth — a committer can die between publishing the snapshot and
+advancing the pointer, so readers walk forward from the hint while the next
+contiguous snapshot file exists.  This makes a background compactor, a
+schema-evolving writer, and the ingest replayer safe to run concurrently;
+see tests/test_concurrency.py.
 
 Scale: MERGE touches only files intersecting the batch's keys (hash-pruned
 scan on both sides); each rewrite is a shuffle-free co-partitioned anti-join
@@ -122,6 +142,46 @@ _BLOOM_M = 1 << 17
 _BLOOM_K = 7
 
 _FULL_RANGE = (-(1 << 63), (1 << 63) - 1)  # pruning fallback: never pruned
+
+# optimistic-concurrency retry bounds: install attempts rebase cheap
+# bookkeeping against the new base (no Spark jobs); body attempts re-run
+# the whole operation when a concurrent commit invalidated its read set
+_INSTALL_ATTEMPTS = 16
+_BODY_ATTEMPTS = 4
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this operation's read set (or the
+    install race was lost more than ``_INSTALL_ATTEMPTS`` times).  Writers
+    with retryable work (MERGE, compact, rebucket) catch this internally
+    and re-run their body against the fresh snapshot up to
+    ``_BODY_ATTEMPTS`` times; seeing it propagate means the table is under
+    sustained conflicting write pressure on the same buckets."""
+
+
+class _SkipCommit(Exception):
+    """Raised by a commit builder when rebasing discovers the work is
+    already done (the batch id landed via a concurrent writer)."""
+
+    def __init__(self, result: dict):
+        self.result = result
+
+
+def _uid() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def _entry_seq(e: dict) -> int:
+    """Commit sequence number of a manifest entry — the MoR resolution
+    order.  Stamped at commit install time (``seq``); legacy entries fall
+    back to the version encoded in their ``data/v{N}/`` path."""
+    s = e.get("seq")
+    if s is not None:
+        return int(s)
+    import re
+
+    m = re.search(r"/data/v(\d+)/", "/" + e["path"])
+    return int(m.group(1)) if m else 0
 # commit footer-stat collection goes distributed above this many new files
 # (below it a Spark job's fixed overhead exceeds the driver loop)
 _STATS_DISTRIBUTE_OVER = 96
@@ -214,7 +274,8 @@ class LakeTable:
             "lineage_segments": [],
             "dirty": {},  # bucket id (str) -> true when holding multi-version (MoR) state
         }
-        table._write_metadata(meta)
+        if not table._try_install_snapshot(meta):
+            raise FileExistsError(f"lake table already exists at {root!r}")
         return table
 
     def _meta_path(self, version: int) -> str:
@@ -225,10 +286,22 @@ class LakeTable:
 
     def metadata(self, version: Optional[int] = None) -> dict:
         if version is None:
-            with open(self._current_path()) as fh:
-                version = int(fh.read().strip())
+            version = self._latest_version()
         with open(self._meta_path(version)) as fh:
             return json.load(fh)
+
+    def _latest_version(self) -> int:
+        """Resolve the current snapshot: the CURRENT pointer is a HINT (a
+        committer can crash between installing ``v{N}.json`` and advancing
+        the pointer, and two racing advances can land out of order), so walk
+        forward while the next snapshot file exists.  Snapshot files are
+        published atomically and versions are contiguous, which makes the
+        walk exact; the hint keeps it O(1) in steady state."""
+        with open(self._current_path()) as fh:
+            v = int(fh.read().strip())
+        while os.path.exists(self._meta_path(v + 1)):
+            v += 1
+        return v
 
     def _write_json_atomic(self, rel: str, obj: dict) -> None:
         path = os.path.join(self.root, rel)
@@ -237,12 +310,57 @@ class LakeTable:
             json.dump(obj, fh)
         os.replace(tmp, path)
 
-    def _write_metadata(self, meta: dict) -> None:
-        self._write_json_atomic(f"metadata/v{meta['version']}.json", meta)
+    def _try_install_snapshot(self, meta: dict) -> bool:
+        """Put-if-absent snapshot install — the commit protocol's only
+        synchronization point (the Delta log-store / Iceberg catalog-CAS
+        analogue, expressed with ``os.link`` which fails atomically when the
+        target exists).  Exactly one writer can publish a given version;
+        losers rebase and retry at the next version.  The CURRENT pointer is
+        advanced AFTER the install as a best-effort hint (see
+        ``_latest_version``); a crash between the two leaves a fully
+        committed, discoverable snapshot."""
+        path = self._meta_path(meta["version"])
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
         cur_tmp = self._current_path() + f".tmp.{uuid.uuid4().hex}"
         with open(cur_tmp, "w") as fh:
             fh.write(str(meta["version"]))
         os.replace(cur_tmp, self._current_path())
+        return True
+
+    def _commit_loop(self, base_meta: dict, build) -> dict:
+        """Optimistic-concurrency install loop.  ``build(meta) ->
+        (new_meta, segments, result)`` derives the commit against a base
+        snapshot; on a lost install race the loop re-reads the latest
+        snapshot and rebuilds — ``build`` must therefore VALIDATE that its
+        (already-executed) work is still correct against the new base and
+        raise ``CommitConflictError`` when it is not (the caller then
+        re-runs the whole operation), or ``_SkipCommit`` when a concurrent
+        writer already did it (duplicate batch id).  Segment/manifest files
+        are written before the snapshot referencing them; a loser's files
+        are unreferenced garbage that ``expire_snapshots`` collects."""
+        meta = base_meta
+        for _ in range(_INSTALL_ATTEMPTS):
+            try:
+                new_meta, segments, result = build(meta)
+            except _SkipCommit as s:
+                return s.result
+            for rel, payload in segments:
+                self._write_json_atomic(rel, payload)
+            if self._try_install_snapshot(new_meta):
+                return result
+            meta = self.metadata()
+        raise CommitConflictError(
+            f"lost the snapshot install race {_INSTALL_ATTEMPTS} times at "
+            f"{self.root!r} — sustained concurrent write pressure"
+        )
 
     def _read_manifest(self, rel: str) -> dict:
         cached = self._manifest_cache.get(rel)
@@ -348,7 +466,10 @@ class LakeTable:
         if len(ap["tail"]) <= 2 * _APPLIED_TAIL:
             return ap
         rolled, tail = ap["tail"][:_APPLIED_TAIL], ap["tail"][_APPLIED_TAIL:]
-        rel = f"metadata/applied-{len(ap['segments']):06d}.json"
+        # uid suffix: segment names must be collision-free across racing
+        # writers (a loser's segment is garbage; a NAME reuse would let one
+        # writer's content replace another's already-referenced file)
+        rel = f"metadata/applied-{len(ap['segments']):06d}-{_uid()}.json"
         new_segments.append((rel, {"ids": sorted(rolled), "ordered": rolled}))
         return {**ap, "tail": tail, "segments": ap["segments"] + [rel]}
 
@@ -357,7 +478,7 @@ class LakeTable:
         if len(meta_lineage) <= 2 * _LINEAGE_TAIL:
             return meta_lineage, segments
         rolled, tail = meta_lineage[:_LINEAGE_TAIL], meta_lineage[_LINEAGE_TAIL:]
-        rel = f"metadata/lineage-{len(segments):06d}.json"
+        rel = f"metadata/lineage-{len(segments):06d}-{_uid()}.json"
         new_segments.append((rel, {"entries": rolled}))
         return tail, segments + [rel]
 
@@ -413,12 +534,14 @@ class LakeTable:
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         dirty = meta.get("dirty", {})
         clean_paths: List[str] = []
-        mor_data: List[str] = []
-        mor_tombs: List[str] = []
+        mor_data: List[Tuple[str, int]] = []
+        mor_tombs: List[Tuple[str, int]] = []
         for b, entries in files.items():
             if str(b) in dirty:
                 for e in entries:
-                    (mor_tombs if e.get("kind") == "tomb" else mor_data).append(e["path"])
+                    (mor_tombs if e.get("kind") == "tomb" else mor_data).append(
+                        (e["path"], _entry_seq(e))
+                    )
             else:
                 # a tombstone in a CLEAN bucket can only name keys that were
                 # never present (delete of a non-existent key) — skip it
@@ -436,50 +559,63 @@ class LakeTable:
 
     def _resolved_files(
         self,
-        data_paths: List[str],
-        tomb_paths: List[str],
+        data_entries: List[Tuple[str, int]],
+        tomb_entries: List[Tuple[str, int]],
         schema: T.StructType,
         n_buckets: int,
         khash_in: Optional[List[int]] = None,
     ) -> DataFrame:
         """Merge-on-read resolution: the per-key winner across all live file
-        versions.  Each row is tagged with its writing commit's version
-        (parsed from the ``data/v{N}/`` path — JVM-side, no extra scan) and a
-        liveness flag (data=1, tombstone=0); the winner per key is the entry
-        with the greatest ``(version, liveness)`` — a later upsert supersedes
-        older versions, a later tombstone kills them, and a data row beats a
+        versions.  Both inputs are ``(path, seq)`` pairs — ``seq`` is the
+        manifest-recorded commit sequence number (the Iceberg data-sequence-
+        number analogue, stamped at INSTALL time so it stays correct when an
+        optimistic commit rebases to a later version than the one its files
+        were staged under).  Files sharing a seq are read as one scan tagged
+        with a literal ``_v``; the winner per key is the entry with the
+        greatest ``(seq, liveness)`` — a later upsert supersedes older
+        versions, a later tombstone kills them, and a data row beats a
         tombstone of its own commit (impossible by construction, but the
-        order is total regardless).  One hash aggregation, map-side partial,
-        same skew posture as LWW dedup (``cdc/apply.py``)."""
-        ver = F.regexp_extract(F.input_file_name(), r"/data/v(\d+)/", 1).cast("long")
+        order is total regardless).  Distinct seqs among a bucket's live
+        files are bounded by the compaction policy, so the union stays
+        narrow.  One hash aggregation, map-side partial, same skew posture
+        as LWW dedup (``cdc/apply.py``)."""
         nonkey = [f for f in schema.fields if f.name not in KEY_COLS]
         parts: List[DataFrame] = []
-        if data_paths:
+        by_seq: Dict[int, List[str]] = {}
+        for p, s in data_entries:
+            by_seq.setdefault(s, []).append(p)
+        for s, paths in sorted(by_seq.items()):
             parts.append(
-                self._read_files(data_paths, schema, n_buckets)
-                .withColumn("_v", ver)
+                self._read_files(paths, schema, n_buckets)
+                .withColumn("_v", F.lit(s).cast("long"))
                 .withColumn("_live", F.lit(1))
             )
-        if tomb_paths:
+        tombs_by_seq: Dict[int, List[str]] = {}
+        for p, s in tomb_entries:
+            tombs_by_seq.setdefault(s, []).append(p)
+        if tombs_by_seq:
             tomb_schema = T.StructType(
                 [T.StructField(c, T.StringType()) for c in KEY_COLS]
                 + [T.StructField(KHASH_COL, T.LongType())]
             )
-            tombs = (
-                self.spark.read.schema(tomb_schema)
-                .option("recursiveFileLookup", "true")
-                .parquet(*[os.path.join(self.root, p) for p in tomb_paths])
-                .select(
-                    *KEY_COLS,
-                    *[F.lit(None).cast(f.dataType).alias(f.name) for f in nonkey],
-                    bucket_expr(n_buckets).alias(BUCKET_COL),
-                    F.col(KHASH_COL),
+            for s, paths in sorted(tombs_by_seq.items()):
+                tombs = (
+                    self.spark.read.schema(tomb_schema)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(*[os.path.join(self.root, p) for p in paths])
+                    .select(
+                        *KEY_COLS,
+                        *[F.lit(None).cast(f.dataType).alias(f.name) for f in nonkey],
+                        bucket_expr(n_buckets).alias(BUCKET_COL),
+                        F.col(KHASH_COL),
+                    )
+                    .withColumn("_v", F.lit(s).cast("long"))
+                    .withColumn("_live", F.lit(0))
                 )
-                .withColumn("_v", ver)
-                .withColumn("_live", F.lit(0))
-            )
-            parts.append(tombs)
-        u = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+                parts.append(tombs)
+        from functools import reduce
+
+        u = reduce(lambda a, b: a.unionByName(b), parts)
         if khash_in is not None:
             # pre-aggregation cut (pushes to the parquet scans): khash is a
             # pure function of the key, so dropping other khashes keeps
@@ -664,16 +800,56 @@ class LakeTable:
         (HLL), and the confirm/anti-join semantics only depend on the key
         SET.
 
-        Returns the commit summary dict (also appended to lineage)."""
-        meta = self.metadata()
-        if self.is_applied(batch_id, meta):
-            return {"batch_id": batch_id, "skipped": True, "version": meta["version"]}
+        Returns the commit summary dict (also appended to lineage).
+
+        Concurrency (multi-writer safety): commits install with an
+        optimistic put-if-absent protocol (``_try_install_snapshot``).  A
+        MoR merge reads no table state, so losing the install race only
+        re-derives bookkeeping against the winner's snapshot (no Spark work
+        re-runs) — concurrent MoR writers serialize in install order, and
+        read-time LWW resolves by that order.  A COW merge's rewrite is
+        valid only against the file sets it read; if a concurrent commit
+        touched any of its buckets the merge re-runs its body against the
+        fresh snapshot (up to ``_BODY_ATTEMPTS`` times).  Exactly-once
+        holds across writers: a duplicate ``batch_id`` racing in from two
+        committers lands exactly once (the loser's rebase re-checks the
+        applied set against the winner's snapshot)."""
+        last: Optional[CommitConflictError] = None
+        for _ in range(_BODY_ATTEMPTS):
+            meta = self.metadata()
+            if self.is_applied(batch_id, meta):
+                return {"batch_id": batch_id, "skipped": True, "version": meta["version"]}
+            try:
+                return self._merge_once(
+                    meta, upserts, deletes, batch_id, batch_watermarks,
+                    lineage, changed_buckets, mode, touched_hint,
+                )
+            except CommitConflictError as e:
+                last = e
+        raise last
+
+    def _merge_once(
+        self,
+        meta: dict,
+        upserts: DataFrame,
+        deletes: DataFrame,
+        batch_id: str,
+        batch_watermarks: Optional[Dict[int, int]],
+        lineage: Optional[dict],
+        changed_buckets: Optional[List[int]],
+        mode: Optional[str],
+        touched_hint: Optional[DataFrame],
+    ) -> dict:
+        """One MERGE body against a base snapshot; raises
+        ``CommitConflictError`` when a concurrent commit invalidates it."""
         mode = mode or meta.get("write_mode", "cow")
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r} (use 'cow' or 'mor')")
 
         n_buckets = meta["n_buckets"]
-        schema_cols = [f.name for f in self.schema.fields]
+        schema_cols = [
+            f.name for f in T.StructType.fromJson(json.loads(meta["schema"])).fields
+        ]
 
         # upserts/deletes are re-read by the pruning join, the touched-key
         # anti-join and the final write; no explicit persist — the upstream
@@ -711,19 +887,13 @@ class LakeTable:
         if dirty_changed:
             self.compact(buckets=dirty_changed, min_files=1)
             meta = self.metadata()
-        new_version = meta["version"] + 1
         commit = {
             "batch_id": batch_id,
-            "version": new_version,
             "changed_buckets": changed,
             "ts": time.time(),
         }
         if lineage:
             commit.update(lineage)
-
-        new_segments: List[Tuple[str, dict]] = []  # (rel path, payload)
-        bucket_map = dict(meta["buckets"])
-        manifest_rel = f"metadata/m-{new_version}.json"
 
         _t0 = time.time()
         current_files = self._bucket_files(meta, changed)
@@ -771,6 +941,7 @@ class LakeTable:
         commit["files_rewritten"] = len(rewrite)
         commit["bytes_rewritten"] = sum(e["bytes"] for _, e in rewrite)
 
+        new_files: Dict[int, List[dict]] = {}
         if changed:
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
             upsert_part = upserts.select(*schema_cols, BUCKET_COL, KHASH_COL)
@@ -786,7 +957,11 @@ class LakeTable:
                 )
             else:
                 merged = upsert_part
-            rel_dir = os.path.join("data", f"v{new_version}")
+            # staged under a commit-unique dir: racing writers never share a
+            # path, and the files are version-agnostic (their MoR resolution
+            # order is the manifest-stamped ``seq``), so a lost install race
+            # rebases WITHOUT re-running this write
+            rel_dir = os.path.join("data", f"c-{_uid()}")
             out_dir = os.path.join(self.root, rel_dir)
             (
                 merged.repartition(max(len(changed), 1), F.col(BUCKET_COL))
@@ -801,32 +976,78 @@ class LakeTable:
             commit["bytes_written"] = sum(
                 e["bytes"] for es in new_files.values() for e in es
             )
+        if MERGE_TIMINGS is not None:
+            MERGE_TIMINGS.append(("merge_write", time.time() - _t_write0))
 
-            # a bucket's live list changed iff one of its files was rewritten
-            # or a new file landed in it; every other bucket keeps pointing at
-            # its existing manifest (so a changed=ALL-buckets replay does NOT
-            # rewrite O(total files) of manifest entries)
-            touched_buckets = {flat_entries[i][0] for i in touched_ids}
+        # a bucket's live list changed iff one of its files was rewritten
+        # or a new file landed in it; every other bucket keeps pointing at
+        # its existing manifest (so a changed=ALL-buckets replay does NOT
+        # rewrite O(total files) of manifest entries)
+        touched_buckets = {flat_entries[i][0] for i in touched_ids}
+        read_meta = meta
+
+        def build(base: dict):
+            if base is not read_meta:
+                # the rewrite's survivors are only valid against the file
+                # sets it read: every bucket this merge READ (changed) must
+                # be untouched by the interleaved commits
+                self._validate_base(read_meta, base, changed, batch_id)
+            new_version = base["version"] + 1
+            c = {**commit, "version": new_version}
+            manifest_rel = f"metadata/m-{new_version}-{_uid()}.json"
+            bucket_map = dict(base["buckets"])
+            segments: List[Tuple[str, dict]] = []
             manifest_buckets: Dict[str, List[dict]] = {}
             for b in sorted(touched_buckets | set(new_files)):
-                entries = kept.get(b, []) + new_files.get(b, [])
+                entries = kept.get(b, []) + [
+                    {**e, "seq": new_version} for e in new_files.get(b, [])
+                ]
                 if entries:
                     manifest_buckets[str(b)] = entries
                     bucket_map[str(b)] = manifest_rel
                 else:
                     bucket_map.pop(str(b), None)  # bucket emptied by deletes
             if manifest_buckets:
-                new_segments.append((manifest_rel, {"buckets": manifest_buckets}))
+                segments.append((manifest_rel, {"buckets": manifest_buckets}))
+            new_meta = self._advance_meta(
+                base, new_version, c, bucket_map, segments,
+                batch_watermarks, batch_id, dirty=base.get("dirty", {}),
+            )
+            return new_meta, segments, c
+
+        _t_io0 = time.time()
+        result = self._commit_loop(read_meta, build)
         if MERGE_TIMINGS is not None:
-            MERGE_TIMINGS.append(("merge_write", time.time() - _t_write0))
+            MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
+        return result
 
-        self._finalize_commit(
-            meta, new_version, commit, bucket_map, new_segments,
-            batch_watermarks, batch_id, dirty=meta.get("dirty", {}),
-        )
-        return commit
+    def _validate_base(
+        self,
+        read_meta: dict,
+        base: dict,
+        read_buckets: List[int],
+        batch_id: Optional[str],
+    ) -> None:
+        """Rebase validation for commits whose Spark work READ table state:
+        the interleaved commits must not have touched any bucket in the
+        read set, changed the bucket layout, or evolved the schema — else
+        the already-executed rewrite is stale and the body must re-run."""
+        if base["n_buckets"] != read_meta["n_buckets"]:
+            raise CommitConflictError("bucket layout changed concurrently")
+        if base["schema"] != read_meta["schema"]:
+            raise CommitConflictError("schema evolved concurrently")
+        if batch_id is not None and self.is_applied(batch_id, base):
+            raise _SkipCommit(
+                {"batch_id": batch_id, "skipped": True, "version": base["version"]}
+            )
+        rd, bd = read_meta.get("dirty", {}), base.get("dirty", {})
+        for b in read_buckets:
+            if base["buckets"].get(str(b)) != read_meta["buckets"].get(str(b)) or bool(
+                bd.get(str(b))
+            ) != bool(rd.get(str(b))):
+                raise CommitConflictError(f"bucket {b} was changed by a concurrent commit")
 
-    def _finalize_commit(
+    def _advance_meta(
         self,
         meta: dict,
         new_version: int,
@@ -834,28 +1055,34 @@ class LakeTable:
         bucket_map: Dict[str, str],
         new_segments: List[Tuple[str, dict]],
         batch_watermarks: Optional[Dict[int, int]],
-        batch_id: str,
+        batch_id: Optional[str],
         dirty: Dict[str, bool],
-    ) -> None:
-        """Shared commit install: watermark advance, exactly-once bookkeeping
-        (tail/bloom/segment rolls), lineage append, then segments/manifests
-        followed by the atomic snapshot+pointer write."""
+    ) -> dict:
+        """Pure bookkeeping advance against a base snapshot: watermark
+        merge, exactly-once applied set (tail/bloom/segment rolls), lineage
+        append.  Called once per install attempt — it must derive everything
+        from ``meta`` (the CURRENT base) so a rebase is just a re-call.
+        Rolled segments are appended to ``new_segments`` for the caller to
+        write."""
         watermarks = dict(meta["watermarks"])
         for b, lsn in (batch_watermarks or {}).items():
             watermarks[str(b)] = max(watermarks.get(str(b), -1), int(lsn))
 
-        applied = {
-            **meta["applied"],
-            "count": meta["applied"]["count"] + 1,
-            "tail": meta["applied"]["tail"] + [batch_id],
-            "bloom": _bloom_add(meta["applied"]["bloom"], batch_id),
-        }
-        applied = self._roll_applied(applied, new_segments)
+        if batch_id is not None:
+            applied = {
+                **meta["applied"],
+                "count": meta["applied"]["count"] + 1,
+                "tail": meta["applied"]["tail"] + [batch_id],
+                "bloom": _bloom_add(meta["applied"]["bloom"], batch_id),
+            }
+            applied = self._roll_applied(applied, new_segments)
+        else:
+            applied = meta["applied"]
         lineage_tail, lineage_segs = self._roll_lineage(
             meta["lineage"] + [commit], meta["lineage_segments"], new_segments
         )
 
-        new_meta = {
+        return {
             **meta,
             "version": new_version,
             "buckets": bucket_map,
@@ -865,14 +1092,6 @@ class LakeTable:
             "lineage_segments": lineage_segs,
             "dirty": dirty,
         }
-        _t_io0 = time.time()
-        # segments/manifests first (immutable, unreferenced until the
-        # snapshot lands), then the atomic snapshot+pointer install
-        for rel, payload in new_segments:
-            self._write_json_atomic(rel, payload)
-        self._write_metadata(new_meta)
-        if MERGE_TIMINGS is not None:
-            MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
 
     def _merge_mor(
         self,
@@ -900,13 +1119,18 @@ class LakeTable:
         max-by-version aggregation and ``compact()`` folds them back to
         single-version clean state.  Write cost is O(batch) always — the
         hot-random-key regime where COW rewrite amplification explodes
-        (BENCH/merge_prune_bench.py measures the crossover)."""
+        (BENCH/merge_prune_bench.py measures the crossover).
+
+        A MoR commit reads NO table state, so it rebases freely across
+        concurrent commits (its files simply land with a later ``seq``);
+        only a concurrent bucket-layout or schema change forces a body
+        re-run."""
         n_buckets = meta["n_buckets"]
-        schema_cols = [f.name for f in self.schema.fields]
-        new_version = meta["version"] + 1
+        schema_cols = [
+            f.name for f in T.StructType.fromJson(json.loads(meta["schema"])).fields
+        ]
         commit = {
             "batch_id": batch_id,
-            "version": new_version,
             "changed_buckets": changed,
             "mode": "mor",
             "files_rewritten": 0,
@@ -916,10 +1140,7 @@ class LakeTable:
         if lineage:
             commit.update(lineage)
 
-        new_segments: List[Tuple[str, dict]] = []
-        bucket_map = dict(meta["buckets"])
-        manifest_rel = f"metadata/m-{new_version}.json"
-        rel_dir = os.path.join("data", f"v{new_version}")
+        rel_dir = os.path.join("data", f"c-{_uid()}")
         out_dir = os.path.join(self.root, rel_dir)
 
         _t0 = time.time()
@@ -970,43 +1191,83 @@ class LakeTable:
         if MERGE_TIMINGS is not None:
             MERGE_TIMINGS.append(("merge_write", time.time() - _t0))
 
-        current_files = self._bucket_files(meta, changed)
-        dirty = dict(meta.get("dirty", {}))
-        manifest_buckets: Dict[str, List[dict]] = {}
-        for b in sorted(set(new_files) | set(tomb_files)):
-            existing = current_files.get(b, [])
-            entries = existing + new_files.get(b, []) + tomb_files.get(b, [])
-            manifest_buckets[str(b)] = entries
-            bucket_map[str(b)] = manifest_rel
-            # multi-version state iff older files could hold a now-superseded
-            # or now-deleted version of a key this commit wrote
-            if existing and (b in new_files or b in tomb_files):
-                dirty[str(b)] = True
-        if manifest_buckets:
-            new_segments.append((manifest_rel, {"buckets": manifest_buckets}))
+        read_meta = meta
 
-        self._finalize_commit(
-            meta, new_version, commit, bucket_map, new_segments,
-            batch_watermarks, batch_id, dirty=dirty,
-        )
-        return commit
+        def build(base: dict):
+            if base is not read_meta:
+                # no file state was read; only layout/schema changes (which
+                # invalidate the staged files' bucket/khash columns) or a
+                # concurrently-landed duplicate batch id block the rebase
+                if base["n_buckets"] != read_meta["n_buckets"]:
+                    raise CommitConflictError("bucket layout changed concurrently")
+                if base["schema"] != read_meta["schema"]:
+                    raise CommitConflictError("schema evolved concurrently")
+                if self.is_applied(batch_id, base):
+                    raise _SkipCommit(
+                        {"batch_id": batch_id, "skipped": True, "version": base["version"]}
+                    )
+            new_version = base["version"] + 1
+            c = {**commit, "version": new_version}
+            manifest_rel = f"metadata/m-{new_version}-{_uid()}.json"
+            current_files = self._bucket_files(base, changed)
+            dirty = dict(base.get("dirty", {}))
+            bucket_map = dict(base["buckets"])
+            segments: List[Tuple[str, dict]] = []
+            manifest_buckets: Dict[str, List[dict]] = {}
+            for b in sorted(set(new_files) | set(tomb_files)):
+                existing = current_files.get(b, [])
+                entries = (
+                    existing
+                    + [{**e, "seq": new_version} for e in new_files.get(b, [])]
+                    + [{**e, "seq": new_version} for e in tomb_files.get(b, [])]
+                )
+                manifest_buckets[str(b)] = entries
+                bucket_map[str(b)] = manifest_rel
+                # multi-version state iff older files could hold a now-
+                # superseded or now-deleted version of a key this commit wrote
+                if existing and (b in new_files or b in tomb_files):
+                    dirty[str(b)] = True
+            if manifest_buckets:
+                segments.append((manifest_rel, {"buckets": manifest_buckets}))
+            new_meta = self._advance_meta(
+                base, new_version, c, bucket_map, segments,
+                batch_watermarks, batch_id, dirty=dirty,
+            )
+            return new_meta, segments, c
+
+        _t_io0 = time.time()
+        result = self._commit_loop(read_meta, build)
+        if MERGE_TIMINGS is not None:
+            MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
+        return result
 
     def evolve_schema(self, new_fields: List[T.StructField], note: str) -> None:
         """Additive schema evolution: append columns; existing data serves
-        nulls for them (projection handled at read)."""
-        meta = self.metadata()
-        schema = T.StructType.fromJson(json.loads(meta["schema"]))
-        existing = {f.name for f in schema.fields}
-        added = [f for f in new_fields if f.name not in existing]
-        if not added:
-            return
-        new_schema = T.StructType(list(schema.fields) + added)
-        meta["version"] += 1
-        meta["schema"] = new_schema.json()
-        meta["lineage"] = meta["lineage"] + [
-            {"schema_evolution": [f.name for f in added], "note": note, "version": meta["version"]}
-        ]
-        self._write_metadata(meta)
+        nulls for them (projection handled at read).  Commutes with every
+        data commit, so a lost install race just recomputes the column
+        union against the winner's snapshot."""
+
+        def build(base: dict):
+            schema = T.StructType.fromJson(json.loads(base["schema"]))
+            existing = {f.name for f in schema.fields}
+            added = [f for f in new_fields if f.name not in existing]
+            if not added:
+                raise _SkipCommit(None)
+            new_version = base["version"] + 1
+            entry = {
+                "schema_evolution": [f.name for f in added],
+                "note": note,
+                "version": new_version,
+            }
+            segments: List[Tuple[str, dict]] = []
+            new_meta = self._advance_meta(
+                base, new_version, entry, dict(base["buckets"]), segments,
+                None, None, dirty=base.get("dirty", {}),
+            )
+            new_meta["schema"] = T.StructType(list(schema.fields) + added).json()
+            return new_meta, segments, entry
+
+        self._commit_loop(self.metadata(), build)
 
     # -- maintenance ------------------------------------------------------
 
@@ -1018,7 +1279,22 @@ class LakeTable:
         the ``read()`` semantics), tombstones are dropped, and the bucket
         returns to the scan-only read path.  Metadata-only semantics: table
         state (and ``state_checksum``) is unchanged; old files age out via
-        ``expire_snapshots``."""
+        ``expire_snapshots``.
+
+        Concurrency: the rewrite is valid only against the file sets it
+        read, so a concurrent commit into a compacted bucket forces a body
+        re-run (``_BODY_ATTEMPTS``); commits into other buckets rebase for
+        free.  This is what makes a background compactor safe to run beside
+        a live ingest writer."""
+        last: Optional[CommitConflictError] = None
+        for _ in range(_BODY_ATTEMPTS):
+            try:
+                return self._compact_once(buckets, min_files)
+            except CommitConflictError as e:
+                last = e
+        raise last
+
+    def _compact_once(self, buckets: Optional[List[int]], min_files: int) -> dict:
         meta = self.metadata()
         files = self._bucket_files(meta, buckets)
         dirty = dict(meta.get("dirty", {}))
@@ -1030,8 +1306,7 @@ class LakeTable:
         if not todo:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
-        new_version = meta["version"] + 1
-        rel_dir = os.path.join("data", f"v{new_version}")
+        rel_dir = os.path.join("data", f"c-{_uid()}")
         out_dir = os.path.join(self.root, rel_dir)
         # kind filter matters: a CLEAN bucket can still hold tombstones
         # (deletes of never-present keys); reading one with the data schema
@@ -1044,11 +1319,11 @@ class LakeTable:
             if e.get("kind") != "tomb"
         ]
         mor_data = [
-            e["path"] for b, es in todo.items() if str(b) in dirty
+            (e["path"], _entry_seq(e)) for b, es in todo.items() if str(b) in dirty
             for e in es if e.get("kind") != "tomb"
         ]
         mor_tombs = [
-            e["path"] for b, es in todo.items() if str(b) in dirty
+            (e["path"], _entry_seq(e)) for b, es in todo.items() if str(b) in dirty
             for e in es if e.get("kind") == "tomb"
         ]
         parts: List[DataFrame] = []
@@ -1068,36 +1343,41 @@ class LakeTable:
             .parquet(out_dir)
         )
         new_files = self._new_file_stats(out_dir, rel_dir)
-        manifest_rel = f"metadata/m-{new_version}.json"
-        manifest_buckets = {str(b): es for b, es in new_files.items()}
-        bucket_map = dict(meta["buckets"])
-        for b in todo:
-            dirty.pop(str(b), None)  # single-version again
-            if str(b) in manifest_buckets:
-                bucket_map[str(b)] = manifest_rel
-            else:  # bucket fully emptied (every key tombstoned)
-                bucket_map.pop(str(b), None)
-        entry = {
+        read_meta = meta
+        entry_base = {
             "compaction": sorted(todo),
-            "version": new_version,
             "files_before": sum(len(es) for es in todo.values()),
             "files_after": sum(len(es) for es in new_files.values()),
         }
-        lineage_tail, lineage_segs = self._roll_lineage(
-            meta["lineage"] + [entry], meta["lineage_segments"], new_segments := []
-        )
-        for rel, payload in new_segments:
-            self._write_json_atomic(rel, payload)
-        self._write_json_atomic(manifest_rel, {"buckets": manifest_buckets})
-        self._write_metadata({
-            **meta,
-            "version": new_version,
-            "buckets": bucket_map,
-            "lineage": lineage_tail,
-            "lineage_segments": lineage_segs,
-            "dirty": dirty,
-        })
-        return entry
+
+        def build(base: dict):
+            if base is not read_meta:
+                self._validate_base(read_meta, base, sorted(todo), None)
+            new_version = base["version"] + 1
+            entry = {**entry_base, "version": new_version}
+            manifest_rel = f"metadata/m-{new_version}-{_uid()}.json"
+            manifest_buckets = {
+                str(b): [{**e, "seq": new_version} for e in es]
+                for b, es in new_files.items()
+            }
+            bucket_map = dict(base["buckets"])
+            d = dict(base.get("dirty", {}))
+            for b in todo:
+                d.pop(str(b), None)  # single-version again
+                if str(b) in manifest_buckets:
+                    bucket_map[str(b)] = manifest_rel
+                else:  # bucket fully emptied (every key tombstoned)
+                    bucket_map.pop(str(b), None)
+            segments: List[Tuple[str, dict]] = []
+            if manifest_buckets:
+                segments.append((manifest_rel, {"buckets": manifest_buckets}))
+            new_meta = self._advance_meta(
+                base, new_version, entry, bucket_map, segments,
+                None, None, dirty=d,
+            )
+            return new_meta, segments, entry
+
+        return self._commit_loop(read_meta, build)
 
     def rebucket(self, new_n_buckets: int, note: Optional[str] = None) -> dict:
         """Bucket-layout evolution (the Iceberg partition-evolution analogue
@@ -1153,14 +1433,13 @@ class LakeTable:
             for e in es if e.get("kind") != "tomb"
         ]
         mor_data = [
-            e["path"] for b, es in files.items() if str(b) in dirty
+            (e["path"], _entry_seq(e)) for b, es in files.items() if str(b) in dirty
             for e in es if e.get("kind") != "tomb"
         ]
         mor_tombs = [
-            e["path"] for b, es in files.items() if str(b) in dirty
+            (e["path"], _entry_seq(e)) for b, es in files.items() if str(b) in dirty
             for e in es if e.get("kind") == "tomb"
         ]
-        new_version = meta["version"] + 1
         parts: List[DataFrame] = []
         if clean_paths:
             # note new_n_buckets: rows are labeled in the NEW layout
@@ -1172,7 +1451,7 @@ class LakeTable:
         new_files: Dict[int, List[dict]] = {}
         if parts:
             df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-            rel_dir = os.path.join("data", f"v{new_version}")
+            rel_dir = os.path.join("data", f"c-{_uid()}")
             out_dir = os.path.join(self.root, rel_dir)
             (
                 df.repartition(new_n_buckets, F.col(BUCKET_COL))
@@ -1183,8 +1462,6 @@ class LakeTable:
                 .parquet(out_dir)
             )
             new_files = self._new_file_stats(out_dir, rel_dir)
-        manifest_rel = f"metadata/m-{new_version}.json"
-        bucket_map = {str(b): manifest_rel for b in new_files}
 
         old_wms = meta.get("watermarks", {})
         new_wms: Dict[str, int] = {}
@@ -1201,32 +1478,38 @@ class LakeTable:
                     if all(s in old_wms for s in srcs):
                         new_wms[str(b)] = min(old_wms[s] for s in srcs)
 
-        entry = {
+        entry_base = {
             "rebucket": [old_n, new_n_buckets],
-            "version": new_version,
             "files_after": sum(len(es) for es in new_files.values()),
         }
         if note:
-            entry["note"] = note
-        lineage_tail, lineage_segs = self._roll_lineage(
-            meta["lineage"] + [entry], meta["lineage_segments"], new_segments := []
-        )
-        for rel, payload in new_segments:
-            self._write_json_atomic(rel, payload)
-        self._write_json_atomic(
-            manifest_rel, {"buckets": {str(b): es for b, es in new_files.items()}}
-        )
-        self._write_metadata({
-            **meta,
-            "version": new_version,
-            "n_buckets": new_n_buckets,
-            "buckets": bucket_map,
-            "watermarks": new_wms,
-            "dirty": {},
-            "lineage": lineage_tail,
-            "lineage_segments": lineage_segs,
-        })
-        return entry
+            entry_base["note"] = note
+        read_meta = meta
+
+        def build(base: dict):
+            if base is not read_meta and base["version"] != read_meta["version"]:
+                # rebucket reads the WHOLE table: any interleaved commit
+                # invalidates the rewrite — re-run the body
+                raise CommitConflictError("table changed during rebucket")
+            new_version = base["version"] + 1
+            entry = {**entry_base, "version": new_version}
+            manifest_rel = f"metadata/m-{new_version}-{_uid()}.json"
+            manifest_buckets = {
+                str(b): [{**e, "seq": new_version} for e in es]
+                for b, es in new_files.items()
+            }
+            bucket_map = {str(b): manifest_rel for b in new_files}
+            segments: List[Tuple[str, dict]] = []
+            if manifest_buckets:
+                segments.append((manifest_rel, {"buckets": manifest_buckets}))
+            new_meta = self._advance_meta(
+                base, new_version, entry, bucket_map, segments, None, None, dirty={},
+            )
+            new_meta["n_buckets"] = new_n_buckets
+            new_meta["watermarks"] = new_wms
+            return new_meta, segments, entry
+
+        return self._commit_loop(read_meta, build)
 
     def compact_if_needed(self, max_files_per_bucket: int = 16) -> dict:
         """Bounded read-amplification policy for a merge-on-read tail: a
@@ -1237,7 +1520,16 @@ class LakeTable:
         or from a maintenance loop; state is unchanged (compaction
         semantics), and the next read of the compacted buckets is scan-only
         again.  Returns ``compact()``'s summary, or a zero summary when no
-        bucket crossed the threshold."""
+        bucket crossed the threshold.
+
+        Conflict posture: this is the BACKGROUND-maintenance entry point, so
+        losing its commit race to a live writer is normal operation, not an
+        error — compaction is semantically a no-op, nothing is owed to
+        anyone.  A ``CommitConflictError`` (the ingest writer kept touching
+        the buckets mid-compact) is reported as ``{"conflict": True}`` and
+        the caller's next cycle simply tries again.  ``compact()`` itself
+        stays strict: when called directly (e.g. by COW MERGE's dirty-bucket
+        resolution) the caller needs the result."""
         meta = self.metadata()
         dirty = meta.get("dirty", {})
         if not dirty:
@@ -1246,17 +1538,33 @@ class LakeTable:
         over = [b for b, es in files.items() if len(es) >= max_files_per_bucket]
         if not over:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
-        out = self.compact(buckets=over, min_files=1)
+        try:
+            out = self.compact(buckets=over, min_files=1)
+        except CommitConflictError:
+            return {
+                "compacted_buckets": 0, "files_before": 0, "files_after": 0,
+                "conflict": True,
+            }
         out["compacted_buckets"] = len(over)
         return out
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> dict:
         """Retain the last ``keep_last`` snapshots; delete older snapshot
         JSONs and every data/manifest file no retained snapshot references —
         including crash orphans (files written by a commit whose snapshot
         never installed).  Time travel remains available within the retained
-        window."""
+        window.
+
+        ``min_age_seconds`` (the Delta ``deletedFileRetentionDuration`` /
+        Iceberg ``expire_snapshots`` retention analogue): unreferenced files
+        younger than this are KEPT.  With concurrent writers this must
+        exceed the longest commit duration — an in-flight commit's staged
+        data files are unreferenced until its snapshot installs, and a
+        racing expiry at 0 would delete them out from under it.  The default
+        0 is for the single-writer maintenance flow (and tests) where an
+        unreferenced file is definitionally garbage."""
         current = self.version
+        cutoff = time.time() - float(min_age_seconds)
         retained = [v for v in range(max(0, current - keep_last + 1), current + 1)
                     if os.path.exists(self._meta_path(v))]
         keep_files: set = set()
@@ -1273,7 +1581,7 @@ class LakeTable:
         data_root = os.path.join(self.root, "data")
         for path in _glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(path, self.root)
-            if rel not in keep_files:
+            if rel not in keep_files and os.path.getmtime(path) <= cutoff:
                 removed_bytes += os.path.getsize(path)
                 os.remove(path)
                 removed_files += 1
@@ -1284,10 +1592,19 @@ class LakeTable:
                 os.rmdir(d)
         meta_root = os.path.join(self.root, "metadata")
         for path in _glob.glob(os.path.join(meta_root, "*.json")):
-            if os.path.basename(path) not in keep_meta:
-                if os.path.basename(path).startswith("v"):
-                    removed_snapshots += 1
-                os.remove(path)
+            base = os.path.basename(path)
+            if base in keep_meta or os.path.getmtime(path) > cutoff:
+                continue
+            if base.startswith("v"):
+                # never delete a snapshot NEWER than the version this expiry
+                # resolved — a concurrent writer may have just installed it
+                try:
+                    if int(base[1:-5]) > current:
+                        continue
+                except ValueError:
+                    pass
+                removed_snapshots += 1
+            os.remove(path)
         self._manifest_cache.clear()
         return {
             "retained_snapshots": retained,
@@ -1429,8 +1746,8 @@ class LakeTable:
         files = self._bucket_files(meta, sorted(by_bucket))
         dirty = meta.get("dirty", {})
         clean_paths: List[str] = []
-        mor_data: List[str] = []
-        mor_tombs: List[str] = []
+        mor_data: List[Tuple[str, int]] = []
+        mor_tombs: List[Tuple[str, int]] = []
         for b, entries in files.items():
             hs = by_bucket.get(int(b), [])
             for e in entries:
@@ -1439,7 +1756,9 @@ class LakeTable:
                 if not any(lo <= h <= hi for h in hs):
                     continue  # file range cannot contain any requested key
                 if str(b) in dirty:
-                    (mor_tombs if e.get("kind") == "tomb" else mor_data).append(e["path"])
+                    (mor_tombs if e.get("kind") == "tomb" else mor_data).append(
+                        (e["path"], _entry_seq(e))
+                    )
                 elif e.get("kind") != "tomb":
                     clean_paths.append(e["path"])
         # khash IN-filter: files are khash-sorted, so this pushes down to

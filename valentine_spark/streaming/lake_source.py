@@ -91,8 +91,13 @@ _VER_RE = re.compile(r"/data/v(\d+)/")
 
 def _read_meta(root: str, version: Optional[int] = None) -> dict:
     if version is None:
+        # CURRENT is a hint: a committer can crash (or lag) between
+        # publishing v{N}.json and advancing the pointer — walk forward to
+        # the newest contiguous snapshot, mirroring LakeTable._latest_version
         with open(os.path.join(root, "metadata", "CURRENT")) as fh:
             version = int(fh.read().strip())
+        while os.path.exists(os.path.join(root, "metadata", f"v{version + 1}.json")):
+            version += 1
     path = os.path.join(root, "metadata", f"v{version}.json")
     if not os.path.exists(path):
         raise RuntimeError(
@@ -286,8 +291,12 @@ def _bucket_state(root: str, entries: List[dict], dirty: bool,
             continue
         tbl = pq.read_table(os.path.join(root, e["path"]))
         pdf = tbl.to_pandas()
-        m = _VER_RE.search("/" + e["path"])
-        pdf["_v"] = int(m.group(1)) if m else 0
+        if e.get("seq") is not None:
+            # install-time commit sequence number (multi-writer safe)
+            pdf["_v"] = int(e["seq"])
+        else:  # legacy entry: version encoded in the data/v{N}/ path
+            m = _VER_RE.search("/" + e["path"])
+            pdf["_v"] = int(m.group(1)) if m else 0
         pdf["_live"] = 0 if kind == "tomb" else 1
         for c in cols:  # files predating a schema evolution lack new columns
             if c not in pdf.columns:
