@@ -1063,6 +1063,127 @@ UNION ALL SELECT 6, 'kept_after_exact_dedup', kept_after_exact_dedup FROM a
 """
 
 
+# deterministic PII-bearing fixture text: the synthetic corpus carries no
+# real PII, so both the Spark query and the oracle embed identical
+# PII-shaped spans derived from (doc_id, source) and then run the SAME
+# category chain over them — what is under test is the redaction chain's
+# semantics and engine parity, not the fixture
+def _pii_synth_expr():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("user"), did, F.lit("@"), F.col("source"), F.lit(".org wrote: "),
+        F.substring("text", 1, 80),
+        F.lit(" ssn 123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" tel +1 415 555 0"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+
+
+_PII_SYNTH_SQL = (
+    "'user' || CAST(doc_id AS VARCHAR) || '@' || source || '.org wrote: ' "
+    "|| substr(text, 1, 80) "
+    "|| ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) "
+    "|| ' tel +1 415 555 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+)
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing chain (operators/text.py:pii_redact): emails → SSNs →
+    IPv4s → phone-shaped runs, each category counted and redacted against
+    the text state the previous one left (order IS semantics — the
+    replacement tokens carry no digits, so the looser phone pattern cannot
+    re-match an already-redacted SSN).  Zero-shuffle whole-stage-codegen
+    projection; the oracle replays the identical chain in DuckDB (patterns
+    live in the shared Java-regex/RE2 subset)."""
+    from valentine_spark.operators import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).withColumn("text", _pii_synth_expr())
+    out = pii_redact(docs)
+    count_cols = [c for c in out.columns if c.startswith("n_")]
+    return out.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in count_cols], "redacted_text"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from valentine_spark.operators.text import PII_CATEGORIES
+
+    ctes = [f"c0 AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t0 FROM documents)"]
+    count_cols = []
+    for i, (name, pat, token) in enumerate(PII_CATEGORIES):
+        count_cols.append(f"n_{name}")
+        carry = ", ".join(f"n_{n}" for n, _, _ in PII_CATEGORIES[:i])
+        carry = (carry + ", ") if carry else ""
+        ctes.append(
+            f"c{i + 1} AS (SELECT doc_id, {carry}"
+            f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t{i}, '{pat}', '{token}', 'g') AS t{i + 1} FROM c{i})"
+        )
+    last = len(PII_CATEGORIES)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {', '.join(count_cols)}, t{last} AS redacted_text FROM c{last}"
+    )
+
+
+_SHINGLE_WS_RE = "[ \t\n\f\r]+"
+
+
+def _shingle_sql(src: str, id_alias: str, n: int) -> str:
+    """DuckDB image of operators/text.py:word_shingles (distinct rows)."""
+    return f"""
+  SELECT DISTINCT {id_alias}, shingle FROM (
+    SELECT {id_alias},
+           unnest([array_to_string(ws[i:i+{n - 1}], ' ')
+                   FOR i IN range(1, greatest(len(ws) - {n - 2}, 1))]) AS shingle
+    FROM (SELECT {id_alias}, string_split(trim(regexp_replace(lower(text),
+                 '{_SHINGLE_WS_RE}', ' ', 'g')), ' ') AS ws FROM {src})
+  )"""
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py:decontaminate): flag
+    corpus documents sharing any 8-word shingle with an evaluation set —
+    here a deterministic fixture eval set built from 400-char prefixes of
+    every 97th document, so each eval item contaminates its source document
+    AND every near-duplicate of it that the synthetic corpus contains (the
+    exact leak pattern decontamination exists to catch).  Plan: benchmark
+    shingles broadcast; the corpus is scanned once, never shuffled at
+    shingle grain."""
+    from valentine_spark.operators import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.substring("text", 1, 400).alias("text")
+    )
+    out = decontaminate(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_hit_shingles").cast("long").alias("n_hit_shingles"),
+        F.col("n_benchmark_docs").cast("long").alias("n_benchmark_docs"),
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, substr(text, 1, 400) AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+bsh AS ({_shingle_sql("bench", "bench_id", 8)}),
+csh0 AS (SELECT doc_id, text FROM documents),
+csh AS ({_shingle_sql("csh0", "doc_id", 8)})
+SELECT doc_id,
+       count(DISTINCT shingle) AS n_hit_shingles,
+       count(DISTINCT bench_id) AS n_benchmark_docs
+FROM csh JOIN bsh USING (shingle)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -2116,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
         "text_repetition_stats": text_repetition_stats,
+        "text_pii_redaction": text_pii_redaction,
+        "decontaminate_documents": decontaminate_documents,
         "corpus_curation_funnel": corpus_curation_funnel,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ivf_topk": embedding_ivf_topk,
@@ -2175,6 +2298,8 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _langid_oracle_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "text_repetition_stats": _REPETITION_SQL,
+        "text_pii_redaction": _pii_oracle_sql(),
+        "decontaminate_documents": _DECONTAM_SQL,
         "corpus_curation_funnel": _funnel_oracle_sql(),
         "embedding_cosine_topk": _COSINE_SQL,
         "embedding_ivf_topk": _IVF_SQL,

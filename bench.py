@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_language_id",
     "text_fingerprints",
     "text_repetition_stats",
+    "text_pii_redaction",
+    "decontaminate_documents",
     "media_frame_features",
     "embedding_cosine_topk",
     "embedding_ivf_topk",

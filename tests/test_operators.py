@@ -1345,3 +1345,89 @@ def test_wav_g711_rejects_wrong_bits():
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(WavError, match="G.711"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_pii_redact_counts_and_chain_order(spark):
+    from valentine_spark.operators import pii_redact
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org and d@e.io now"),          # 2 emails
+        (2, "ssn 123-45-6789 then ip 10.0.3.45 end"),            # 1 ssn, 1 ip
+        (3, "call +1 415 555 0123 or (020) 7946-0958 now"),      # 2 phones
+        (4, "clean text with no identifiers at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+
+    assert (got[1]["n_emails"], got[1]["n_ssns"], got[1]["n_ipv4s"], got[1]["n_phones"]) == (2, 0, 0, 0)
+    assert got[1]["redacted_text"] == "mail <EMAIL> and <EMAIL> now"
+    # ORDER IS SEMANTICS: the ssn and the ip must NOT also count as phones
+    # (they are redacted to digit-free tokens before the phone pass runs)
+    assert (got[2]["n_ssns"], got[2]["n_ipv4s"], got[2]["n_phones"]) == (1, 1, 0)
+    assert got[2]["redacted_text"] == "ssn <ID> then ip <IP> end"
+    assert got[3]["n_phones"] == 2
+    assert got[3]["redacted_text"] == "call <PHONE> or <PHONE> now"
+    assert got[4]["redacted_text"] == rows[3][1]
+    assert sum(v for k, v in got[4].items() if k.startswith("n_")) == 0
+    assert got[5]["redacted_text"] is None
+
+
+def test_pii_redact_plan_is_shuffle_free(spark):
+    from valentine_spark.operators import pii_redact
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a@b.co t").alias("text")
+    )
+    plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_flags_shingle_overlap(spark):
+    from valentine_spark.operators import decontaminate
+
+    eight = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words {eight} suffix words here"),  # contains the 8-gram
+            (2, "totally unrelated text with its own words going on and on"),
+            (3, f"{eight.upper()} exact but uppercased"),     # normalization catches it
+            (4, "one two three four five six seven"),         # only 7 words of it
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"the eval item says {eight} verbatim")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=8).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_benchmark_docs"] == 1
+    assert got[1]["n_hit_shingles"] >= 1
+
+
+def test_decontaminate_short_docs_and_clean_corpus(spark):
+    from valentine_spark.operators import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z w v u t s r q")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "completely disjoint benchmark content with many distinct words")],
+        "doc_id long, text string",
+    )
+    assert decontaminate(corpus, bench, n=8).count() == 0
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    from valentine_spark.operators import decontaminate
+
+    corpus = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one two three four five six seven eight nine ten").alias("text"),
+    )
+    bench = corpus.limit(2)
+    plan = (
+        decontaminate(corpus, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan

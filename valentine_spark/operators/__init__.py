@@ -20,11 +20,14 @@ from .pq import ivfpq_topk, pq_encode, pq_topk, pq_train
 from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
 from .text import (
     curation_funnel,
+    decontaminate,
     doc_fingerprints,
     language_id,
+    pii_redact,
     quality_scores,
     repetition_stats,
     token_counts,
+    word_shingles,
 )
 from .window_ops import latest_event_per_user, sessionize, topk_by
 
@@ -57,6 +60,9 @@ __all__ = [
     "token_counts",
     "repetition_stats",
     "curation_funnel",
+    "pii_redact",
+    "decontaminate",
+    "word_shingles",
     "quality_scores",
     "language_id",
     "doc_fingerprints",

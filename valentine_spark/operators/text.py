@@ -246,3 +246,99 @@ def curation_funnel(
         "stage",
         F.col("n_docs").cast("long"),
     )
+
+
+# PII redaction chain.  ORDER IS SEMANTICS: each category counts and
+# redacts against the text state left by the previous one (an SSN must not
+# be double-counted by the looser phone pattern, so SSN runs first and its
+# replacement token contains no digits).  Patterns live in the regex subset
+# shared by Java regex (Spark codegen) and RE2 (DuckDB), so a SQL oracle
+# reproduces the chain bit-for-bit — same discipline as BPE_TOKEN_RE above.
+PII_CATEGORIES = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssns", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4s", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phones", r"[+(]?[0-9][0-9()\-. ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing for pretraining corpora: redact emails, SSN-shaped
+    ids, IPv4 addresses and phone-shaped number runs to typed placeholder
+    tokens, and report the per-category hit counts (the audit trail a
+    redaction pass must emit).
+
+    Scale shape: a zero-shuffle projection — the whole chain is nested
+    ``regexp_replace``/``regexp_count`` JVM expressions inside one
+    whole-stage-codegen stage; cost is one corpus scan at any size.
+    Heuristic by design (a phone-shaped match may be a timestamp); the
+    value of the chain is that it is DETERMINISTIC and cheap enough to run
+    inline with ingest, with counts to triage documents for heavier
+    review."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_CATEGORIES:
+        counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        redacted.alias("redacted_text"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) pairs: every n-word window of the whitespace-normalized
+    lowercased text.  Documents shorter than n words produce no rows."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\f\r]+", " ")), " "
+    )
+    nw = F.size(words)
+    shingles = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY n-word
+    shingle with an evaluation/benchmark set — the training-data hygiene
+    pass every LLM corpus needs before evals mean anything (the GPT-3
+    appendix / Llama 13-gram overlap check; n=8 is the conservative end).
+
+    Returns one row per CONTAMINATED corpus document:
+    ``(doc_id, n_hit_shingles, n_benchmark_docs)`` — how many distinct
+    shingles of it appear in the benchmark, and how many distinct benchmark
+    documents it collides with.
+
+    Scale shape: the benchmark side is eval-set-sized (10^3-10^5 docs), so
+    its distinct shingle set BROADCASTS; the corpus side is one explode +
+    one broadcast hash join + one partial-aggregated groupBy — the 100-TB
+    corpus is scanned once and never shuffled at shingle grain (only the
+    surviving hits, which are benchmark-bounded, reach the aggregation
+    exchange)."""
+    from pyspark.sql.functions import broadcast
+
+    corpus_sh = word_shingles(corpus, n, id_col, text_col)
+    bench_sh = word_shingles(benchmark, n, bench_id_col, bench_text_col).select(
+        F.col(bench_id_col).alias("_bench_id"), "shingle"
+    ).distinct()
+    hits = corpus_sh.join(broadcast(bench_sh), "shingle")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("shingle").alias("n_hit_shingles"),
+        F.count_distinct("_bench_id").alias("n_benchmark_docs"),
+    )
