@@ -865,3 +865,49 @@ def test_ivm_null_group_key_merges_as_one_group(spark, tmp_path):
     got, want = key(rolled), key(fresh)
     assert got == want, (got, want)
     assert sum(1 for t in got if t[0] is None) == 1  # ONE null-keyed row
+
+
+def test_restore_rolls_back_state_metadata_only(spark, tmp_path):
+    """restore(v) (the Delta RESTORE analogue) must reproduce snapshot v's
+    state under a NEW version without rewriting any data, keep exactly-once
+    bookkeeping un-rolled-back, and survive expiry of everything older."""
+    stream = synth_change_stream(spark, 4000, 500, seed=3)
+    lake = LakeTable.create(str(tmp_path / "restore"), spark, n_buckets=4)
+    apply_batch(lake, stream.where(F.col("lsn") < 2000), "good")
+    v_good = lake.version
+    good_state = lake.state_checksum()
+    apply_batch(lake, stream.where(F.col("lsn") >= 2000), "bad")
+    assert lake.state_checksum() != good_state
+
+    n_parquet_before = len(
+        glob.glob(str(tmp_path / "restore" / "data" / "**" / "*.parquet"), recursive=True)
+    )
+    entry = lake.restore(v_good, note="undo bad batch")
+    assert lake.version == v_good + 2  # a NEW commit, history preserved
+    assert lake.state_checksum() == good_state
+    # metadata-only: not a single data file written
+    n_parquet_after = len(
+        glob.glob(str(tmp_path / "restore" / "data" / "**" / "*.parquet"), recursive=True)
+    )
+    assert n_parquet_after == n_parquet_before
+    # exactly-once NOT rolled back: the bad batch id stays applied, so a
+    # replayer cannot silently re-introduce the undone data
+    assert lake.is_applied("bad")
+    assert apply_batch(lake, stream.where(F.col("lsn") >= 2000), "bad")["skipped"]
+    # lineage records the restore
+    kinds = [r["kind"] for r in lake.history().collect()]
+    assert kinds[0] == "restore"
+    # the restored state survives expiry of all older snapshots
+    lake.expire_snapshots(keep_last=1)
+    assert lake.state_checksum() == good_state
+
+
+def test_restore_raises_on_expired_version(spark, tmp_path):
+    stream = synth_change_stream(spark, 3000, 300, seed=4)
+    lake = LakeTable.create(str(tmp_path / "restore_exp"), spark, n_buckets=4)
+    apply_batch(lake, stream.where(F.col("lsn") < 1500), "b1")
+    v1 = lake.version
+    apply_batch(lake, stream.where(F.col("lsn") >= 1500), "b2")
+    lake.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        lake.restore(v1)

@@ -127,6 +127,18 @@ from .generator import KEY_COLS
 # driver part for the Amdahl analysis.
 MERGE_TIMINGS: Optional[list] = None
 
+# Concurrency observability hook (same pattern as MERGE_TIMINGS): when set
+# to a dict, commit machinery increments "install_retries" (lost
+# put-if-absent races that REBASED — cheap, no Spark re-work for MoR) and
+# "body_retries" (conflicts that re-ran an operation's Spark body).  The
+# concurrent-writer bench reads these to report protocol overhead.
+CONFLICT_STATS: Optional[dict] = None
+
+
+def _bump(key: str) -> None:
+    if CONFLICT_STATS is not None:
+        CONFLICT_STATS[key] = CONFLICT_STATS.get(key, 0) + 1
+
 BUCKET_COL = "_bucket"
 KHASH_COL = "_khash"
 
@@ -356,6 +368,7 @@ class LakeTable:
                 self._write_json_atomic(rel, payload)
             if self._try_install_snapshot(new_meta):
                 return result
+            _bump("install_retries")
             meta = self.metadata()
         raise CommitConflictError(
             f"lost the snapshot install race {_INSTALL_ATTEMPTS} times at "
@@ -439,6 +452,10 @@ class LakeTable:
                 kind = "schema_evolution"
             elif "compaction" in e:
                 kind = "compaction"
+            elif "restore" in e:
+                kind = "restore"
+            elif "rebucket" in e:
+                kind = "rebucket"
             else:
                 kind = "merge"
             rows.append(
@@ -825,6 +842,7 @@ class LakeTable:
                     lineage, changed_buckets, mode, touched_hint,
                 )
             except CommitConflictError as e:
+                _bump("body_retries")
                 last = e
         raise last
 
@@ -1291,6 +1309,7 @@ class LakeTable:
             try:
                 return self._compact_once(buckets, min_files)
             except CommitConflictError as e:
+                _bump("body_retries")
                 last = e
         raise last
 
@@ -1547,6 +1566,45 @@ class LakeTable:
             }
         out["compacted_buckets"] = len(over)
         return out
+
+    def restore(self, version: int, note: Optional[str] = None) -> dict:
+        """Roll the table back to snapshot ``version`` as a NEW commit (the
+        Delta ``RESTORE TABLE ... TO VERSION`` / Iceberg rollback analogue) —
+        the bad-batch undo a CDC operator actually runs.  Metadata-only and
+        O(1): manifests and data files are immutable, so restoring is
+        re-pointing the bucket map, schema, layout and dirty flags at the
+        old snapshot's values under a fresh version — nothing is rewritten,
+        history is preserved (the restore itself is a lineage entry, and
+        time travel ABOVE the restored version still works until expiry).
+
+        Exactly-once bookkeeping is intentionally NOT rolled back: the
+        applied-batch set and watermarks keep their current values, so a
+        replayer pointed at the restored table will not silently re-apply
+        batches the operator wanted undone — re-ingesting them is an
+        explicit choice (new batch ids), not an accident.  Goes through the
+        optimistic commit loop; restoring concurrently with live writers
+        rebases like any other commit."""
+        target = self.metadata(version)  # raises if expired
+
+        def build(base: dict):
+            new_version = base["version"] + 1
+            entry = {
+                "restore": version,
+                "version": new_version,
+                "ts": time.time(),
+            }
+            if note:
+                entry["note"] = note
+            segments: List[Tuple[str, dict]] = []
+            new_meta = self._advance_meta(
+                base, new_version, entry, dict(target["buckets"]), segments,
+                None, None, dirty=dict(target.get("dirty", {})),
+            )
+            new_meta["schema"] = target["schema"]
+            new_meta["n_buckets"] = target["n_buckets"]
+            return new_meta, segments, entry
+
+        return self._commit_loop(self.metadata(), build)
 
     def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> dict:
         """Retain the last ``keep_last`` snapshots; delete older snapshot
