@@ -1985,6 +1985,118 @@ WHERE p.repo IS NULL OR a.repo IS NULL
 """
 
 
+def cdc_wal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL-envelope front door (cdc/wal.py): wrap every event row in a
+    Debezium JSON envelope with Spark's own ``to_json`` (props — itself
+    JSON text with quotes — is the escaping stressor), inject three
+    deterministic corruption classes by ``event_id % 97`` (0 → truncated
+    JSON, 1 → unknown op code, 2 → missing source.lsn), then decode with
+    ``decode_debezium`` and report the decoded stream's per-(op, lang)
+    aggregate alongside the dead-letter counts by quarantine reason.
+
+    The oracle never builds JSON at all — it computes the expected
+    aggregates straight from ``events`` — so a hash match proves the
+    decode is a lossless inverse of the envelope encoding (content md5
+    checksums survive the JSON round trip) and the quarantine cascade
+    catches exactly the corrupted rows, no more, no fewer.  The decode
+    itself is one ``from_json`` + projections in a single codegen stage —
+    no shuffle until the final aggregate."""
+    from pyspark.sql.types import StructField as SF_, StructType as ST_
+
+    from valentine_spark.cdc.wal import decode_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    payload = ST_(
+        [
+            SF_("repo", StringType()),
+            SF_("path", StringType()),
+            SF_("commit", StringType()),
+            SF_("lang", StringType()),
+            SF_("content", StringType()),
+        ]
+    )
+    img = F.struct(
+        F.concat(F.lit("r"), F.pmod("user_id", F.lit(13))).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    is_del = F.col("event_type") == "error"
+    m = F.pmod("event_id", F.lit(97))
+    env = F.to_json(
+        F.struct(
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.when(m == 1, F.lit("z"))
+            .when(is_del, F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.struct(
+                F.when(m != 2, F.col("event_id") + 1).cast("long").alias("lsn")
+            ).alias("source"),
+        )
+    )
+    raw = ev.select(
+        F.when(m == 0, F.substring(env, F.lit(1), F.length(env) - 5))
+        .otherwise(env)
+        .alias("value")
+    )
+    dec = decode_debezium(raw, payload)
+    null_l = F.lit(None).cast("long")
+    stream_agg = dec.stream.groupBy("op", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.max(F.unix_timestamp("op_ts")).alias("max_ts_epoch"),
+        F.sum(F.conv(F.substring(F.md5("content"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("content_sum"),
+    ).select(
+        F.lit("stream").alias("kind"), F.col("op").alias("tag"), "lang",
+        "n", "min_lsn", "max_lsn", "max_ts_epoch", "content_sum",
+    )
+    dlq_agg = dec.dead_letters.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("dlq").alias("kind"), F.col("reason").alias("tag"),
+        F.lit(None).cast("string").alias("lang"), "n",
+        null_l.alias("min_lsn"), null_l.alias("max_lsn"),
+        null_l.alias("max_ts_epoch"), null_l.alias("content_sum"),
+    )
+    return stream_agg.unionByName(dlq_agg)
+
+
+_CDC_WAL_DECODE_SQL = """
+WITH classified AS (
+  SELECT event_id, ts, event_type, props,
+         event_id % 97 AS m,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+), sagg AS (
+  SELECT 'stream' AS kind, op AS tag, event_type AS lang,
+         count(*) AS n,
+         min(event_id + 1) AS min_lsn,
+         max(event_id + 1) AS max_lsn,
+         max(floor(epoch(ts))::BIGINT) AS max_ts_epoch,
+         sum(CAST('0x' || substr(md5(props), 1, 8) AS BIGINT))::BIGINT AS content_sum
+  FROM classified WHERE m NOT IN (0, 1, 2)
+  GROUP BY op, event_type
+), dlq AS (
+  SELECT 'dlq' AS kind,
+         CASE m WHEN 0 THEN 'unparseable'
+                WHEN 1 THEN 'unknown_op'
+                ELSE 'missing_lsn' END AS tag,
+         CAST(NULL AS VARCHAR) AS lang, count(*) AS n,
+         CAST(NULL AS BIGINT) AS min_lsn, CAST(NULL AS BIGINT) AS max_lsn,
+         CAST(NULL AS BIGINT) AS max_ts_epoch, CAST(NULL AS BIGINT) AS content_sum
+  FROM classified WHERE m IN (0, 1, 2) GROUP BY m
+)
+SELECT * FROM sagg UNION ALL SELECT * FROM dlq
+"""
+
+
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance end-to-end: bootstrap a per-language
     (files, bytes) aggregate from the half-replayed lake, then roll it
@@ -2255,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_follow_mirror": cdc_follow_mirror,
         "cdc_drift_automap": cdc_drift_automap,
+        "cdc_wal_decode": cdc_wal_decode,
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -2326,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         # the drifted replay must land in the SAME final state as the
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
+        "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,

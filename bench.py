@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "embedding_ivfpq_topk",
     "dedup_ngram_prefix",
+    "cdc_wal_decode",
     "cdc_lww_stream",
     "cdc_changelog",
     "cdc_follow_mirror",

@@ -23,6 +23,14 @@ from .follow import (
 from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
 from .lake import CommitConflictError, LakeTable, bucket_expr
+from .wal import (
+    DecodedStream,
+    debezium_envelope_schema,
+    decode_debezium,
+    decode_maxwell,
+    maxwell_envelope_schema,
+    maxwell_position_lsn,
+)
 
 __all__ = [
     "LakeTable",
@@ -49,6 +57,12 @@ __all__ = [
     "KEY_COLS",
     "PAYLOAD_COLS",
     "STREAM_COLS",
+    "DecodedStream",
+    "decode_debezium",
+    "decode_maxwell",
+    "debezium_envelope_schema",
+    "maxwell_envelope_schema",
+    "maxwell_position_lsn",
 ]
 
 
