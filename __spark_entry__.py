@@ -1985,6 +1985,59 @@ WHERE p.repo IS NULL OR a.repo IS NULL
 """
 
 
+def cdc_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-column data skipping end-to-end (``LakeTable.scan`` — the
+    Iceberg metadata-pruned scan / Delta data-skipping analogue): replay
+    the WAL into a lake whose commits collect per-file [lo, hi] bounds for
+    ``lang`` (stats_cols), re-cluster with the OPTIMIZE-style
+    ``compact(sort_cols=["lang"])`` so the bounds become tight, then
+    ``scan`` with a stats predicate (lang = 'click') plus a residual
+    non-stats predicate (path > 'p2') — files whose bounds exclude
+    'click' never enter the Spark plan (asserted: the pruned plan must
+    read strictly fewer files than the full table).  The oracle filters
+    the same predicates over the from-scratch LWW image, so the hash
+    match proves pruning never drops a matching row."""
+    from valentine_spark.cdc import LakeTable, replay
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(ev)
+    total = ev.count()
+    root = tempfile.mkdtemp(prefix="entry_lake_scan_")
+    lake = LakeTable.create(
+        os.path.join(root, "t"), spark, n_buckets=8,
+        target_file_rows=max(total // 64, 1000), stats_cols=["lang"],
+    )
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
+    lake.compact(min_files=1, sort_cols=["lang"])
+    where = [("lang", "=", "click"), ("path", ">", "p2")]
+    pv = lake.prune_preview(where)
+    if not pv["kept_files"] < pv["total_files"]:
+        raise AssertionError(f"stats pruning had no effect: {pv}")
+    return lake.scan(where).select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_STATS_SCAN_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit", lang,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete'
+  AND lang = 'click' AND path > 'p2'
+"""
+
+
 def cdc_wal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-envelope front door (cdc/wal.py): wrap every event row in a
     Debezium JSON envelope with Spark's own ``to_json`` (props — itself
@@ -2368,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_follow_mirror": cdc_follow_mirror,
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_wal_decode": cdc_wal_decode,
+        "cdc_stats_scan": cdc_stats_scan,
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -2440,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
         "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
+        "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,

@@ -155,6 +155,47 @@ _BLOOM_K = 7
 
 _FULL_RANGE = (-(1 << 63), (1 << 63) - 1)  # pruning fallback: never pruned
 
+_SCAN_OPS = {"=", "<", "<=", ">", ">="}
+
+_PRED_EXPRS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _file_may_match(col_bounds: Optional[dict], preds: List[tuple]) -> bool:
+    """Can a file whose manifest bounds are ``col_bounds`` contain a row
+    satisfying ALL predicates?  Unbounded columns never prune.  Bounds are
+    inclusive and conservative ([lo, hi] ⊇ true value range), so a False
+    here is a proof of emptiness; a True only costs a residual-filtered
+    read."""
+    for col, op, val in preds:
+        b = (col_bounds or {}).get(col)
+        if b is None:
+            continue
+        lo, hi = b
+        v = val if isinstance(val, str) else _encode_stat_value(val)
+        if v is None:
+            continue  # unencodable predicate constant: cannot prune on it
+        if type(v) is not type(lo) and not (
+            isinstance(v, (int, float)) and isinstance(lo, (int, float))
+        ):
+            continue  # incomparable encodings: never prune
+        if op == "=" and not (lo <= v <= hi):
+            return False
+        if op == "<" and not (lo < v):
+            return False
+        if op == "<=" and not (lo <= v):
+            return False
+        if op == ">" and not (v < hi):
+            return False
+        if op == ">=" and not (v <= hi):
+            return False
+    return True
+
 # optimistic-concurrency retry bounds: install attempts rebase cheap
 # bookkeeping against the new base (no Spark jobs); body attempts re-run
 # the whole operation when a concurrent commit invalidated its read set
@@ -261,6 +302,7 @@ class LakeTable:
         n_buckets: int = 64,
         target_file_rows: int = 1_000_000,
         write_mode: str = "cow",
+        stats_cols: Optional[List[str]] = None,
     ) -> "LakeTable":
         if schema is not None and not isinstance(schema, T.StructType):
             raise TypeError(
@@ -269,6 +311,10 @@ class LakeTable:
             )
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        known = {f.name for f in (schema or _default_schema()).fields}
+        for c in stats_cols or []:
+            if c not in known:
+                raise KeyError(f"stats column {c!r} not in table schema {sorted(known)}")
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         table = cls(root, spark)
@@ -285,6 +331,9 @@ class LakeTable:
             "lineage": [],  # tail of per-commit audit entries
             "lineage_segments": [],
             "dirty": {},  # bucket id (str) -> true when holding multi-version (MoR) state
+            # secondary columns whose per-file [lo, hi] bounds commits
+            # collect into manifests; scan() prunes on them
+            "stats_cols": list(stats_cols or []),
         }
         if not table._try_install_snapshot(meta):
             raise FileExistsError(f"lake table already exists at {root!r}")
@@ -574,6 +623,105 @@ class LakeTable:
         df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         return df.drop(KHASH_COL)
 
+    def _scan_predicates(self, schema: T.StructType, where) -> List[tuple]:
+        names = {f.name for f in schema.fields}
+        preds = []
+        for col, op, val in where:
+            op = "=" if op == "==" else op
+            if op not in _SCAN_OPS:
+                raise ValueError(f"unsupported scan op {op!r} (use {sorted(_SCAN_OPS)})")
+            if col not in names:
+                raise KeyError(f"scan column {col!r} not in table schema {sorted(names)}")
+            preds.append((col, op, val))
+        return preds
+
+    def _prune_for_scan(
+        self, meta: dict, preds: List[tuple], buckets: Optional[List[int]]
+    ) -> Tuple[List[str], List[Tuple[str, int]], List[Tuple[str, int]], int, int]:
+        """Split the snapshot's live files into (kept clean paths, MoR data,
+        MoR tombs) under the predicates; returns (…, kept, total) data-file
+        counts for observability.  Dirty (merge-on-read) buckets are NEVER
+        stats-pruned: a key's winner is decided across file versions, so
+        dropping a file because its values don't match could resurrect an
+        older matching version of a key whose CURRENT version doesn't match
+        — those buckets resolve fully and filter after."""
+        files = self._bucket_files(meta, buckets)
+        dirty = meta.get("dirty", {})
+        clean_paths: List[str] = []
+        mor_data: List[Tuple[str, int]] = []
+        mor_tombs: List[Tuple[str, int]] = []
+        kept = total = 0
+        for b, entries in files.items():
+            for e in entries:
+                is_tomb = e.get("kind") == "tomb"
+                if not is_tomb:
+                    total += 1
+                if str(b) in dirty:
+                    (mor_tombs if is_tomb else mor_data).append((e["path"], _entry_seq(e)))
+                    if not is_tomb:
+                        kept += 1
+                elif not is_tomb:
+                    if _file_may_match(e.get("cols"), preds):
+                        clean_paths.append(e["path"])
+                        kept += 1
+        return clean_paths, mor_data, mor_tombs, kept, total
+
+    def scan(
+        self,
+        where,
+        version: Optional[int] = None,
+        buckets: Optional[List[int]] = None,
+    ) -> DataFrame:
+        """Predicate data-skipping scan (the Iceberg metadata-pruned scan /
+        Delta data-skipping analogue): ``where`` is a conjunctive list of
+        ``(column, op, constant)`` with op in =, <, <=, >, >= — files whose
+        manifest-recorded [lo, hi] bounds for the table's ``stats_cols``
+        cannot satisfy every predicate are skipped WITHOUT being opened or
+        even listed into the Spark read, and the surviving files still get
+        the residual filter (exactness never depends on the stats).
+
+        Why this matters at 10^5 files: Spark's own parquet pushdown prunes
+        row groups, but only AFTER the file is listed, a task planned, and
+        its footer fetched — manifest pruning removes those files from the
+        plan entirely, so a selective predicate over a wide table costs
+        O(matching files), not O(all files).  Columns without recorded
+        bounds (not in ``stats_cols``, written pre-evolution, stats
+        unusable) are simply never pruned on — unbounded is always sound.
+        String bounds use Iceberg-style 16-char truncation (prefix lower
+        bound, incremented upper bound); see ``_STR_BOUND_LEN``.
+
+        Dirty (merge-on-read) buckets resolve fully before filtering —
+        see ``_prune_for_scan`` for why stats cannot prune multi-version
+        state; ``compact()`` returns a bucket to the prunable path."""
+        meta = self.metadata(version)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        preds = self._scan_predicates(schema, where)
+        clean_paths, mor_data, mor_tombs, _, _ = self._prune_for_scan(meta, preds, buckets)
+        parts: List[DataFrame] = []
+        if clean_paths:
+            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"]))
+        if mor_data or mor_tombs:
+            parts.append(self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"]))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        resid = None
+        for col, op, val in preds:
+            c = _PRED_EXPRS[op](F.col(col), F.lit(val))
+            resid = c if resid is None else (resid & c)
+        if resid is not None:
+            df = df.where(resid)
+        return df.select(*[f.name for f in schema.fields])
+
+    def prune_preview(self, where, version: Optional[int] = None) -> dict:
+        """Observability: how many live data files ``scan(where)`` would
+        keep vs the snapshot total, without reading anything."""
+        meta = self.metadata(version)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        preds = self._scan_predicates(schema, where)
+        _, _, _, kept, total = self._prune_for_scan(meta, preds, None)
+        return {"kept_files": kept, "total_files": total}
+
     def _resolved_files(
         self,
         data_entries: List[Tuple[str, int]],
@@ -747,29 +895,38 @@ class LakeTable:
             out.add(abs_by_uri[path])
         return sorted(out)
 
-    def _new_file_stats(self, out_dir: str, rel_dir: str, kind: str = "data") -> Dict[int, List[dict]]:
+    def _new_file_stats(
+        self,
+        out_dir: str,
+        rel_dir: str,
+        kind: str = "data",
+        stats_cols: Optional[List[str]] = None,
+    ) -> Dict[int, List[dict]]:
         """Footer scan of freshly written files: per-file khash (min,max),
-        rows, bytes — the same stats an Iceberg commit collects.  Footer
-        reads only (no data pages).  Below ``_STATS_DISTRIBUTE_OVER`` files
-        the driver reads them in a loop (a Spark job costs more than ~all
-        the footers); above it, one ``parallelize``+``mapPartitions`` job
-        fans the footer reads across executors — commits writing 10^3..10^5
-        files stop paying a driver-serial footer walk (round-3 VERDICT ask
-        #1).  ``kind="tomb"`` stamps the entries as tombstone
+        rows, bytes — the same stats an Iceberg commit collects — plus
+        encoded [lo, hi] bounds for the table's ``stats_cols`` (the
+        secondary-column data-skipping metadata ``scan`` prunes on).
+        Footer reads only (no data pages).  Below ``_STATS_DISTRIBUTE_OVER``
+        files the driver reads them in a loop (a Spark job costs more than
+        ~all the footers); above it, one ``parallelize``+``mapPartitions``
+        job fans the footer reads across executors — commits writing
+        10^3..10^5 files stop paying a driver-serial footer walk (round-3
+        VERDICT ask #1).  ``kind="tomb"`` stamps the entries as tombstone
         (equality-delete) files."""
         paths = sorted(_glob.glob(os.path.join(out_dir, f"{BUCKET_COL}=*", "*.parquet")))
+        scols = list(stats_cols) if kind == "data" and stats_cols else None
         if len(paths) >= _STATS_DISTRIBUTE_OVER:
             sc = self.spark.sparkContext
             n_slices = min(len(paths), 64)
             stats = (
                 sc.parallelize(paths, n_slices)
-                .mapPartitions(lambda it: (_footer_stat(p) for p in it))
+                .mapPartitions(lambda it: (_footer_stat(p, scols) for p in it))
                 .collect()
             )
         else:
-            stats = [_footer_stat(p) for p in paths]
+            stats = [_footer_stat(p, scols) for p in paths]
         out: Dict[int, List[dict]] = {}
-        for path, mn, mx, rows, nbytes in sorted(stats):
+        for path, mn, mx, rows, nbytes, col_bounds in sorted(stats):
             bucket = int(os.path.basename(os.path.dirname(path)).split("=", 1)[1])
             entry = {
                 "path": os.path.join(rel_dir, os.path.relpath(path, out_dir)),
@@ -778,6 +935,8 @@ class LakeTable:
                 "rows": rows,
                 "bytes": nbytes,
             }
+            if col_bounds:
+                entry["cols"] = col_bounds
             if kind != "data":
                 entry["kind"] = kind
             out.setdefault(bucket, []).append(entry)
@@ -989,7 +1148,7 @@ class LakeTable:
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
             )
-            new_files = self._new_file_stats(out_dir, rel_dir)
+            new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
             commit["files_written"] = sum(len(es) for es in new_files.values())
             commit["bytes_written"] = sum(
                 e["bytes"] for es in new_files.values() for e in es
@@ -1172,7 +1331,7 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        new_files = self._new_file_stats(out_dir, rel_dir)
+        new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
 
         tomb_rel_dir = os.path.join(rel_dir, "_tombs")
         tomb_out = os.path.join(self.root, tomb_rel_dir)
@@ -1289,7 +1448,12 @@ class LakeTable:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self, buckets: Optional[List[int]] = None, min_files: int = 2) -> dict:
+    def compact(
+        self,
+        buckets: Optional[List[int]] = None,
+        min_files: int = 2,
+        sort_cols: Optional[List[str]] = None,
+    ) -> dict:
         """Rewrite each bucket holding >= ``min_files`` files — plus every
         DIRTY (merge-on-read) bucket regardless of count — into a fresh
         khash-sorted, non-overlapping file sequence (undoing insert-order
@@ -1299,6 +1463,17 @@ class LakeTable:
         state (and ``state_checksum``) is unchanged; old files age out via
         ``expire_snapshots``.
 
+        ``sort_cols``: re-cluster each bucket by these columns FIRST (khash
+        last) — the Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order
+        rewrite analogue.  Files then carry tight ``stats_cols`` bounds, so
+        ``scan`` predicates on those columns prune to O(matching files)
+        even when ingest scattered the values.  The documented trade: the
+        bucket's files stop being khash-disjoint, so the NEXT merge into it
+        prunes worse (read amplification, never wrongness — MERGE pruning
+        is interval-intersection).  Use for read-mostly / analytical
+        tables, after bulk loads, or on a schedule — the same guidance as
+        Delta's OPTIMIZE.
+
         Concurrency: the rewrite is valid only against the file sets it
         read, so a concurrent commit into a compacted bucket forces a body
         re-run (``_BODY_ATTEMPTS``); commits into other buckets rebase for
@@ -1307,13 +1482,18 @@ class LakeTable:
         last: Optional[CommitConflictError] = None
         for _ in range(_BODY_ATTEMPTS):
             try:
-                return self._compact_once(buckets, min_files)
+                return self._compact_once(buckets, min_files, sort_cols)
             except CommitConflictError as e:
                 _bump("body_retries")
                 last = e
         raise last
 
-    def _compact_once(self, buckets: Optional[List[int]], min_files: int) -> dict:
+    def _compact_once(
+        self,
+        buckets: Optional[List[int]],
+        min_files: int,
+        sort_cols: Optional[List[str]] = None,
+    ) -> dict:
         meta = self.metadata()
         files = self._bucket_files(meta, buckets)
         dirty = dict(meta.get("dirty", {}))
@@ -1353,15 +1533,20 @@ class LakeTable:
                 self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"])
             )
         df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        known = {f.name for f in schema.fields}
+        for c in sort_cols or []:
+            if c not in known:
+                raise KeyError(f"sort column {c!r} not in table schema {sorted(known)}")
+        order = [BUCKET_COL, *(sort_cols or []), KHASH_COL]
         (
             df.repartition(len(todo), F.col(BUCKET_COL))
-            .sortWithinPartitions(BUCKET_COL, KHASH_COL)
+            .sortWithinPartitions(*order)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        new_files = self._new_file_stats(out_dir, rel_dir)
+        new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
         read_meta = meta
         entry_base = {
             "compaction": sorted(todo),
@@ -1480,7 +1665,7 @@ class LakeTable:
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
             )
-            new_files = self._new_file_stats(out_dir, rel_dir)
+            new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
 
         old_wms = meta.get("watermarks", {})
         new_wms: Dict[str, int] = {}
@@ -1861,10 +2046,82 @@ class LakeTable:
         return {"rows": agg["rows"], "checksum": int(agg["checksum"] or 0)}
 
 
-def _footer_stat(path: str) -> Tuple[str, Optional[int], Optional[int], int, int]:
-    """(path, khash_min, khash_max, rows, bytes) from one parquet footer —
-    module-level so the distributed path of ``_new_file_stats`` ships it to
-    executors without capturing the LakeTable (SparkSession is unpicklable)."""
+#: String column bounds in manifests are truncated to this many characters
+#: (Iceberg's ``write.metadata.metrics.truncate`` analogue): the lower bound
+#: is a plain prefix (a prefix sorts <= the full value), the upper bound is
+#: the prefix with its last incrementable character bumped (sorts >= every
+#: value sharing the prefix) — sound, and it keeps manifest entries O(16)
+#: bytes per column instead of O(content length).
+_STR_BOUND_LEN = 16
+
+
+def _string_lower_bound(s: str) -> str:
+    return s[:_STR_BOUND_LEN]
+
+
+def _string_upper_bound(s: str) -> Optional[str]:
+    if len(s) <= _STR_BOUND_LEN:
+        return s  # exact
+    t = s[:_STR_BOUND_LEN]
+    # bump the rightmost character that can be incremented without creating
+    # a surrogate (unencodable in JSON); chars after it are dropped — the
+    # result sorts strictly above every string sharing the original prefix
+    for i in range(len(t) - 1, -1, -1):
+        c = ord(t[i])
+        if c < 0xD7FF:
+            return t[:i] + chr(c + 1)
+    return None  # no representable upper bound: column goes unbounded above
+
+
+def _encode_stat_value(v):
+    """Manifest encoding for a column-stat bound / predicate constant:
+    numbers pass through, datetimes/dates become epoch micros / ordinal
+    days (JSON-safe, order-preserving).  Strings are handled by the
+    caller (they need asymmetric lower/upper truncation).  None = this
+    value cannot be encoded (unknown type) — the column goes unbounded."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.toordinal()
+    return None
+
+
+def _col_bounds(st) -> Optional[Tuple[object, object]]:
+    """Encoded [lo, hi] from one row group's column statistics, or None
+    when the stats are absent/unusable (→ unbounded, never wrong)."""
+    if st is None or not st.has_min_max:
+        return None
+    mn, mx = st.min, st.max
+    if isinstance(mn, bytes) or isinstance(mx, bytes):
+        return None  # binary payloads: not meaningfully orderable here
+    if isinstance(mn, str):
+        hi = _string_upper_bound(mx)
+        if hi is None:
+            return None
+        return (_string_lower_bound(mn), hi)
+    lo, hi = _encode_stat_value(mn), _encode_stat_value(mx)
+    if lo is None or hi is None:
+        return None
+    return (lo, hi)
+
+
+def _footer_stat(
+    path: str, stats_cols: Optional[List[str]] = None
+) -> Tuple[str, Optional[int], Optional[int], int, int, dict]:
+    """(path, khash_min, khash_max, rows, bytes, col_bounds) from one
+    parquet footer — module-level so the distributed path of
+    ``_new_file_stats`` ships it to executors without capturing the
+    LakeTable (SparkSession is unpicklable).  ``col_bounds`` maps each
+    requested stats column present in the file to its encoded [lo, hi];
+    a column missing from the map is unbounded (prune-safe): absent from
+    the file (pre-evolution), null-only, or stats unusable."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -1879,7 +2136,23 @@ def _footer_stat(path: str) -> Tuple[str, Optional[int], Optional[int], int, int
                 break
             mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
-    return (path, mn, mx, md.num_rows, os.path.getsize(path))
+    col_bounds: dict = {}
+    for c in stats_cols or []:
+        if c not in names:
+            continue
+        ci = names.index(c)
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            b = _col_bounds(md.row_group(rg).column(ci).statistics)
+            if b is None:
+                ok = False
+                break
+            lo = b[0] if lo is None else min(lo, b[0])
+            hi = b[1] if hi is None else max(hi, b[1])
+        if ok and lo is not None:
+            col_bounds[c] = [lo, hi]
+    return (path, mn, mx, md.num_rows, os.path.getsize(path), col_bounds)
 
 
 def _default_schema() -> T.StructType:
