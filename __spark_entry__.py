@@ -2038,6 +2038,64 @@ FROM winners WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_mutate_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate mutations end-to-end (``delete_where`` /
+    ``update_where`` — the DELETE FROM … WHERE / UPDATE … SET … WHERE lake
+    ops, i.e. GDPR erasure + backfill correction): replay the WAL, then
+    UPDATE every 'signup' row's content to a redaction marker and DELETE
+    every 'view' row, both exactly-once under batch ids.  Candidate files
+    come from the same manifest stats pruning as ``scan``; bounds-excluded
+    files are carried byte-identical.  The oracle applies the equivalent
+    CASE/WHERE over the from-scratch LWW image — the hash match proves the
+    rewrite mutated exactly the matching rows and lost none of the rest."""
+    from valentine_spark.cdc import LakeTable, replay
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(ev)
+    total = ev.count()
+    root = tempfile.mkdtemp(prefix="entry_lake_mut_")
+    lake = LakeTable.create(
+        os.path.join(root, "t"), spark, n_buckets=8,
+        target_file_rows=max(total // 64, 1000), stats_cols=["lang"],
+    )
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
+    lake.update_where(
+        [("lang", "=", "signup")],
+        {"content": F.lit("[redacted]")},
+        batch_id="redact-signup",
+    )
+    lake.delete_where([("lang", "=", "view")], batch_id="erase-view")
+    # exactly-once: duplicate ops must skip
+    assert lake.update_where(
+        [("lang", "=", "signup")], {"content": F.lit("[redacted]")},
+        batch_id="redact-signup",
+    )["skipped"]
+    assert lake.delete_where([("lang", "=", "view")], batch_id="erase-view")["skipped"]
+    return lake.read().select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_MUTATE_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit", lang,
+       sha256(CASE WHEN lang = 'signup' THEN '[redacted]'
+                   ELSE coalesce(content, '') END) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete' AND lang <> 'view'
+"""
+
+
 def cdc_wal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-envelope front door (cdc/wal.py): wrap every event row in a
     Debezium JSON envelope with Spark's own ``to_json`` (props — itself
@@ -2422,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_wal_decode": cdc_wal_decode,
         "cdc_stats_scan": cdc_stats_scan,
+        "cdc_mutate_where": cdc_mutate_where,
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -2495,6 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_drift_automap": _CDC_REPLAY_SQL,
         "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
         "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
+        "cdc_mutate_where": _CDC_MUTATE_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,

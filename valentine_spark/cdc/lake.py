@@ -505,6 +505,8 @@ class LakeTable:
                 kind = "restore"
             elif "rebucket" in e:
                 kind = "rebucket"
+            elif "mutation" in e:
+                kind = e["mutation"]  # "delete" / "update"
             else:
                 kind = "merge"
             rows.append(
@@ -1578,6 +1580,185 @@ class LakeTable:
             new_meta = self._advance_meta(
                 base, new_version, entry, bucket_map, segments,
                 None, None, dirty=d,
+            )
+            return new_meta, segments, entry
+
+        return self._commit_loop(read_meta, build)
+
+    def delete_where(self, where, batch_id: Optional[str] = None) -> dict:
+        """Row-level predicate delete (``DELETE FROM t WHERE …`` — the
+        GDPR-erasure / retention op).  Cost is O(files that can match):
+        candidate files come from the same manifest stats pruning as
+        ``scan``, each candidate is rewritten without its matching rows,
+        and every bounds-excluded file is untouched.  NULL predicate
+        values never delete (SQL semantics: only rows where the predicate
+        is TRUE go).  ``batch_id`` makes the op exactly-once across
+        retries/writers (recorded in the applied set; a duplicate skips).
+
+        Dirty (merge-on-read) buckets resolve fully on the way through and
+        come out clean (same as ``compact``) — a predicate cannot be
+        evaluated against unresolved multi-version state."""
+        return self._mutate_where(where, None, batch_id)
+
+    def update_where(
+        self, where, set_values: Dict[str, object], batch_id: Optional[str] = None
+    ) -> dict:
+        """Row-level predicate update (``UPDATE t SET … WHERE …``).
+        ``set_values`` maps non-key columns to literals or Column
+        expressions (evaluated against the row, so ``{"lang":
+        F.upper("lang")}`` works).  Key columns are rejected — changing a
+        key is a delete+insert (it moves the row's bucket and khash), use
+        ``merge`` for that.  Pruning, NULL semantics, exactly-once and
+        dirty-bucket handling as in ``delete_where``."""
+        if not set_values:
+            raise ValueError("update_where requires at least one SET column")
+        return self._mutate_where(where, dict(set_values), batch_id)
+
+    def _mutate_where(
+        self, where, set_values: Optional[Dict[str, object]], batch_id: Optional[str]
+    ) -> dict:
+        last: Optional[CommitConflictError] = None
+        for _ in range(_BODY_ATTEMPTS):
+            try:
+                return self._mutate_once(where, set_values, batch_id)
+            except CommitConflictError as e:
+                _bump("body_retries")
+                last = e
+        raise last
+
+    def _mutate_once(
+        self, where, set_values: Optional[Dict[str, object]], batch_id: Optional[str]
+    ) -> dict:
+        meta = self.metadata()
+        if batch_id is not None and self.is_applied(batch_id, meta):
+            return {"batch_id": batch_id, "skipped": True, "version": meta["version"]}
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        preds = self._scan_predicates(schema, where)
+        if not preds:
+            raise ValueError("a predicate mutation requires at least one predicate")
+        names = {f.name for f in schema.fields}
+        for c in set_values or {}:
+            if c in KEY_COLS:
+                raise ValueError(
+                    f"cannot SET key column {c!r}: a key change is a delete+insert (use merge)"
+                )
+            if c not in names:
+                raise KeyError(f"SET column {c!r} not in table schema {sorted(names)}")
+        files = self._bucket_files(meta)
+        dirty = meta.get("dirty", {})
+        # plan: dirty buckets resolve fully; clean buckets rewrite only the
+        # files whose stats bounds can match, carrying the rest untouched
+        rewrite_paths: List[str] = []
+        mor_data: List[Tuple[str, int]] = []
+        mor_tombs: List[Tuple[str, int]] = []
+        carry: Dict[int, List[dict]] = {}
+        touched: List[int] = []
+        for b, entries in files.items():
+            if str(b) in dirty:
+                touched.append(b)
+                for e in entries:
+                    (mor_tombs if e.get("kind") == "tomb" else mor_data).append(
+                        (e["path"], _entry_seq(e))
+                    )
+            else:
+                cand = [
+                    e for e in entries
+                    if e.get("kind") != "tomb" and _file_may_match(e.get("cols"), preds)
+                ]
+                if cand:
+                    touched.append(b)
+                    rewrite_paths.extend(e["path"] for e in cand)
+                    keep = [e for e in entries if e not in cand]
+                    carry[b] = keep
+        op_name = "update" if set_values else "delete"
+        if not touched and batch_id is None:
+            return {"mutation": op_name, "rows_matched": 0, "files_rewritten": 0,
+                    "skipped": False, "version": meta["version"]}
+
+        parts: List[DataFrame] = []
+        if rewrite_paths:
+            parts.append(self._read_files(rewrite_paths, schema, meta["n_buckets"]))
+        if mor_data or mor_tombs:
+            parts.append(self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"]))
+        new_files: Dict[int, List[dict]] = {}
+        matched = 0
+        rel_dir = os.path.join("data", f"c-{_uid()}")
+        if parts:
+            df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            resid = None
+            for col, op, val in preds:
+                c = _PRED_EXPRS[op](F.col(col), F.lit(val))
+                resid = c if resid is None else (resid & c)
+            hit = F.coalesce(resid, F.lit(False))  # NULL predicate = not matched
+            matched = df.where(hit).count()
+            if set_values:
+                # ONE projection so every SET expression and the predicate
+                # see the ORIGINAL row (SQL UPDATE semantics) — sequential
+                # withColumn would let an earlier SET rewrite the predicate
+                # column out from under the later ones
+                proj = []
+                for name in df.columns:
+                    if name in set_values:
+                        v = set_values[name]
+                        newv = v if hasattr(v, "cast") else F.lit(v)
+                        proj.append(
+                            F.when(hit, newv.cast(schema[name].dataType))
+                            .otherwise(F.col(name))
+                            .alias(name)
+                        )
+                    else:
+                        proj.append(F.col(name))
+                out = df.select(*proj)
+            else:
+                out = df.where(~hit)
+            out_dir = os.path.join(self.root, rel_dir)
+            (
+                out.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                .sortWithinPartitions(BUCKET_COL, KHASH_COL)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+                .partitionBy(BUCKET_COL)
+                .parquet(out_dir)
+            )
+            new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
+        read_meta = meta
+        entry_base = {
+            "mutation": op_name,
+            "predicates": [[c, o, repr(v)] for c, o, v in preds],
+            "rows_matched": matched,
+            "files_rewritten": len(rewrite_paths) + len(mor_data),
+        }
+        if set_values:
+            entry_base["set_columns"] = sorted(set_values)
+
+        def build(base: dict):
+            if base is not read_meta:
+                self._validate_base(read_meta, base, sorted(touched), batch_id)
+            new_version = base["version"] + 1
+            entry = {**entry_base, "version": new_version}
+            if batch_id is not None:
+                entry["batch_id"] = batch_id
+            bucket_map = dict(base["buckets"])
+            d = dict(base.get("dirty", {}))
+            manifest_buckets: Dict[str, List[dict]] = {}
+            for b in touched:
+                d.pop(str(b), None)  # resolved buckets are single-version now
+                entries = list(carry.get(b, [])) + [
+                    {**e, "seq": new_version} for e in new_files.get(b, [])
+                ]
+                if entries:
+                    manifest_buckets[str(b)] = entries
+                else:  # every row of the bucket was deleted
+                    bucket_map.pop(str(b), None)
+            segments: List[Tuple[str, dict]] = []
+            if manifest_buckets:
+                manifest_rel = f"metadata/m-{new_version}-{_uid()}.json"
+                for b in manifest_buckets:
+                    bucket_map[b] = manifest_rel
+                segments.append((manifest_rel, {"buckets": manifest_buckets}))
+            new_meta = self._advance_meta(
+                base, new_version, entry, bucket_map, segments,
+                None, batch_id, dirty=d,
             )
             return new_meta, segments, entry
 
