@@ -2096,6 +2096,116 @@ FROM winners WHERE rn = 1 AND op <> 'delete' AND lang <> 'view'
 """
 
 
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General conditional MERGE INTO (cdc/merge_into.py — the Delta/
+    Iceberg ``MERGE INTO`` analogue): replay the WAL, then merge a derived
+    source with a three-clause cascade —
+      WHEN MATCHED AND t.lang = 'click' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET lang='patched', content='P:'||t.lang
+      WHEN NOT MATCHED THEN INSERT (lang='new', content=s.content)
+    The UPDATE's content expression reads the ORIGINAL target row while
+    the same projection overwrites lang — the single-projection (not
+    sequential-withColumn) semantics the builder guarantees.  The source
+    holds keys that exist live, keys whose last WAL op was a delete
+    (exercising insert-after-delete), and brand-new keys.  The oracle
+    replays the identical cascade as a FULL OUTER JOIN + CASE over the
+    from-scratch LWW image.  Target files are pruned to the source's
+    khash ranges (same two-phase machinery as the CDC merge)."""
+    from valentine_spark.cdc import LakeTable, replay
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(ev)
+    total = ev.count()
+    root = tempfile.mkdtemp(prefix="entry_lake_mi_")
+    lake = LakeTable.create(
+        os.path.join(root, "t"), spark, n_buckets=8,
+        target_file_rows=max(total // 64, 1000),
+    )
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
+    matched_src = (
+        ev.where(F.col("user_id") % 7 == 0).select("user_id").distinct()
+        .select(
+            F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13))).alias("repo"),
+            F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+            F.lit("head").alias("commit"),
+            F.lit("seed").alias("content"),
+        )
+    )
+    new_src = (
+        ev.where(F.col("user_id") % 5 == 0).select("user_id").distinct()
+        .select(
+            F.lit("rNEW").alias("repo"),
+            F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+            F.lit("head").alias("commit"),
+            F.lit("seed").alias("content"),
+        )
+    )
+    res = (
+        lake.merge_into(matched_src.unionByName(new_src))
+        .when_matched_delete(condition=F.col("t.lang") == F.lit("click"))
+        .when_matched_update({
+            "lang": F.lit("patched"),
+            "content": F.concat(F.lit("P:"), F.coalesce(F.col("t.lang"), F.lit(""))),
+        })
+        .when_not_matched_insert(values={"lang": F.lit("new")})
+        .execute(batch_id="mi-1")
+    )
+    assert res["rows_inserted"] > 0 and res["rows_updated"] > 0
+    # exactly-once: the duplicate op must skip
+    assert (
+        lake.merge_into(matched_src.unionByName(new_src))
+        .when_not_matched_insert()
+        .execute(batch_id="mi-1")["skipped"]
+    )
+    return lake.read().select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_MERGE_INTO_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+), lww AS (
+  SELECT repo, path, "commit", lang, content
+  FROM winners WHERE rn = 1 AND op <> 'delete'
+), src AS (
+  SELECT 'r' || (user_id % 13) AS repo, 'p' || user_id AS path,
+         'head' AS "commit", 'seed' AS content
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
+  UNION ALL
+  SELECT 'rNEW', 'p' || user_id, 'head', 'seed'
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 0)
+), merged AS (
+  SELECT coalesce(t.repo, s.repo) AS repo,
+         coalesce(t.path, s.path) AS path,
+         coalesce(t."commit", s."commit") AS "commit",
+         CASE WHEN t.repo IS NOT NULL AND s.repo IS NOT NULL THEN 'patched'
+              WHEN t.repo IS NULL THEN 'new'
+              ELSE t.lang END AS lang,
+         CASE WHEN t.repo IS NOT NULL AND s.repo IS NOT NULL
+                THEN 'P:' || coalesce(t.lang, '')
+              WHEN t.repo IS NULL THEN s.content
+              ELSE t.content END AS content,
+         (t.repo IS NOT NULL AND s.repo IS NOT NULL AND t.lang = 'click')
+           AS deleted
+  FROM lww t FULL OUTER JOIN src s
+    ON t.repo = s.repo AND t.path = s.path AND t."commit" = s."commit"
+)
+SELECT repo, path, "commit", lang,
+       sha256(coalesce(content, '')) AS content_sha
+FROM merged WHERE NOT deleted
+"""
+
+
 def cdc_wal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-envelope front door (cdc/wal.py): wrap every event row in a
     Debezium JSON envelope with Spark's own ``to_json`` (props — itself
@@ -2481,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal_decode": cdc_wal_decode,
         "cdc_stats_scan": cdc_stats_scan,
         "cdc_mutate_where": cdc_mutate_where,
+        "cdc_merge_into": cdc_merge_into,
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -2555,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
         "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
         "cdc_mutate_where": _CDC_MUTATE_SQL,
+        "cdc_merge_into": _CDC_MERGE_INTO_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,

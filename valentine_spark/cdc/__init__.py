@@ -23,6 +23,7 @@ from .follow import (
 from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
 from .lake import CommitConflictError, LakeTable, bucket_expr
+from .merge_into import MergeCardinalityError, MergeIntoBuilder
 from .wal import (
     DecodedStream,
     debezium_envelope_schema,
@@ -35,6 +36,8 @@ from .wal import (
 __all__ = [
     "LakeTable",
     "CommitConflictError",
+    "MergeIntoBuilder",
+    "MergeCardinalityError",
     "bucket_expr",
     "apply_batch",
     "replay",

@@ -1764,6 +1764,26 @@ class LakeTable:
 
         return self._commit_loop(read_meta, build)
 
+    def merge_into(self, source: DataFrame) -> "MergeIntoBuilder":
+        """General conditional MERGE (the Delta/Iceberg ``MERGE INTO``
+        analogue): returns a fluent builder —
+
+            (lake.merge_into(source)
+                 .when_matched_update({"lang": F.col("s.lang")})
+                 .when_matched_delete(condition=F.col("s.op") == "erase")
+                 .when_not_matched_insert()
+                 .execute(batch_id="b42"))
+
+        Conditions and SET/INSERT values are Column expressions over the
+        aliases ``t`` (target row) and ``s`` (source row).  Without
+        by-source clauses the target side is pruned to the files that can
+        contain a source key (same two-phase machinery as ``merge``);
+        ``when_not_matched_by_source_*`` forces the documented full-table
+        scan.  See ``cdc/merge_into.py`` for the full semantics contract."""
+        from .merge_into import MergeIntoBuilder
+
+        return MergeIntoBuilder(self, source)
+
     def rebucket(self, new_n_buckets: int, note: Optional[str] = None) -> dict:
         """Bucket-layout evolution (the Iceberg partition-evolution analogue
         for hash buckets): rewrite the table's CURRENT state into
