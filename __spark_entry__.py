@@ -2206,6 +2206,65 @@ FROM merged WHERE NOT deleted
 """
 
 
+def cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-column schema evolution WITHOUT data rewrite (cdc/lake.py
+    ``rename_column`` — the Iceberg field-id rename analogue): replay the
+    first half of the WAL, rename ``lang`` -> ``language`` (metadata-only:
+    zero files rewritten, asserted in-query), then replay the second half
+    under the NEW name.  The final read spans files of BOTH schema eras —
+    old files still store the physical column ``lang`` and are mapped to
+    ``language`` by field id at scan time.  The oracle is the plain
+    from-scratch LWW image with ``lang AS language``: a hash match proves
+    the era mapping is exact across the rename boundary."""
+    from valentine_spark.cdc import LakeTable, apply_batch
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(ev)
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_ren_")
+    lake = LakeTable.create(
+        os.path.join(root, "t"), spark, n_buckets=8,
+        target_file_rows=max(total // 64, 1000),
+    )
+    apply_batch(lake, stream.where(F.col("lsn") <= half), "h1")
+    files_before = {
+        e["path"] for es in lake._bucket_files(lake.metadata()).values() for e in es
+    }
+    lake.rename_column("lang", "language")
+    files_after = {
+        e["path"] for es in lake._bucket_files(lake.metadata()).values() for e in es
+    }
+    assert files_after == files_before, "rename must rewrite zero data files"
+    apply_batch(
+        lake,
+        stream.where(F.col("lsn") > half).withColumnRenamed("lang", "language"),
+        "h2",
+    )
+    return lake.read().select(
+        "repo", "path", "commit", "language",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_RENAME_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit", lang AS language,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_wal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-envelope front door (cdc/wal.py): wrap every event row in a
     Debezium JSON envelope with Spark's own ``to_json`` (props — itself
@@ -2592,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats_scan": cdc_stats_scan,
         "cdc_mutate_where": cdc_mutate_where,
         "cdc_merge_into": cdc_merge_into,
+        "cdc_rename_evolution": cdc_rename_evolution,
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -2667,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
         "cdc_mutate_where": _CDC_MUTATE_SQL,
         "cdc_merge_into": _CDC_MERGE_INTO_SQL,
+        "cdc_rename_evolution": _CDC_RENAME_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,

@@ -224,6 +224,50 @@ def _uid() -> str:
     return uuid.uuid4().hex[:12]
 
 
+def _field_meta(meta: dict) -> Tuple[Dict[str, int], List[list]]:
+    """Field-id metadata for rename/drop schema evolution (the Iceberg
+    field-id analogue): ``(field_ids, schema_log)``.
+
+    ``field_ids``: CURRENT column name -> stable integer id (assigned at
+    create / evolve time, never reused).  ``schema_log``: ordered list of
+    ``[version, {id_str: physical_name}]`` eras — the names each live field
+    id was WRITTEN UNDER for files committed at seq >= that version (until
+    the next era).  Tables predating the feature synthesize the trivial
+    one-era log positionally; additive-only histories keep positional ids
+    consistent because adds append."""
+    schema = json.loads(meta["schema"])
+    names = [f["name"] for f in schema["fields"]]
+    fids = meta.get("field_ids") or {n: i for i, n in enumerate(names)}
+    log = meta.get("schema_log") or [[0, {str(fids[n]): n for n in names}]]
+    return fids, log
+
+
+def _era_names(log: List[list], seq: int) -> Dict[str, str]:
+    """id_str -> physical column name for a file committed at ``seq``."""
+    cur = log[0][1]
+    for v, names in log:
+        if v <= seq:
+            cur = names
+        else:
+            break
+    return cur
+
+
+def _era_colmap(
+    fids: Dict[str, int], log: List[list], seq: int
+) -> Optional[Dict[str, Optional[str]]]:
+    """CURRENT name -> physical name in the file's era (None when the field
+    id did not exist yet — e.g. a column added, or dropped-then-readded
+    under a fresh id, after the file was written; reading the same-named
+    stale physical data would resurrect it).  Returns None for the identity
+    mapping (fast path)."""
+    era = _era_names(log, seq)
+    m = {cur: era.get(str(i)) for cur, i in fids.items()}
+    if all(phys == cur for cur, phys in m.items()):
+        return None
+    return m
+
+
 def _entry_seq(e: dict) -> int:
     """Commit sequence number of a manifest entry — the MoR resolution
     order.  Stamped at commit install time (``seq``); legacy entries fall
@@ -499,6 +543,10 @@ class LakeTable:
         for e in self.lineage():
             if "schema_evolution" in e:
                 kind = "schema_evolution"
+            elif "rename_column" in e:
+                kind = "rename_column"
+            elif "drop_column" in e:
+                kind = "drop_column"
             elif "compaction" in e:
                 kind = "compaction"
             elif "restore" in e:
@@ -568,7 +616,13 @@ class LakeTable:
 
     # -- reads -----------------------------------------------------------
 
-    def _read_files(self, paths: List[str], schema: T.StructType, n_buckets: int) -> DataFrame:
+    def _read_files(
+        self,
+        paths: List,
+        schema: T.StructType,
+        n_buckets: int,
+        meta: Optional[dict] = None,
+    ) -> DataFrame:
         # Explicit read schema (never inferred): files written before a
         # schema evolution lack the evolved columns and must serve nulls for
         # them — parquet inference samples ONE file's footer and could pick a
@@ -577,16 +631,76 @@ class LakeTable:
         # recursiveFileLookup disables partition discovery (the data/v{N}/
         # level above the _bucket= dirs is not key=value and trips it);
         # _bucket is recomputed instead — it is a pure function of the key.
-        read_schema = T.StructType(
-            list(schema.fields) + [T.StructField(KHASH_COL, T.LongType())]
-        )
+        #
+        # ``paths`` elements are plain path strings or ``(path, seq)``
+        # pairs.  When ``meta`` carries a multi-era ``schema_log`` (a
+        # rename/drop happened), files group by the era their seq falls in
+        # and each group reads under its PHYSICAL column names, projected
+        # to the current names by field id — rename/drop never rewrites
+        # data (the Iceberg field-id read mapping).  Single-era tables take
+        # the one-scan fast path below, byte-identical to the pre-feature
+        # behavior.
+        pairs = [(p, None) if isinstance(p, str) else (p[0], p[1]) for p in paths]
+        log = (meta or {}).get("schema_log")
+        if log and len(log) > 1:
+            fids, log = _field_meta(meta)
+            groups: Dict[int, Tuple[Optional[dict], List[str]]] = {}
+            for p, s in pairs:
+                seq = int(s) if s is not None else meta["version"]
+                era_idx = 0
+                for i, (v, _) in enumerate(log):
+                    if v <= seq:
+                        era_idx = i
+                if era_idx not in groups:
+                    groups[era_idx] = (
+                        _era_colmap(fids, log, log[era_idx][0]),
+                        [],
+                    )
+                groups[era_idx][1].append(p)
+            parts = [
+                self._read_files_era(ps, schema, n_buckets, colmap)
+                for _, (colmap, ps) in sorted(groups.items())
+            ]
+            from functools import reduce
+
+            return reduce(lambda a, b: a.unionByName(b), parts)
+        return self._read_files_era([p for p, _ in pairs], schema, n_buckets, None)
+
+    def _read_files_era(
+        self,
+        paths: List[str],
+        schema: T.StructType,
+        n_buckets: int,
+        colmap: Optional[Dict[str, Optional[str]]],
+    ) -> DataFrame:
+        """One-era scan: read under the era's physical names, project to
+        the current schema (``colmap``: current -> physical | None-for-NULL;
+        None colmap = identity)."""
+        if colmap is None:
+            read_fields = list(schema.fields)
+            proj = [F.col(f.name) for f in schema.fields]
+        else:
+            read_fields = [
+                T.StructField(colmap[f.name], f.dataType)
+                for f in schema.fields
+                if colmap[f.name] is not None
+            ]
+            proj = [
+                (
+                    F.col(colmap[f.name])
+                    if colmap[f.name] is not None
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        read_schema = T.StructType(read_fields + [T.StructField(KHASH_COL, T.LongType())])
         df = self.spark.read.schema(read_schema).option(
             "recursiveFileLookup", "true"
         ).parquet(*[os.path.join(self.root, p) for p in paths])
         return df.select(
-            *[f.name for f in schema.fields],
+            *proj,
             bucket_expr(n_buckets).alias(BUCKET_COL),
-            KHASH_COL,
+            F.col(KHASH_COL),
         )
 
     def read(self, version: Optional[int] = None, buckets: Optional[List[int]] = None) -> DataFrame:
@@ -613,12 +727,16 @@ class LakeTable:
             else:
                 # a tombstone in a CLEAN bucket can only name keys that were
                 # never present (delete of a non-existent key) — skip it
-                clean_paths.extend(e["path"] for e in entries if e.get("kind") != "tomb")
+                clean_paths.extend(
+                    (e["path"], _entry_seq(e)) for e in entries if e.get("kind") != "tomb"
+                )
         parts: List[DataFrame] = []
         if clean_paths:
-            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"]))
+            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"], meta=meta))
         if mor_data or mor_tombs:
-            parts.append(self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"]))
+            parts.append(
+                self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"], meta=meta)
+            )
         if not parts:
             with_bucket = T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.LongType())])
             return self.spark.createDataFrame([], with_bucket)
@@ -664,7 +782,7 @@ class LakeTable:
                         kept += 1
                 elif not is_tomb:
                     if _file_may_match(e.get("cols"), preds):
-                        clean_paths.append(e["path"])
+                        clean_paths.append((e["path"], _entry_seq(e)))
                         kept += 1
         return clean_paths, mor_data, mor_tombs, kept, total
 
@@ -701,9 +819,11 @@ class LakeTable:
         clean_paths, mor_data, mor_tombs, _, _ = self._prune_for_scan(meta, preds, buckets)
         parts: List[DataFrame] = []
         if clean_paths:
-            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"]))
+            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"], meta=meta))
         if mor_data or mor_tombs:
-            parts.append(self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"]))
+            parts.append(
+                self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"], meta=meta)
+            )
         if not parts:
             return self.spark.createDataFrame([], schema)
         df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
@@ -731,6 +851,7 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int,
         khash_in: Optional[List[int]] = None,
+        meta: Optional[dict] = None,
     ) -> DataFrame:
         """Merge-on-read resolution: the per-key winner across all live file
         versions.  Both inputs are ``(path, seq)`` pairs — ``seq`` is the
@@ -753,7 +874,7 @@ class LakeTable:
             by_seq.setdefault(s, []).append(p)
         for s, paths in sorted(by_seq.items()):
             parts.append(
-                self._read_files(paths, schema, n_buckets)
+                self._read_files([(p, s) for p in paths], schema, n_buckets, meta=meta)
                 .withColumn("_v", F.lit(s).cast("long"))
                 .withColumn("_live", F.lit(1))
             )
@@ -1125,7 +1246,10 @@ class LakeTable:
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
             upsert_part = upserts.select(*schema_cols, BUCKET_COL, KHASH_COL)
             if rewrite:
-                current = self._read_files([e["path"] for _, e in rewrite], schema, n_buckets)
+                current = self._read_files(
+                    [(e["path"], _entry_seq(e)) for _, e in rewrite],
+                    schema, n_buckets, meta=meta,
+                )
                 # co-partitioned anti-join: survivors = rows of rewritten
                 # files whose key is NOT touched by this batch
                 survivors = current.join(
@@ -1444,9 +1568,121 @@ class LakeTable:
                 None, None, dirty=base.get("dirty", {}),
             )
             new_meta["schema"] = T.StructType(list(schema.fields) + added).json()
+            # field-id bookkeeping: added columns get FRESH never-reused ids
+            # (a re-add after drop_column must NOT resurrect the old files'
+            # same-named physical data — see _era_colmap); only materialized
+            # when a rename/drop already happened (legacy additive tables
+            # keep the synthesized positional ids, which stay consistent
+            # because adds append)
+            if base.get("field_ids") is not None:
+                fids, log = _field_meta(base)
+                next_id = max(fids.values(), default=-1) + 1
+                for f in added:
+                    fids[f.name] = next_id
+                    next_id += 1
+                new_meta["field_ids"] = fids
+                new_meta["schema_log"] = log + [
+                    [new_version, {str(i): n for n, i in fids.items()}]
+                ]
             return new_meta, segments, entry
 
         self._commit_loop(self.metadata(), build)
+
+    def rename_column(self, old: str, new: str, note: Optional[str] = None) -> dict:
+        """Rename a column WITHOUT rewriting any data file (the Iceberg
+        field-id rename analogue): a metadata-only commit records the new
+        name against the column's stable field id and appends a schema-log
+        era; reads map each file's physical column names to the current
+        schema by the era its commit seq falls in (``_read_files``).  Key
+        columns are not renamable — the key contract (``KEY_COLS``) is the
+        engine-wide join/bucket/khash vocabulary.  ``stats_cols`` follow the
+        rename (older manifests' bounds stay keyed by the old name and
+        simply stop pruning — unbounded is always sound; ``compact()``
+        refreshes them).  Concurrent writers rebase-fail on the schema
+        change and re-run their bodies against the new names."""
+        if old in KEY_COLS or new in KEY_COLS:
+            raise ValueError(f"key columns {KEY_COLS} cannot be renamed")
+        if new in (BUCKET_COL, KHASH_COL):
+            raise ValueError(f"{new!r} is a reserved internal column name")
+
+        def build(base: dict):
+            schema = T.StructType.fromJson(json.loads(base["schema"]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise KeyError(f"column {old!r} not in table schema {names}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists in {names}")
+            fids, log = _field_meta(base)
+            new_version = base["version"] + 1
+            fids = {(new if n == old else n): i for n, i in fids.items()}
+            new_schema = T.StructType(
+                [
+                    T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            entry = {
+                "rename_column": [old, new],
+                "note": note,
+                "version": new_version,
+            }
+            segments: List[Tuple[str, dict]] = []
+            new_meta = self._advance_meta(
+                base, new_version, entry, dict(base["buckets"]), segments,
+                None, None, dirty=base.get("dirty", {}),
+            )
+            new_meta["schema"] = new_schema.json()
+            new_meta["field_ids"] = fids
+            new_meta["schema_log"] = log + [
+                [new_version, {str(i): n for n, i in fids.items()}]
+            ]
+            if base.get("stats_cols"):
+                new_meta["stats_cols"] = [
+                    new if c == old else c for c in base["stats_cols"]
+                ]
+            return new_meta, segments, entry
+
+        return self._commit_loop(self.metadata(), build)
+
+    def drop_column(self, name: str, note: Optional[str] = None) -> dict:
+        """Drop a column WITHOUT rewriting any data file: metadata-only —
+        the field id leaves the current schema and the new schema-log era,
+        so era-mapped reads stop projecting it (old files keep the physical
+        bytes until rewritten by compaction/merge; ``expire_snapshots``
+        never sees them as waste because the files are still live).  A
+        LATER ``evolve_schema`` re-adding the same name gets a FRESH field
+        id, so the dropped files' stale same-named data can never
+        resurrect.  Key columns cannot be dropped."""
+        if name in KEY_COLS:
+            raise ValueError(f"key columns {KEY_COLS} cannot be dropped")
+
+        def build(base: dict):
+            schema = T.StructType.fromJson(json.loads(base["schema"]))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise KeyError(f"column {name!r} not in table schema {names}")
+            if len(names) <= len(KEY_COLS) + 1:
+                raise ValueError("cannot drop the last non-key column")
+            fids, log = _field_meta(base)
+            new_version = base["version"] + 1
+            fids = {n: i for n, i in fids.items() if n != name}
+            new_schema = T.StructType([f for f in schema.fields if f.name != name])
+            entry = {"drop_column": name, "note": note, "version": new_version}
+            segments: List[Tuple[str, dict]] = []
+            new_meta = self._advance_meta(
+                base, new_version, entry, dict(base["buckets"]), segments,
+                None, None, dirty=base.get("dirty", {}),
+            )
+            new_meta["schema"] = new_schema.json()
+            new_meta["field_ids"] = fids
+            new_meta["schema_log"] = log + [
+                [new_version, {str(i): n for n, i in fids.items()}]
+            ]
+            if base.get("stats_cols"):
+                new_meta["stats_cols"] = [c for c in base["stats_cols"] if c != name]
+            return new_meta, segments, entry
+
+        return self._commit_loop(self.metadata(), build)
 
     # -- maintenance ------------------------------------------------------
 
@@ -1513,7 +1749,7 @@ class LakeTable:
         # (deletes of never-present keys); reading one with the data schema
         # would resurrect those keys as null-payload rows
         clean_paths = [
-            e["path"]
+            (e["path"], _entry_seq(e))
             for b, es in todo.items()
             if str(b) not in dirty
             for e in es
@@ -1529,10 +1765,10 @@ class LakeTable:
         ]
         parts: List[DataFrame] = []
         if clean_paths:
-            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"]))
+            parts.append(self._read_files(clean_paths, schema, meta["n_buckets"], meta=meta))
         if mor_data or mor_tombs:
             parts.append(
-                self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"])
+                self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"], meta=meta)
             )
         df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         known = {f.name for f in schema.fields}
@@ -1667,7 +1903,7 @@ class LakeTable:
                 ]
                 if cand:
                     touched.append(b)
-                    rewrite_paths.extend(e["path"] for e in cand)
+                    rewrite_paths.extend((e["path"], _entry_seq(e)) for e in cand)
                     keep = [e for e in entries if e not in cand]
                     carry[b] = keep
         op_name = "update" if set_values else "delete"
@@ -1677,9 +1913,11 @@ class LakeTable:
 
         parts: List[DataFrame] = []
         if rewrite_paths:
-            parts.append(self._read_files(rewrite_paths, schema, meta["n_buckets"]))
+            parts.append(self._read_files(rewrite_paths, schema, meta["n_buckets"], meta=meta))
         if mor_data or mor_tombs:
-            parts.append(self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"]))
+            parts.append(
+                self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"], meta=meta)
+            )
         new_files: Dict[int, List[dict]] = {}
         matched = 0
         rel_dir = os.path.join("data", f"c-{_uid()}")
@@ -1834,7 +2072,7 @@ class LakeTable:
         files = self._bucket_files(meta, None)
         dirty = meta.get("dirty", {})
         clean_paths = [
-            e["path"] for b, es in files.items() if str(b) not in dirty
+            (e["path"], _entry_seq(e)) for b, es in files.items() if str(b) not in dirty
             for e in es if e.get("kind") != "tomb"
         ]
         mor_data = [
@@ -1848,10 +2086,10 @@ class LakeTable:
         parts: List[DataFrame] = []
         if clean_paths:
             # note new_n_buckets: rows are labeled in the NEW layout
-            parts.append(self._read_files(clean_paths, schema, new_n_buckets))
+            parts.append(self._read_files(clean_paths, schema, new_n_buckets, meta=meta))
         if mor_data or mor_tombs:
             parts.append(
-                self._resolved_files(mor_data, mor_tombs, schema, new_n_buckets)
+                self._resolved_files(mor_data, mor_tombs, schema, new_n_buckets, meta=meta)
             )
         new_files: Dict[int, List[dict]] = {}
         if parts:
@@ -2122,15 +2360,30 @@ class LakeTable:
         )
         nonkey = [f.name for f in schema.fields if f.name not in KEY_COLS]
 
-        def _aligned(version: int) -> DataFrame:
-            df = self.read(version=version, buckets=buckets).drop(BUCKET_COL)
-            for f in schema.fields:
-                if f.name not in df.columns:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            return df.select(*[f.name for f in schema.fields])
+        fids_to, _ = _field_meta(meta_to)
 
-        old = _aligned(meta_from["version"])
-        new = _aligned(meta_to["version"])
+        def _aligned(meta_v: dict) -> DataFrame:
+            # field-id alignment: a column RENAMED inside the window maps
+            # from-side values to the to-side name (no spurious updates);
+            # columns added inside the window read NULL on the from side;
+            # columns dropped inside the window leave the diff entirely
+            fids_v, _ = _field_meta(meta_v)
+            by_id = {i: n for n, i in fids_v.items()}
+            df = self.read(version=meta_v["version"], buckets=buckets).drop(BUCKET_COL)
+            sel = []
+            for f in schema.fields:
+                src = by_id.get(fids_to[f.name])
+                sel.append(
+                    (
+                        F.col(src)
+                        if src is not None and src in df.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                )
+            return df.select(*sel)
+
+        old = _aligned(meta_from)
+        new = _aligned(meta_to)
         # null-collision-free fingerprint: hash each value alongside an
         # explicit is-null flag — a literal "\x00" string value and NULL
         # must NOT collide (a NULL<->sentinel update would silently vanish
@@ -2204,7 +2457,7 @@ class LakeTable:
                         (e["path"], _entry_seq(e))
                     )
                 elif e.get("kind") != "tomb":
-                    clean_paths.append(e["path"])
+                    clean_paths.append((e["path"], _entry_seq(e)))
         # khash IN-filter: files are khash-sorted, so this pushes down to
         # parquet row-group stats and skips pages inside the kept files too
         all_hs = sorted({h for hs in by_bucket.values() for h in hs})
@@ -2212,12 +2465,12 @@ class LakeTable:
         parts: List[DataFrame] = []
         if clean_paths:
             parts.append(
-                self._read_files(clean_paths, schema, n_buckets).where(hfilter)
+                self._read_files(clean_paths, schema, n_buckets, meta=meta).where(hfilter)
             )
         if mor_data or mor_tombs:
             parts.append(
                 self._resolved_files(
-                    mor_data, mor_tombs, schema, n_buckets, khash_in=all_hs
+                    mor_data, mor_tombs, schema, n_buckets, khash_in=all_hs, meta=meta
                 )
             )
         if not parts:

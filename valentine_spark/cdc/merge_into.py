@@ -232,7 +232,9 @@ class MergeIntoBuilder:
                         )
                 else:
                     rewrite_paths.extend(
-                        e["path"] for e in entries if e.get("kind") != "tomb"
+                        (e["path"], _entry_seq(e))
+                        for e in entries
+                        if e.get("kind") != "tomb"
                     )
         else:
             src_bucket_set = set(src_buckets)
@@ -252,7 +254,7 @@ class MergeIntoBuilder:
             for i in sorted(touched_ids):
                 b, e = flat_entries[i]
                 touched.add(b)
-                rewrite_paths.append(e["path"])
+                rewrite_paths.append((e["path"], _entry_seq(e)))
             for b in touched:  # carried = the bucket's untouched entries
                 keep = [
                     e
@@ -273,9 +275,11 @@ class MergeIntoBuilder:
 
         parts: List[DataFrame] = []
         if rewrite_paths:
-            parts.append(lake._read_files(rewrite_paths, schema, n_buckets))
+            parts.append(lake._read_files(rewrite_paths, schema, n_buckets, meta=meta))
         if mor_data or mor_tombs:
-            parts.append(lake._resolved_files(mor_data, mor_tombs, schema, n_buckets))
+            parts.append(
+                lake._resolved_files(mor_data, mor_tombs, schema, n_buckets, meta=meta)
+            )
         if parts:
             target = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         else:

@@ -146,6 +146,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         # highest offset this reader has emitted or observed (see module
         # docstring, "Admission control"); None until the first call
         self._last_end: Optional[int] = None
+        # field ids of the query-start schema: files written under OLDER
+        # column names (rename_column never rewrites data) map back to the
+        # stream's fixed names by id (see _with_colmaps); same id contract
+        # as LakeTable._read_files
+        from valentine_spark.cdc.lake import _field_meta
+
+        self._fids = _field_meta(_read_meta(self.root))[0]
 
     # -- offsets -----------------------------------------------------------
 
@@ -205,10 +212,10 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             od = nd = False
             for b in members:
                 if b in m0["buckets"]:
-                    old_e.extend(_bucket_entries(self.root, m0, b))
+                    old_e.extend(self._with_colmaps(m0, _bucket_entries(self.root, m0, b)))
                     od = od or b in d0
                 if b in m1["buckets"]:
-                    new_e.extend(_bucket_entries(self.root, m1, b))
+                    new_e.extend(self._with_colmaps(m1, _bucket_entries(self.root, m1, b)))
                     nd = nd or b in d1
             parts.append(
                 BucketDiffPartition(
@@ -221,6 +228,32 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 )
             )
         return parts
+
+    def _with_colmaps(self, meta: dict, entries: List[dict]) -> List[dict]:
+        """Inject a ``_colmap`` (stream name -> physical name | None) into
+        entries whose era's physical column names differ from the stream's
+        fixed query-start names — the driver resolves the schema log once
+        so executors stay metadata-free.  ``None`` forces NULL (the field
+        id did not exist in that era: a dropped-then-readded column's stale
+        same-named bytes must not resurrect)."""
+        log = meta.get("schema_log")
+        if not log or len(log) <= 1:
+            return entries
+        from valentine_spark.cdc.lake import _era_names
+
+        out = []
+        for e in entries:
+            if e.get("kind") == "tomb":
+                out.append(e)
+                continue
+            seq = e.get("seq")
+            if seq is None:
+                m = _VER_RE.search("/" + e["path"])
+                seq = int(m.group(1)) if m else 0
+            era = _era_names(log, int(seq))
+            cm = {name: era.get(str(i)) for name, i in self._fids.items()}
+            out.append(e if all(p == n for n, p in cm.items()) else {**e, "_colmap": cm})
+        return out
 
     # -- execution (executor; no SparkSession, vectorized pyarrow/pandas) ----
 
@@ -291,6 +324,22 @@ def _bucket_state(root: str, entries: List[dict], dirty: bool,
             continue
         tbl = pq.read_table(os.path.join(root, e["path"]))
         pdf = tbl.to_pandas()
+        cm = e.get("_colmap")
+        if cm:
+            # era mapping (rename/drop evolution): one atomic re-projection
+            # physical -> stream names (atomic so swap-renames work and a
+            # dropped-then-readded column's stale same-named bytes never
+            # leak); columns outside the map (_khash bookkeeping) pass through
+            phys_names = {p for p in cm.values() if p}
+            mapped = {
+                cur: pdf[phys]
+                for cur, phys in cm.items()
+                if phys is not None and phys in pdf.columns
+            }
+            passthrough = {
+                c: pdf[c] for c in pdf.columns if c not in cm and c not in phys_names
+            }
+            pdf = pd.DataFrame({**passthrough, **mapped})
         if e.get("seq") is not None:
             # install-time commit sequence number (multi-writer safe)
             pdf["_v"] = int(e["seq"])
