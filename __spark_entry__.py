@@ -2265,6 +2265,45 @@ FROM winners WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via branch refs (cdc/lake.py ``create_branch`` /
+    ``fast_forward`` — the Iceberg branch + WAP analogue): replay the first
+    half of the WAL on main, fork an O(1)-metadata audit branch, ingest the
+    second half ON THE BRANCH (main is asserted byte-unchanged during the
+    audit), validate, then publish with a true fast-forward.  The oracle is
+    the plain full-replay LWW image — a hash match proves the published
+    main state is indistinguishable from having ingested straight through,
+    and the in-query asserts prove isolation + exactly-once carry-through
+    (the branch's batch id skips on main after publish)."""
+    from valentine_spark.cdc import LakeTable, apply_batch
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(ev)
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_wap_")
+    lake = LakeTable.create(
+        os.path.join(root, "t"), spark, n_buckets=8,
+        target_file_rows=max(total // 64, 1000),
+    )
+    apply_batch(lake, stream.where(F.col("lsn") <= half), "h1")
+    v_before, rows_before = lake.version, lake.read().count()
+    wap = lake.create_branch("wap-audit")
+    apply_batch(wap, stream.where(F.col("lsn") > half), "h2")
+    # audit: branch has the data, main is untouched and unaware of h2
+    assert wap.read().count() > 0
+    assert lake.version == v_before and lake.read().count() == rows_before
+    assert not lake.is_applied("h2")
+    lake.fast_forward("wap-audit")
+    assert lake.is_applied("h2")  # exactly-once set published with the branch
+    assert apply_batch(lake, stream.where(F.col("lsn") > half), "h2")["skipped"]
+    lake.delete_branch("wap-audit")
+    return lake.read().select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def cdc_wal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-envelope front door (cdc/wal.py): wrap every event row in a
     Debezium JSON envelope with Spark's own ``to_json`` (props — itself
@@ -2652,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mutate_where": cdc_mutate_where,
         "cdc_merge_into": cdc_merge_into,
         "cdc_rename_evolution": cdc_rename_evolution,
+        "cdc_wap_publish": cdc_wap_publish,
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -2728,6 +2768,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mutate_where": _CDC_MUTATE_SQL,
         "cdc_merge_into": _CDC_MERGE_INTO_SQL,
         "cdc_rename_evolution": _CDC_RENAME_SQL,
+        # published-through-WAP state must equal the straight replay image
+        "cdc_wap_publish": _CDC_REPLAY_SQL,
         "cdc_changelog": _CDC_CHANGELOG_SQL,
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,

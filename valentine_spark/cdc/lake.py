@@ -268,6 +268,17 @@ def _era_colmap(
     return m
 
 
+def _validate_ref_name(name: str) -> None:
+    import re as _re
+
+    if name == "main":
+        raise ValueError("'main' is the default ref, not a branch name")
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+        raise ValueError(
+            f"invalid branch name {name!r} (alnum plus . _ -, max 64 chars)"
+        )
+
+
 def _entry_seq(e: dict) -> int:
     """Commit sequence number of a manifest entry — the MoR resolution
     order.  Stamped at commit install time (``seq``); legacy entries fall
@@ -330,9 +341,10 @@ def _bloom_maybe(bloom: dict, batch_id: str) -> bool:
 
 
 class LakeTable:
-    def __init__(self, root: str, spark: SparkSession):
+    def __init__(self, root: str, spark: SparkSession, ref: str = "main"):
         self.root = root
         self.spark = spark
+        self.ref = ref  # snapshot chain this handle reads/commits ("main" or a branch)
         self._manifest_cache: Dict[str, dict] = {}  # immutable files -> parsed
 
     # -- creation / metadata -------------------------------------------
@@ -383,11 +395,16 @@ class LakeTable:
             raise FileExistsError(f"lake table already exists at {root!r}")
         return table
 
+    def _meta_dir(self) -> str:
+        if self.ref == "main":
+            return os.path.join(self.root, "metadata")
+        return os.path.join(self.root, "metadata", "refs", self.ref)
+
     def _meta_path(self, version: int) -> str:
-        return os.path.join(self.root, "metadata", f"v{version}.json")
+        return os.path.join(self._meta_dir(), f"v{version}.json")
 
     def _current_path(self) -> str:
-        return os.path.join(self.root, "metadata", "CURRENT")
+        return os.path.join(self._meta_dir(), "CURRENT")
 
     def metadata(self, version: Optional[int] = None) -> dict:
         if version is None:
@@ -2230,6 +2247,110 @@ class LakeTable:
 
         return self._commit_loop(self.metadata(), build)
 
+    # -- branches / write-audit-publish -----------------------------------
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a branch at the current snapshot (the Iceberg branch-ref /
+        write-audit-publish analogue): a new snapshot CHAIN under
+        ``metadata/refs/<name>/`` starting from a copy of this ref's head.
+        Data and manifest files are SHARED by relative path (commit-unique
+        names, so writers on different refs never collide); a branch fork
+        is therefore O(1) metadata, zero data copied.
+
+        The WAP flow: ``b = lake.create_branch("wap-42")`` -> ingest +
+        validate against ``b`` (every LakeTable op works on a branch handle)
+        -> ``lake.fast_forward("wap-42")`` to publish, or
+        ``lake.delete_branch("wap-42")`` to abandon.  Until publish, main
+        readers never observe the branch's commits."""
+        _validate_ref_name(name)
+        meta = self.metadata()
+        branch = LakeTable(self.root, self.spark, ref=name)
+        try:
+            os.makedirs(branch._meta_dir())
+        except FileExistsError:
+            raise FileExistsError(f"branch {name!r} already exists at {self.root!r}")
+        bmeta = {**meta, "branch": name, "forked_from": self.ref, "forked_at": meta["version"]}
+        if not branch._try_install_snapshot(bmeta):
+            raise FileExistsError(f"branch {name!r} already exists at {self.root!r}")
+        return branch
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle to an EXISTING branch (same root, different snapshot chain)."""
+        _validate_ref_name(name)
+        b = LakeTable(self.root, self.spark, ref=name)
+        if not os.path.exists(b._current_path()):
+            raise FileNotFoundError(f"no branch {name!r} at {self.root!r}")
+        return b
+
+    def list_branches(self) -> List[dict]:
+        refs_dir = os.path.join(self.root, "metadata", "refs")
+        out = []
+        for name in sorted(os.listdir(refs_dir)) if os.path.isdir(refs_dir) else []:
+            try:
+                m = LakeTable(self.root, self.spark, ref=name).metadata()
+            except FileNotFoundError:
+                continue
+            out.append(
+                {
+                    "name": name,
+                    "version": m["version"],
+                    "forked_from": m.get("forked_from", "main"),
+                    "forked_at": m.get("forked_at"),
+                }
+            )
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        """Drop a branch's snapshot chain (abandon its unpublished commits).
+        Data files only the branch referenced become unreferenced and age
+        out via ``expire_snapshots``."""
+        _validate_ref_name(name)
+        import shutil
+
+        d = LakeTable(self.root, self.spark, ref=name)._meta_dir()
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"no branch {name!r} at {self.root!r}")
+        shutil.rmtree(d)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch: install its commits ``forked_at+1 .. head``
+        onto THIS ref, one put-if-absent snapshot at a time.  True
+        fast-forward only — requires (a) the branch was forked from this
+        ref, and (b) this ref has not advanced past the fork point;
+        otherwise raises ``CommitConflictError`` (the branch's commit seqs
+        would interleave wrongly with the diverged history — re-fork and
+        replay instead, exactly Iceberg's fast-forward contract).  Losing
+        an install race mid-publish leaves this ref on a consistent PREFIX
+        of the branch (every installed snapshot is a real branch snapshot);
+        the error says where it stopped.  The branch chain itself is
+        untouched — delete it after a successful publish."""
+        b = self.branch(name)
+        bmeta = b.metadata()
+        if bmeta.get("forked_from") != self.ref:
+            raise CommitConflictError(
+                f"branch {name!r} was forked from {bmeta.get('forked_from')!r}, "
+                f"not {self.ref!r}"
+            )
+        fork = int(bmeta["forked_at"])
+        cur = self.version
+        if cur != fork:
+            raise CommitConflictError(
+                f"{self.ref!r} advanced to v{cur} past the fork point v{fork}; "
+                f"fast-forward must be conflict-free — re-fork and replay"
+            )
+        published = 0
+        for v in range(fork + 1, bmeta["version"] + 1):
+            m = b.metadata(v)
+            m = {k: x for k, x in m.items() if k not in ("branch", "forked_from", "forked_at")}
+            if not self._try_install_snapshot(m):
+                raise CommitConflictError(
+                    f"lost the install race at v{v} while publishing {name!r}; "
+                    f"{published} of {bmeta['version'] - fork} commits landed "
+                    f"(a consistent branch prefix)"
+                )
+            published += 1
+        return {"branch": name, "published_commits": published, "version": self.version}
+
     def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> dict:
         """Retain the last ``keep_last`` snapshots; delete older snapshot
         JSONs and every data/manifest file no retained snapshot references —
@@ -2251,14 +2372,31 @@ class LakeTable:
                     if os.path.exists(self._meta_path(v))]
         keep_files: set = set()
         keep_meta: set = {f"v{v}.json" for v in retained} | {"CURRENT"}
-        for v in retained:
-            meta = self.metadata(v)
+
+        def _retain(meta: dict) -> None:
             for rel in set(meta["buckets"].values()):
                 keep_meta.add(os.path.basename(rel))
                 for entries in self._read_manifest(rel)["buckets"].values():
                     keep_files.update(e["path"] for e in entries)
             for rel in meta["applied"]["segments"] + meta["lineage_segments"]:
                 keep_meta.add(os.path.basename(rel))
+
+        for v in retained:
+            _retain(self.metadata(v))
+        # every OTHER live ref keeps its head referenced: data/manifest files
+        # are shared across refs, so expiry from any handle must never
+        # delete a file another ref's head still points at.  (Only heads:
+        # a branch's intermediate snapshots lose time travel after a main
+        # expiry — its current state is always intact.  Per-ref retention
+        # policies, as in Iceberg, are the extension point.)
+        other_refs = [r["name"] for r in self.list_branches() if r["name"] != self.ref]
+        if self.ref != "main":
+            other_refs.append("main")
+        for r in other_refs:
+            try:
+                _retain(LakeTable(self.root, self.spark, ref=r).metadata())
+            except FileNotFoundError:
+                continue
         removed_files = removed_bytes = removed_snapshots = 0
         data_root = os.path.join(self.root, "data")
         for path in _glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
@@ -2272,12 +2410,23 @@ class LakeTable:
                         _glob.glob(os.path.join(data_root, "*")), reverse=True):
             if os.path.isdir(d) and not os.listdir(d):
                 os.rmdir(d)
+        # snapshot JSONs (v{N}.json) are PER-REF: only this handle's chain is
+        # eligible; shared manifests/segments live flat under metadata/ and
+        # are cleaned from any handle (keep_meta spans every live ref's head)
         meta_root = os.path.join(self.root, "metadata")
-        for path in _glob.glob(os.path.join(meta_root, "*.json")):
+        shared = _glob.glob(os.path.join(meta_root, "*.json"))
+        own = (
+            _glob.glob(os.path.join(self._meta_dir(), "*.json"))
+            if self.ref != "main"
+            else []
+        )
+        for path in shared + own:
             base = os.path.basename(path)
             if base in keep_meta or os.path.getmtime(path) > cutoff:
                 continue
             if base.startswith("v"):
+                if self.ref != "main" and os.path.dirname(path) == meta_root:
+                    continue  # another ref's snapshot chain is not ours to expire
                 # never delete a snapshot NEWER than the version this expiry
                 # resolved — a concurrent writer may have just installed it
                 try:
