@@ -2247,6 +2247,121 @@ class LakeTable:
 
         return self._commit_loop(self.metadata(), build)
 
+    # -- metadata tables (Iceberg files/snapshots/partitions analogue) ----
+
+    def files(self, version: Optional[int] = None) -> DataFrame:
+        """Metadata table of the snapshot's live files (the Iceberg
+        ``table.files`` analogue): one row per manifest entry — bucket,
+        path, kind (data/tomb), commit seq, rows, bytes, khash range, and
+        the recorded ``stats_cols`` bounds as a ``{col: [lo, hi]}`` map
+        (string-encoded, the manifest representation).  Driver-built from
+        manifests only; no data file is opened."""
+        meta = self.metadata(version)
+        dirty = meta.get("dirty", {})
+        rows = []
+        for b, entries in self._bucket_files(meta).items():
+            for e in entries:
+                bounds = {
+                    c: [str(lo), str(hi)] for c, (lo, hi) in (e.get("cols") or {}).items()
+                }
+                rows.append(
+                    (
+                        b,
+                        e["path"],
+                        e.get("kind", "data"),
+                        _entry_seq(e),
+                        int(e.get("rows", 0)),
+                        int(e.get("bytes", 0)),
+                        int(e.get("min_h", _FULL_RANGE[0])),
+                        int(e.get("max_h", _FULL_RANGE[1])),
+                        str(b) in dirty,
+                        bounds,
+                    )
+                )
+        schema = (
+            "bucket long, path string, kind string, seq long, rows long, "
+            "bytes long, min_khash long, max_khash long, dirty boolean, "
+            "bounds map<string, array<string>>"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots(self) -> DataFrame:
+        """Metadata table of the RETAINED snapshots on this ref (the
+        Iceberg ``table.snapshots`` analogue): version, commit kind +
+        batch id (from the lineage entry where retained), bucket/layout
+        facts, and whether each snapshot is the current head.  Versions
+        expired by ``expire_snapshots`` no longer appear."""
+        import re as _re
+
+        metas = []
+        for p in _glob.glob(os.path.join(self._meta_dir(), "v*.json")):
+            m = _re.fullmatch(r"v(\d+)\.json", os.path.basename(p))
+            if m:
+                metas.append(int(m.group(1)))
+        cur = self.version
+        by_version = {}
+        for e in self.lineage():
+            if "version" in e:
+                by_version[int(e["version"])] = e
+        rows = []
+        for v in sorted(metas):
+            meta = self.metadata(v)
+            e = by_version.get(v, {})
+            if "schema_evolution" in e:
+                kind = "schema_evolution"
+            elif "rename_column" in e:
+                kind = "rename_column"
+            elif "drop_column" in e:
+                kind = "drop_column"
+            elif "compaction" in e:
+                kind = "compaction"
+            elif "restore" in e:
+                kind = "restore"
+            elif "rebucket" in e:
+                kind = "rebucket"
+            elif "mutation" in e:
+                kind = e["mutation"]
+            elif v == 0:
+                kind = "create"
+            else:
+                kind = "merge"
+            rows.append(
+                (
+                    v,
+                    kind,
+                    e.get("batch_id"),
+                    float(e["ts"]) if "ts" in e else None,
+                    meta["n_buckets"],
+                    len(meta["buckets"]),
+                    len(meta.get("dirty", {})),
+                    v == cur,
+                )
+            )
+        schema = (
+            "version long, kind string, batch_id string, committed_at double, "
+            "n_buckets long, live_buckets long, dirty_buckets long, "
+            "is_current boolean"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def partitions(self, version: Optional[int] = None) -> DataFrame:
+        """Metadata table of per-bucket aggregates (the Iceberg
+        ``table.partitions`` analogue): file/row/byte totals and MoR state
+        per hash bucket — the skew/health view a compaction scheduler or
+        operator dashboard reads."""
+        return (
+            self.files(version)
+            .groupBy("bucket", "dirty")
+            .agg(
+                F.count("*").alias("files"),
+                F.sum(F.when(F.col("kind") == "data", F.col("rows")).otherwise(0)).alias("rows"),
+                F.sum("bytes").alias("bytes"),
+                F.sum(F.when(F.col("kind") == "tomb", 1).otherwise(0)).alias("tomb_files"),
+                F.countDistinct("seq").alias("distinct_seqs"),
+            )
+            .orderBy("bucket")
+        )
+
     # -- branches / write-audit-publish -----------------------------------
 
     def create_branch(self, name: str) -> "LakeTable":
