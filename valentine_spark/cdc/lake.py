@@ -268,6 +268,27 @@ def _era_colmap(
     return m
 
 
+def _bloom_opts(meta: dict) -> Dict[str, str]:
+    """Parquet bloom-filter write options for the table's ``bloom_cols``
+    (set at ``create``): every data write emits a per-row-group bloom for
+    those columns, and Spark's parquet reader then skips row groups on
+    equality predicates the min/max bounds can't discriminate — the
+    high-cardinality point-predicate complement to ``stats_cols`` (which
+    prune at FILE grain from the manifest, before listing).  Grain note
+    for 100 TB: blooms act post-listing at row-group grain; manifest-level
+    pruning (khash ranges for keys, stats bounds for clustered columns)
+    remains the listing-cost defense.  Expected NDV is sized to the
+    table's ``target_file_rows`` (a file cannot hold more distinct values
+    than rows) — parquet's default assumes 10^6 NDV and would spend
+    ~1.2 MB of bloom per row group regardless of actual file size."""
+    opts: Dict[str, str] = {}
+    ndv = str(int(meta.get("target_file_rows", 1_000_000)))
+    for c in meta.get("bloom_cols") or []:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = ndv
+    return opts
+
+
 def _validate_ref_name(name: str) -> None:
     import re as _re
 
@@ -359,6 +380,7 @@ class LakeTable:
         target_file_rows: int = 1_000_000,
         write_mode: str = "cow",
         stats_cols: Optional[List[str]] = None,
+        bloom_cols: Optional[List[str]] = None,
     ) -> "LakeTable":
         if schema is not None and not isinstance(schema, T.StructType):
             raise TypeError(
@@ -371,6 +393,9 @@ class LakeTable:
         for c in stats_cols or []:
             if c not in known:
                 raise KeyError(f"stats column {c!r} not in table schema {sorted(known)}")
+        for c in bloom_cols or []:
+            if c not in known:
+                raise KeyError(f"bloom column {c!r} not in table schema {sorted(known)}")
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         table = cls(root, spark)
@@ -390,6 +415,9 @@ class LakeTable:
             # secondary columns whose per-file [lo, hi] bounds commits
             # collect into manifests; scan() prunes on them
             "stats_cols": list(stats_cols or []),
+            # columns every data write emits parquet bloom filters for
+            # (row-group-grain equality skipping; see _bloom_opts)
+            "bloom_cols": list(bloom_cols or []),
         }
         if not table._try_install_snapshot(meta):
             raise FileExistsError(f"lake table already exists at {root!r}")
@@ -1288,6 +1316,8 @@ class LakeTable:
                 .sortWithinPartitions(BUCKET_COL, KHASH_COL)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .options(**_bloom_opts(meta))
+                .options(**_bloom_opts(meta))
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
             )
@@ -1471,6 +1501,7 @@ class LakeTable:
             .sortWithinPartitions(BUCKET_COL, KHASH_COL)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .options(**_bloom_opts(meta))
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
@@ -1657,6 +1688,10 @@ class LakeTable:
                 new_meta["stats_cols"] = [
                     new if c == old else c for c in base["stats_cols"]
                 ]
+            if base.get("bloom_cols"):
+                new_meta["bloom_cols"] = [
+                    new if c == old else c for c in base["bloom_cols"]
+                ]
             return new_meta, segments, entry
 
         return self._commit_loop(self.metadata(), build)
@@ -1697,6 +1732,8 @@ class LakeTable:
             ]
             if base.get("stats_cols"):
                 new_meta["stats_cols"] = [c for c in base["stats_cols"] if c != name]
+            if base.get("bloom_cols"):
+                new_meta["bloom_cols"] = [c for c in base["bloom_cols"] if c != name]
             return new_meta, segments, entry
 
         return self._commit_loop(self.metadata(), build)
@@ -1798,6 +1835,7 @@ class LakeTable:
             .sortWithinPartitions(*order)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .options(**_bloom_opts(meta))
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
@@ -1972,6 +2010,8 @@ class LakeTable:
                 .sortWithinPartitions(BUCKET_COL, KHASH_COL)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .options(**_bloom_opts(meta))
+                .options(**_bloom_opts(meta))
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
             )
@@ -2118,6 +2158,8 @@ class LakeTable:
                 .sortWithinPartitions(BUCKET_COL, KHASH_COL)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .options(**_bloom_opts(meta))
+                .options(**_bloom_opts(meta))
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
             )
@@ -2362,6 +2404,56 @@ class LakeTable:
             .orderBy("bucket")
         )
 
+    # -- tags (immutable named snapshots) ----------------------------------
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.root, "metadata", "tags")
+
+    def create_tag(self, name: str, version: Optional[int] = None) -> dict:
+        """Pin a snapshot under an immutable name (the Iceberg tag
+        analogue — audit marks, release cuts, ML-training data versions).
+        A tagged snapshot and every file it references survive
+        ``expire_snapshots`` until the tag is deleted.  Tags are
+        put-if-absent: re-tagging an existing name raises."""
+        _validate_ref_name(name)
+        v = self.version if version is None else int(version)
+        if not os.path.exists(self._meta_path(v)):
+            raise FileNotFoundError(f"no snapshot v{v} on ref {self.ref!r}")
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        tag = {"name": name, "ref": self.ref, "version": v, "created_at": time.time()}
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(tag, fh)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise FileExistsError(f"tag {name!r} already exists")
+        finally:
+            os.unlink(tmp)
+        return tag
+
+    def tag_version(self, name: str) -> int:
+        """Snapshot version a tag pins (read it via ``read(version=...)``)."""
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no tag {name!r} at {self.root!r}")
+        with open(path) as fh:
+            return int(json.load(fh)["version"])
+
+    def list_tags(self) -> List[dict]:
+        out = []
+        for p in sorted(_glob.glob(os.path.join(self._tags_dir(), "*.json"))):
+            with open(p) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no tag {name!r} at {self.root!r}")
+        os.remove(path)
+
     # -- branches / write-audit-publish -----------------------------------
 
     def create_branch(self, name: str) -> "LakeTable":
@@ -2485,6 +2577,13 @@ class LakeTable:
         cutoff = time.time() - float(min_age_seconds)
         retained = [v for v in range(max(0, current - keep_last + 1), current + 1)
                     if os.path.exists(self._meta_path(v))]
+        # tag-pinned snapshots of THIS ref are retained regardless of age
+        # (delete_tag releases them to the next expiry)
+        for t in self.list_tags():
+            if t.get("ref", "main") == self.ref and t["version"] not in retained:
+                if os.path.exists(self._meta_path(t["version"])):
+                    retained.append(t["version"])
+        retained.sort()
         keep_files: set = set()
         keep_meta: set = {f"v{v}.json" for v in retained} | {"CURRENT"}
 

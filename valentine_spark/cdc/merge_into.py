@@ -304,6 +304,7 @@ class MergeIntoBuilder:
             .sortWithinPartitions(BUCKET_COL, KHASH_COL)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+            .options(**_bloom_opts(meta))
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
