@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "embedding_ivfpq_topk",
     "dedup_ngram_prefix",
     "cdc_wal_decode",
+    "cdc_merge_into",
+    "cdc_wap_publish",
     "cdc_lww_stream",
     "cdc_changelog",
     "cdc_follow_mirror",

@@ -246,3 +246,41 @@ def test_aggressive_expiry_races_lagging_consumer_soak(spark, tmp_path):
         assert dst.state_checksum() == src.state_checksum()
     assert n_resync == 2 and n_incremental == 4  # both paths actually soaked
     assert fol.poll() is None
+
+
+def test_mirror_follows_rename_and_drop(spark, tmp_path):
+    """Source RENAMES a column (and later drops one) mid-stream: the
+    delivery's field-id-resolved schema_changes replay on the mirror as
+    the same metadata-only ops — no spurious added column, no stale
+    orphan values, mirror state row-equal to the source."""
+    stream = synth_change_stream(spark, 2_000, 400, seed=83).cache()
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=2)
+    dst = LakeTable.create(str(tmp_path / "dst"), spark, n_buckets=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    replay(src, stream.where(F.col("lsn") < 1_000), batch_lsns=10_000,
+           batch_id_prefix="h", max_lsn=999)
+    mirror_changes(src, dst, ckpt)
+
+    src.rename_column("lang", "language")
+    tail = stream.where(F.col("lsn") >= 1_000).withColumnRenamed("lang", "language")
+    replay(src, tail, batch_lsns=10_000, batch_id_prefix="t", max_lsn=1_999)
+    mirror_changes(src, dst, ckpt)
+
+    assert [f.name for f in dst.schema.fields] == [f.name for f in src.schema.fields]
+    s = {tuple(r) for r in src.read().drop("_bucket").collect()}
+    d = {tuple(r) for r in dst.read().drop("_bucket").collect()}
+    assert s == d
+    # drop propagation + crash-replay idempotence: the SAME consumer chain
+    # polls the drop window; re-applying the delivery (drop already
+    # performed) is a no-op, not an error
+    fol = ChangelogFollower(src, ckpt, consumer_id="mirror")
+    src.drop_column("language")
+    deliv = fol.poll()
+    assert deliv is not None and deliv.schema_changes == {
+        "renamed": {}, "dropped": ["language"]}
+    apply_delivery(dst, deliv)
+    apply_delivery(dst, deliv)  # replay
+    fol.commit(deliv)
+    assert [f.name for f in dst.schema.fields] == [f.name for f in src.schema.fields]
+    assert dst.state_checksum() == src.state_checksum()

@@ -88,6 +88,12 @@ class Delivery:
     # ``source_n_buckets`` (the bucket function is a pure key hash).
     changed_buckets: Optional[List[int]] = field(default=None, compare=False)
     source_n_buckets: Optional[int] = field(default=None, compare=False)
+    # non-additive schema evolution inside the window, resolved by FIELD ID
+    # from the two snapshot metas: {"renamed": {old: new}, "dropped": [...]}.
+    # A mirror sink replays these on itself before the MERGE so a source
+    # rename/drop propagates as the same metadata-only op instead of
+    # becoming a spurious added column + a stale orphan (see apply_delivery).
+    schema_changes: Optional[dict] = field(default=None, compare=False)
 
     @property
     def token(self) -> str:
@@ -209,8 +215,25 @@ class ChangelogFollower:
         # manifest-diff ids are not a valid pruning hint for the sink's
         # layout, so drop the hint (the sink falls back to its distributed
         # distinct-buckets path — correct, one-time cost at the boundary)
-        to_n = self.lake.metadata(current)["n_buckets"]
-        crossed = self.lake.metadata(pos)["n_buckets"] != to_n
+        from .lake import _field_meta
+
+        meta_to = self.lake.metadata(current)
+        meta_from = self.lake.metadata(pos)
+        to_n = meta_to["n_buckets"]
+        crossed = meta_from["n_buckets"] != to_n
+        # non-additive drift inside the window, by field id: a column whose
+        # id kept living under a new name was RENAMED; an id that left the
+        # schema was DROPPED (adds flow through the TO-schema as before)
+        fids_from = _field_meta(meta_from)[0]
+        fids_to = _field_meta(meta_to)[0]
+        to_by_id = {i: n for n, i in fids_to.items()}
+        renamed = {
+            old: to_by_id[i]
+            for old, i in fids_from.items()
+            if i in to_by_id and to_by_id[i] != old
+        }
+        dropped = [old for old, i in fids_from.items() if i not in to_by_id]
+        changes = {"renamed": renamed, "dropped": dropped} if (renamed or dropped) else None
         return Delivery(
             df, pos, current, self.consumer_id,
             changed_buckets=(
@@ -218,6 +241,7 @@ class ChangelogFollower:
                 else self.lake.changed_buckets_between(pos, current)
             ),
             source_n_buckets=to_n,
+            schema_changes=changes,
         )
 
     def _resync_delivery(self, current: int) -> Delivery:
@@ -307,6 +331,22 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
     from pyspark import StorageLevel
     from pyspark.sql import types as T
 
+    # non-additive drift first (delivery.schema_changes, resolved by field
+    # id at poll time): replay renames/drops on the mirror as the same
+    # metadata-only ops.  Idempotent across crash-replay: a rename already
+    # applied leaves `old` absent, a drop already applied likewise — both
+    # guards skip.  Without this, a source rename would evolve-in the new
+    # name and orphan the old column with stale values on untouched keys.
+    sc = delivery.schema_changes or {}
+    target_names = {f.name for f in target.schema.fields}
+    for old, new in (sc.get("renamed") or {}).items():
+        if old in target_names and new not in target_names:
+            target.rename_column(old, new, note=f"mirrored from delivery {delivery.token}")
+            target_names = (target_names - {old}) | {new}
+    for name in sc.get("dropped") or []:
+        if name in target_names:
+            target.drop_column(name, note=f"mirrored from delivery {delivery.token}")
+            target_names.discard(name)
     by_name = {f.name: f for f in delivery.df.schema.fields}
     have = {f.name for f in target.schema.fields}
     new_cols = [

@@ -190,6 +190,7 @@ class MergeIntoBuilder:
         from .lake import (
             BUCKET_COL,
             KHASH_COL,
+            _bloom_opts,
             _entry_seq,
             _uid,
             bucket_expr,
