@@ -1745,6 +1745,7 @@ class LakeTable:
         buckets: Optional[List[int]] = None,
         min_files: int = 2,
         sort_cols: Optional[List[str]] = None,
+        zorder: bool = False,
     ) -> dict:
         """Rewrite each bucket holding >= ``min_files`` files — plus every
         DIRTY (merge-on-read) bucket regardless of count — into a fresh
@@ -1766,6 +1767,14 @@ class LakeTable:
         tables, after bulk loads, or on a schedule — the same guidance as
         Delta's OPTIMIZE.
 
+        ``zorder=True`` (with 2-4 ``sort_cols``): cluster by the columns'
+        interleaved-bit Morton code instead of lexicographically — file
+        bounds then stay tight for EVERY listed column independently, so
+        ``scan`` prunes on any of them (a lexicographic sort only tightens
+        the leading column).  Pure Catalyst expressions; one extra (min,
+        max) aggregation per numeric column to calibrate the scaling.  See
+        ``cdc/clustering.py``.
+
         Concurrency: the rewrite is valid only against the file sets it
         read, so a concurrent commit into a compacted bucket forces a body
         re-run (``_BODY_ATTEMPTS``); commits into other buckets rebase for
@@ -1774,7 +1783,7 @@ class LakeTable:
         last: Optional[CommitConflictError] = None
         for _ in range(_BODY_ATTEMPTS):
             try:
-                return self._compact_once(buckets, min_files, sort_cols)
+                return self._compact_once(buckets, min_files, sort_cols, zorder)
             except CommitConflictError as e:
                 _bump("body_retries")
                 last = e
@@ -1785,6 +1794,7 @@ class LakeTable:
         buckets: Optional[List[int]],
         min_files: int,
         sort_cols: Optional[List[str]] = None,
+        zorder: bool = False,
     ) -> dict:
         meta = self.metadata()
         files = self._bucket_files(meta, buckets)
@@ -1829,7 +1839,16 @@ class LakeTable:
         for c in sort_cols or []:
             if c not in known:
                 raise KeyError(f"sort column {c!r} not in table schema {sorted(known)}")
-        order = [BUCKET_COL, *(sort_cols or []), KHASH_COL]
+        if zorder:
+            from .clustering import zorder_column
+
+            order = [
+                F.col(BUCKET_COL),
+                zorder_column(df, list(sort_cols or []), schema),
+                F.col(KHASH_COL),
+            ]
+        else:
+            order = [BUCKET_COL, *(sort_cols or []), KHASH_COL]
         (
             df.repartition(len(todo), F.col(BUCKET_COL))
             .sortWithinPartitions(*order)
