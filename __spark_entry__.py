@@ -2038,6 +2038,61 @@ FROM winners WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end (``compact(zorder=True)`` +
+    ``scan`` — the Delta OPTIMIZE ZORDER analogue, cdc/clustering.py):
+    replay the WAL, Morton-cluster each bucket on (lang, content), then
+    prove BOTH dimensions prune from the manifest bounds — a
+    lang-equality scan AND a content-range scan must each plan strictly
+    fewer files than the table holds (a lexicographic sort could only
+    deliver the first).  The returned result is the conjunctive scan;
+    the oracle filters the same predicates over the from-scratch LWW
+    image, so the hash match proves interleaved clustering never drops
+    or duplicates a matching row."""
+    from valentine_spark.cdc import LakeTable, replay
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(ev)
+    total = ev.count()
+    root = tempfile.mkdtemp(prefix="entry_lake_z_")
+    # small target_file_rows: the clustering demo needs several files per
+    # bucket at every sf so both dimensions' bounds have something to cut
+    lake = LakeTable.create(
+        os.path.join(root, "t"), spark, n_buckets=4,
+        target_file_rows=max(total // 8192, 8), stats_cols=["lang", "content"],
+    )
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
+    lake.compact(min_files=1, sort_cols=["lang", "content"], zorder=True)
+    pv_lang = lake.prune_preview([("lang", "=", "click")])
+    pv_content = lake.prune_preview([("content", ">=", '{"k": 5')])
+    for name, pv in (("lang", pv_lang), ("content", pv_content)):
+        if not pv["kept_files"] < pv["total_files"]:
+            raise AssertionError(f"z-order gave no pruning on {name}: {pv}")
+    return lake.scan([("lang", "=", "click"), ("content", ">=", '{"k": 5')]).select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_ZORDER_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit", lang,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete'
+  AND lang = 'click' AND content >= '{"k": 5'
+"""
+
+
 def cdc_mutate_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level predicate mutations end-to-end (``delete_where`` /
     ``update_where`` — the DELETE FROM … WHERE / UPDATE … SET … WHERE lake
@@ -2688,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_wal_decode": cdc_wal_decode,
         "cdc_stats_scan": cdc_stats_scan,
+        "cdc_zorder_scan": cdc_zorder_scan,
         "cdc_mutate_where": cdc_mutate_where,
         "cdc_merge_into": cdc_merge_into,
         "cdc_rename_evolution": cdc_rename_evolution,
@@ -2765,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_drift_automap": _CDC_REPLAY_SQL,
         "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
         "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
+        "cdc_zorder_scan": _CDC_ZORDER_SQL,
         "cdc_mutate_where": _CDC_MUTATE_SQL,
         "cdc_merge_into": _CDC_MERGE_INTO_SQL,
         "cdc_rename_evolution": _CDC_RENAME_SQL,

@@ -12,8 +12,12 @@ beyond the rewrite compact already does:
    * numeric / timestamp — min-max scaled over the rewritten rows (the
      two-value agg is the one extra job, same pass Delta's OPTIMIZE
      makes to compute range IDs);
-   * string — the first two character code points (locality-preserving
-     prefix, consistent with the manifest's truncated string bounds);
+   * string — the two character code points AFTER the longest common
+     prefix of the column's (min, max): locality-preserving and robust
+     to shared prefixes (a JSON-ish column like ``{"k": ...}`` would key
+     to a constant under an absolute prefix; skipping the common run
+     keys on the first DISCRIMINATING characters instead — calibrated
+     from the same min/max agg the numeric path runs);
    * NULLs key to 0 (cluster together at the origin);
 2. the keys' bits are interleaved LSB-first into one long
    (``x0 y0 x1 y1 ...``), built from shift/and/or expressions that
@@ -41,11 +45,26 @@ _NUMERIC = (
 )
 
 
-def _key16(col: str, dtype: T.DataType, bounds: Dict[str, Tuple[float, float]]) -> Column:
+def _common_prefix_len(a: str, b: str) -> int:
+    n = 0
+    for x, y in zip(a or "", b or ""):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+def _key16(
+    col: str,
+    dtype: T.DataType,
+    bounds: Dict[str, Tuple[float, float]],
+    str_skip: Dict[str, int],
+) -> Column:
     c = F.col(col)
     if isinstance(dtype, T.StringType):
-        first = F.coalesce(F.ascii(F.substring(c, 1, 1)), F.lit(0))
-        second = F.coalesce(F.ascii(F.substring(c, 2, 1)), F.lit(0))
+        skip = str_skip.get(col, 0)
+        first = F.coalesce(F.ascii(F.substring(c, skip + 1, 1)), F.lit(0))
+        second = F.coalesce(F.ascii(F.substring(c, skip + 2, 1)), F.lit(0))
         # code points can exceed 255 (non-latin); clamp into the byte lanes
         return F.least(first, F.lit(255)) * 256 + F.least(second, F.lit(255))
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
@@ -79,16 +98,22 @@ def zorder_column(df: DataFrame, cols: List[str], schema: T.StructType) -> Colum
         c for c in cols
         if not isinstance(schema[c].dataType, (T.StringType, T.BooleanType))
     ]
+    strings = [c for c in cols if isinstance(schema[c].dataType, T.StringType)]
     bounds: Dict[str, Tuple[float, float]] = {}
-    if numeric:
+    str_skip: Dict[str, int] = {}
+    if numeric or strings:
         row = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in numeric],
             *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in numeric],
+            *[F.min(F.col(c)).alias(f"smn_{c}") for c in strings],
+            *[F.max(F.col(c)).alias(f"smx_{c}") for c in strings],
         ).collect()[0]
         for c in numeric:
             mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
             bounds[c] = (mn if mn is not None else 0.0, mx if mx is not None else 0.0)
-    keys = [_key16(c, schema[c].dataType, bounds).cast("long") for c in cols]
+        for c in strings:
+            str_skip[c] = _common_prefix_len(row[f"smn_{c}"], row[f"smx_{c}"])
+    keys = [_key16(c, schema[c].dataType, bounds, str_skip).cast("long") for c in cols]
     k = len(keys)
     z = F.lit(0).cast("long")
     for bit in range(_KEY_BITS):
