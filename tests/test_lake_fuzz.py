@@ -1,0 +1,152 @@
+"""Model-based fuzz of the lake's mutation surface: a seeded random
+sequence of operations (MERGE upsert/delete, predicate UPDATE/DELETE,
+conditional MERGE INTO, compaction incl. Z-order, rename evolution,
+branch fork + write-audit-publish, rebucket, snapshot expiry) runs
+against BOTH the LakeTable and a plain Python-dict model; the table must
+equal the model at every checkpoint.
+
+This is the composition test the per-feature suites cannot give: every
+pairwise interleaving of features (mutate after rename, MERGE INTO over
+a z-ordered layout, publish after compact, expiry mid-sequence...) falls
+out of the random schedule.  Deterministic seeds — a failure replays
+exactly.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentine_spark.cdc import LakeTable
+
+
+def _spark_rows(spark, rows):
+    cols = "repo string, path string, commit string, lang string, content string"
+    return spark.createDataFrame(rows, cols)
+
+
+def _key_rows(spark, keys):
+    return spark.createDataFrame(
+        [tuple(k) for k in keys], "repo string, path string, commit string"
+    )
+
+
+LANGS = ["py", "go", "rs", "ts"]
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    lake = LakeTable.create(
+        str(tmp_path / f"f{seed}"), spark, n_buckets=4, target_file_rows=64,
+        stats_cols=["lang"],
+    )
+    model = {}  # (repo,path,commit) -> (lang, content)
+    payload = ["lang", "content"]  # current payload column names
+    batch_no = 0
+
+    def new_key():
+        return (f"r{rng.randrange(6)}", f"p{rng.randrange(400)}", "head")
+
+    def check():
+        got = {
+            tuple(r[:3]): (r[payload[0]], r[payload[1]])
+            for r in lake.read().collect()
+        }
+        assert got == model, f"divergence at op {i} (seed {seed})"
+
+    for i in range(28):
+        op = rng.choice(
+            ["merge", "merge", "merge", "mutate", "merge_into", "compact",
+             "rename", "branch", "rebucket", "expire"]
+        )
+        if op == "merge":
+            ups, dels = {}, set()
+            for _ in range(rng.randrange(5, 40)):
+                k = new_key()
+                if rng.random() < 0.2:
+                    dels.add(k)
+                    ups.pop(k, None)
+                else:
+                    ups[k] = (rng.choice(LANGS), f"c{rng.randrange(1000)}")
+                    dels.discard(k)
+            batch_no += 1
+            up_df = _spark_rows(spark, [(k + v) for k, v in ups.items()]).toDF(
+                "repo", "path", "commit", *payload
+            )
+            lake.merge(
+                up_df, _key_rows(spark, sorted(dels)), f"b{batch_no}",
+                mode=rng.choice(["cow", "mor"]),
+            )
+            model.update(ups)
+            for k in dels:
+                model.pop(k, None)
+        elif op == "mutate":
+            lang = rng.choice(LANGS)
+            if rng.random() < 0.5:
+                lake.delete_where([(payload[0], "=", lang)])
+                model = {k: v for k, v in model.items() if v[0] != lang}
+            else:
+                lake.update_where(
+                    [(payload[0], "=", lang)], {payload[1]: F.lit(f"u{i}")}
+                )
+                model = {
+                    k: ((v[0], f"u{i}") if v[0] == lang else v)
+                    for k, v in model.items()
+                }
+        elif op == "merge_into":
+            touched = rng.sample(sorted(model), k=min(len(model), 20)) if model else []
+            fresh = [new_key() for _ in range(5)]
+            src_keys = list(dict.fromkeys(touched + fresh))
+            src = _spark_rows(
+                spark, [k + ("zz", f"m{i}") for k in src_keys]
+            ).toDF("repo", "path", "commit", *payload)
+            (
+                lake.merge_into(src)
+                .when_matched_delete(condition=F.col(f"t.{payload[0]}") == "rs")
+                .when_matched_update({payload[1]: F.col(f"s.{payload[1]}")})
+                .when_not_matched_insert()
+                .execute()
+            )
+            for k in src_keys:
+                if k in model:
+                    if model[k][0] == "rs":
+                        del model[k]
+                    else:
+                        model[k] = (model[k][0], f"m{i}")
+                else:
+                    model[k] = ("zz", f"m{i}")
+        elif op == "compact":
+            if rng.random() < 0.5:
+                lake.compact(min_files=1, sort_cols=payload, zorder=True)
+            else:
+                lake.compact(min_files=rng.choice([1, 2]))
+        elif op == "rename":
+            which = rng.randrange(2)
+            new_name = f"{payload[which].rstrip('0123456789_x')}_x{i}"
+            lake.rename_column(payload[which], new_name)
+            payload[which] = new_name
+        elif op == "branch":
+            b = lake.create_branch(f"wap{i}")
+            ups = {new_key(): ("br", f"w{i}") for _ in range(10)}
+            batch_no += 1
+            up_df = _spark_rows(spark, [(k + v) for k, v in ups.items()]).toDF(
+                "repo", "path", "commit", *payload
+            )
+            b.merge(up_df, _key_rows(spark, []), f"b{batch_no}")
+            lake.fast_forward(f"wap{i}")
+            lake.delete_branch(f"wap{i}")
+            model.update(ups)
+        elif op == "rebucket":
+            lake.rebucket(8 if lake.metadata()["n_buckets"] == 4 else 4)
+        elif op == "expire":
+            lake.expire_snapshots(keep_last=2)
+        if i % 5 == 4:
+            check()
+    check()
+    # final invariants: metadata tables agree with state; history is intact
+    assert lake.files().where("kind = 'data'").agg(
+        F.sum("rows")
+    ).first()[0] >= len(model)  # (>= because dirty MoR buckets multi-version)
+    lake.compact(min_files=1)
+    assert lake.files().where("kind = 'data'").agg(F.sum("rows")).first()[0] == len(model)
