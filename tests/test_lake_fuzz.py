@@ -150,3 +150,77 @@ def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
     ).first()[0] >= len(model)  # (>= because dirty MoR buckets multi-version)
     lake.compact(min_files=1)
     assert lake.files().where("kind = 'data'").agg(F.sum("rows")).first()[0] == len(model)
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_changes_reconstructs_model_deltas(spark, tmp_path, seed):
+    """Changelog consistency under the same random schedule: between any
+    two checkpoints, applying changes(v0, v1) to the model snapshot at v0
+    must yield the model snapshot at v1 — across COW/MoR merges,
+    predicate mutations, MERGE INTO, compactions (which must contribute
+    NOTHING to the changelog) and rename evolution (values must arrive
+    under the to-version names)."""
+    rng = random.Random(seed)
+    lake = LakeTable.create(
+        str(tmp_path / f"c{seed}"), spark, n_buckets=4, target_file_rows=64
+    )
+    model = {}
+    payload = ["lang", "content"]
+    snapshots = [(lake.version, dict(model), list(payload))]
+    batch_no = 0
+
+    for i in range(16):
+        op = rng.choice(["merge", "merge", "mutate", "merge_into", "compact", "rename"])
+        if op == "merge":
+            ups, dels = {}, set()
+            for _ in range(rng.randrange(5, 30)):
+                k = (f"r{rng.randrange(5)}", f"p{rng.randrange(200)}", "head")
+                if rng.random() < 0.25 and k in model:
+                    dels.add(k)
+                    ups.pop(k, None)
+                else:
+                    ups[k] = (rng.choice(LANGS), f"c{rng.randrange(1000)}")
+                    dels.discard(k)
+            batch_no += 1
+            up_df = _spark_rows(spark, [(k + v) for k, v in ups.items()]).toDF(
+                "repo", "path", "commit", *payload
+            )
+            lake.merge(up_df, _key_rows(spark, sorted(dels)), f"b{batch_no}",
+                       mode=rng.choice(["cow", "mor"]))
+            model.update(ups)
+            for k in dels:
+                model.pop(k, None)
+        elif op == "mutate":
+            lang = rng.choice(LANGS)
+            lake.delete_where([(payload[0], "=", lang)])
+            model = {k: v for k, v in model.items() if v[0] != lang}
+        elif op == "merge_into":
+            touched = rng.sample(sorted(model), k=min(len(model), 10)) if model else []
+            src = _spark_rows(spark, [k + ("zz", f"m{i}") for k in touched]).toDF(
+                "repo", "path", "commit", *payload
+            )
+            if touched:
+                (lake.merge_into(src)
+                 .when_matched_update({payload[1]: F.col(f"s.{payload[1]}")})
+                 .execute())
+                for k in touched:
+                    model[k] = (model[k][0], f"m{i}")
+        elif op == "compact":
+            lake.compact(min_files=1)
+        elif op == "rename":
+            new_name = f"{payload[1].split('_')[0]}_y{i}"
+            lake.rename_column(payload[1], new_name)
+            payload[1] = new_name
+        snapshots.append((lake.version, dict(model), list(payload)))
+
+    # every adjacent checkpoint pair: model(v0) + changes(v0, v1) == model(v1)
+    for (v0, m0, _), (v1, m1, pay1) in zip(snapshots, snapshots[1:]):
+        ch = lake.changes(v0, v1).collect()
+        replayed = dict(m0)
+        for r in ch:
+            k = (r["repo"], r["path"], r["commit"])
+            if r["change_op"] == "delete":
+                replayed.pop(k, None)
+            else:
+                replayed[k] = (r[pay1[0]], r[pay1[1]])
+        assert replayed == m1, f"changelog window v{v0}->v{v1} diverged (seed {seed})"
