@@ -230,3 +230,30 @@ def test_key_columns_protected(spark, tmp_path):
         lake.rename_column("nope", "x")
     with pytest.raises(ValueError):
         lake.rename_column("lang", "content")  # collision
+
+
+def test_three_step_swap_rename(spark, tmp_path):
+    """Swapping two column names (a->tmp, b->a, tmp->b) leaves old files
+    whose PHYSICAL 'lang' holds the data now named 'content' and vice
+    versa; the era colmap must cross-project them (types travel with the
+    field id, so the cross-typed read schema is still correct)."""
+    lake = _mk(spark, tmp_path / "sw")
+    before = _state(lake)
+    lake.rename_column("lang", "tmp_swap")
+    lake.rename_column("content", "lang")
+    lake.rename_column("tmp_swap", "content")
+    # now: column 'content' holds the OLD lang values, 'lang' the old content
+    after = {
+        tuple(r[:3]): (r["content"], r["lang"])
+        for r in lake.read().collect()
+    }
+    assert after == before
+    # and a write after the swap unions both eras correctly
+    s2 = (
+        synth_change_stream(spark, 300, 1200, seed=21)
+        .withColumnRenamed("lang", "old_lang")
+        .withColumnRenamed("content", "lang")
+        .withColumnRenamed("old_lang", "content")
+    )
+    apply_batch(lake, s2, "b2")
+    assert lake.read().count() >= len(before)
