@@ -210,10 +210,6 @@ class MergeIntoBuilder:
         src = self._source.withColumn(BUCKET_COL, bucket_expr(n_buckets)).withColumn(
             KHASH_COL, khash_expr()
         )
-        src_buckets = sorted(
-            r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect()
-        )
-
         files = lake._bucket_files(meta)
         dirty = meta.get("dirty", {})
         rewrite_paths: List[str] = []
@@ -238,11 +234,15 @@ class MergeIntoBuilder:
                         if e.get("kind") != "tomb"
                     )
         else:
-            src_bucket_set = set(src_buckets)
+            # every clean bucket's files enter the range cut directly — the
+            # cut joins on bucket equality, so entries outside the source's
+            # bucket set fall out of phase 1 for free, and skipping the
+            # separate distinct-source-buckets job removes one whole Spark
+            # job from the per-commit fixed adder (BENCH §2i)
             flat_entries = [
                 (b, e)
                 for b, entries in files.items()
-                if str(b) not in dirty and b in src_bucket_set
+                if str(b) not in dirty
                 for e in entries
                 if e.get("kind") != "tomb"
             ]
@@ -265,8 +265,12 @@ class MergeIntoBuilder:
                 # tombstones in a clean bucket name never-present keys; they
                 # are dropped from rewritten buckets (same as merge/compact)
                 carry[b] = keep
-            # dirty buckets a source key could live in resolve in-flight
-            for b in src_buckets:
+            # every dirty bucket resolves in-flight: matched-ness cannot be
+            # evaluated against multi-version state, and whether a source
+            # key lives there is unknowable without a job — resolving
+            # unconditionally trades a rare extra fold (dirty buckets are
+            # bounded by the compaction policy) for the removed job above
+            for b in files:
                 if str(b) in dirty:
                     touched.add(b)
                     for e in files.get(b, []):
@@ -296,12 +300,11 @@ class MergeIntoBuilder:
 
         rel_dir = os.path.join("data", f"c-{_uid()}")
         out_dir = os.path.join(lake.root, rel_dir)
-        # upper bound of buckets receiving output rows: rewritten/resolved
-        # buckets plus any source bucket (a fired insert lands in its key's
-        # bucket); sizes the write's hash partitioning
-        out_buckets = sorted(touched | set(src_buckets))
+        # write partition count: inserts can land in ANY bucket (their
+        # bucket set is unknown without a job), so size to the table's
+        # bucket count — the same parallelism a full-bucket write uses
         (
-            out.repartition(max(len(out_buckets), 1), F.col(BUCKET_COL))
+            out.repartition(max(meta["n_buckets"], 1), F.col(BUCKET_COL))
             .sortWithinPartitions(BUCKET_COL, KHASH_COL)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
