@@ -277,10 +277,48 @@ def test_mirror_follows_rename_and_drop(spark, tmp_path):
     fol = ChangelogFollower(src, ckpt, consumer_id="mirror")
     src.drop_column("language")
     deliv = fol.poll()
-    assert deliv is not None and deliv.schema_changes == {
-        "renamed": {}, "dropped": ["language"]}
+    assert deliv is not None
+    assert deliv.schema_changes["renamed"] == {}
+    assert deliv.schema_changes["dropped"] == ["language"]
     apply_delivery(dst, deliv)
     apply_delivery(dst, deliv)  # replay
     fol.commit(deliv)
     assert [f.name for f in dst.schema.fields] == [f.name for f in src.schema.fields]
     assert dst.state_checksum() == src.state_checksum()
+
+
+def test_mirror_follows_swap_rename_in_one_window(spark, tmp_path):
+    """A rename PERMUTATION (lang<->content via the 3-step dance) collapsed
+    into ONE delivery window: schema_changes carries {lang: content,
+    content: lang}, every pair is blocked (each new name occupied), and the
+    mirror must break the cycle via a temp — a silent skip would merge
+    swapped-meaning rows into unswapped columns."""
+    stream = synth_change_stream(spark, 1_500, 300, seed=83).cache()
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=2)
+    dst = LakeTable.create(str(tmp_path / "dst"), spark, n_buckets=2)
+    ckpt = str(tmp_path / "ckpt")
+    replay(src, stream.where(F.col("lsn") < 700), batch_lsns=10_000,
+           batch_id_prefix="h", max_lsn=699)
+    mirror_changes(src, dst, ckpt)
+
+    src.rename_column("lang", "tmp_sw")
+    src.rename_column("content", "lang")
+    src.rename_column("tmp_sw", "content")
+    tail = (
+        stream.where(F.col("lsn") >= 700)
+        .withColumnRenamed("lang", "old_lang")
+        .withColumnRenamed("content", "lang")
+        .withColumnRenamed("old_lang", "content")
+    )
+    replay(src, tail, batch_lsns=10_000, batch_id_prefix="t", max_lsn=1_499)
+
+    fol = ChangelogFollower(src, ckpt, consumer_id="mirror")
+    d = fol.poll()
+    assert d.schema_changes["renamed"] == {"lang": "content", "content": "lang"}
+    apply_delivery(dst, d)
+    apply_delivery(dst, d)  # crash-replay: dance already done, no-op
+    fol.commit(d)
+    assert [f.name for f in dst.schema.fields] == [f.name for f in src.schema.fields]
+    s = {tuple(r) for r in src.read().drop("_bucket").collect()}
+    t = {tuple(r) for r in dst.read().drop("_bucket").collect()}
+    assert s == t

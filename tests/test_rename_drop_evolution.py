@@ -257,3 +257,38 @@ def test_three_step_swap_rename(spark, tmp_path):
     )
     apply_batch(lake, s2, "b2")
     assert lake.read().count() >= len(before)
+
+
+def test_swap_rename_bounds_not_confused_by_reused_name(spark, tmp_path):
+    """Rename-into-reused-name hazard (stats bounds are manifest-keyed by
+    PHYSICAL name): after swapping lang<->content, a predicate on the new
+    'lang' (physically old content data, values 'zz-...') must not be
+    pruned against the STALE 'lang' bounds (old lang values 'cpp'..'ts').
+    Pre-fix, scan() silently dropped every matching file and delete_where
+    silently skipped the rows."""
+    lake = LakeTable.create(
+        str(tmp_path / "sb"), spark, n_buckets=2, target_file_rows=100,
+        stats_cols=["lang", "content"],
+    )
+    stream = synth_change_stream(spark, 1000, 600, seed=13).withColumn(
+        "content", F.concat(F.lit("zz-"), F.col("path"))
+    )
+    apply_batch(lake, stream, "b1")
+    before = _state(lake)
+    lake.rename_column("lang", "tmp_swap")
+    lake.rename_column("content", "lang")
+    lake.rename_column("tmp_swap", "content")
+    # predicate value 'zz-...' is far outside the stale 'lang' bounds
+    probe = next(v[1] for v in before.values())  # an original content value
+    assert probe.startswith("zz-")
+    want = {k for k, v in before.items() if v[1] == probe}
+    got = {tuple(r[:3]) for r in lake.scan([("lang", "=", probe)]).collect()}
+    assert got == want and want  # scan exact despite the stale bounds
+    # the mutation path shares the same pruning: must rewrite, not skip
+    res = lake.update_where([("lang", "=", probe)], {"content": F.lit("[hit]")})
+    assert res["rows_matched"] == len(want)
+    got2 = {
+        tuple(r[:3])
+        for r in lake.read().where(F.col("content") == "[hit]").collect()
+    }
+    assert got2 == want

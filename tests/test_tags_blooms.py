@@ -84,3 +84,31 @@ def test_bloom_cols_write_through_and_equality(spark, tmp_path):
 def test_bloom_cols_rejects_unknown_column(spark, tmp_path):
     with pytest.raises(KeyError):
         LakeTable.create(str(tmp_path / "x"), spark, bloom_cols=["nope"])
+
+
+def test_cross_ref_tag_survives_other_ref_expiry(spark, tmp_path):
+    """Data files are shared across refs, so a tag on a BRANCH must pin its
+    files through a MAIN-handle expiry (and vice versa).  Pre-fix, only
+    tags on the expiring handle's own ref were honored and the tagged
+    branch snapshot lost its parquet files."""
+    lake = _mk(spark, tmp_path / "x")
+    wap = lake.create_branch("audit")
+    apply_batch(wap, synth_change_stream(spark, 800, 2000, seed=9), "b3")
+    v_tagged = wap.version
+    tagged_state = _state(wap, version=v_tagged)
+    wap.create_tag("cut")
+    # branch head moves past the tag; its old files are tag-pinned only
+    apply_batch(wap, synth_change_stream(spark, 800, 2000, seed=11), "b4")
+    wap.compact(min_files=1)
+    # main moves on and expires aggressively
+    apply_batch(lake, synth_change_stream(spark, 400, 2000, seed=12), "b5")
+    lake.expire_snapshots(keep_last=1)
+    assert _state(wap, version=wap.tag_version("cut")) == tagged_state
+    # symmetric: a main tag survives a branch-handle expiry
+    v_main = lake.version
+    main_state = _state(lake, version=v_main)
+    lake.create_tag("main-cut")
+    apply_batch(lake, synth_change_stream(spark, 400, 2000, seed=13), "b6")
+    lake.compact(min_files=1)
+    wap.expire_snapshots(keep_last=1)
+    assert _state(lake, version=lake.tag_version("main-cut")) == main_state

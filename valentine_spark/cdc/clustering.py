@@ -54,33 +54,48 @@ def _common_prefix_len(a: str, b: str) -> int:
     return n
 
 
+def _as_numeric(col: str, dtype: T.DataType) -> Column:
+    """Monotone numeric image of an orderable column (Spark's ANSI caster
+    rejects DATE/TIMESTAMP -> DOUBLE, so temporals go through their epoch
+    counters)."""
+    c = F.col(col)
+    if isinstance(dtype, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, T.TimestampType):
+        return (F.unix_micros(c)).cast("double")
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    return c.cast("double")
+
+
 def _key16(
     col: str,
     dtype: T.DataType,
     bounds: Dict[str, Tuple[float, float]],
     str_skip: Dict[str, int],
+    key_bits: int,
 ) -> Column:
     c = F.col(col)
+    top = (1 << key_bits) - 1
     if isinstance(dtype, T.StringType):
         skip = str_skip.get(col, 0)
         first = F.coalesce(F.ascii(F.substring(c, skip + 1, 1)), F.lit(0))
         second = F.coalesce(F.ascii(F.substring(c, skip + 2, 1)), F.lit(0))
-        # code points can exceed 255 (non-latin); clamp into the byte lanes
-        return F.least(first, F.lit(255)) * 256 + F.least(second, F.lit(255))
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        c = c.cast("double")
-        dtype = T.DoubleType()
-    if isinstance(dtype, _NUMERIC):
+        # code points can exceed 255 (non-latin); clamp into the byte lanes,
+        # then shift the 16-bit prefix key down to key_bits
+        k16 = F.least(first, F.lit(255)) * 256 + F.least(second, F.lit(255))
+        return F.shiftright(k16.cast("long"), 16 - key_bits)
+    if isinstance(
+        dtype, _NUMERIC + (T.TimestampType, T.TimestampNTZType, T.DateType)
+    ):
         mn, mx = bounds[col]
         if mx <= mn:  # constant column: every row keys to 0
             return F.lit(0)
-        scaled = (c.cast("double") - F.lit(float(mn))) / F.lit(float(mx - mn))
-        key = F.floor(scaled * ((1 << _KEY_BITS) - 1)).cast("long")
-        return F.coalesce(
-            F.greatest(F.lit(0), F.least(key, F.lit((1 << _KEY_BITS) - 1))), F.lit(0)
-        )
+        scaled = (_as_numeric(col, dtype) - F.lit(float(mn))) / F.lit(float(mx - mn))
+        key = F.floor(scaled * top).cast("long")
+        return F.coalesce(F.greatest(F.lit(0), F.least(key, F.lit(top))), F.lit(0))
     if isinstance(dtype, T.BooleanType):
-        return F.coalesce(c.cast("int") * ((1 << _KEY_BITS) - 1), F.lit(0))
+        return F.coalesce(c.cast("int") * top, F.lit(0))
     raise TypeError(f"z-order does not support column {col!r} of type {dtype}")
 
 
@@ -103,8 +118,8 @@ def zorder_column(df: DataFrame, cols: List[str], schema: T.StructType) -> Colum
     str_skip: Dict[str, int] = {}
     if numeric or strings:
         row = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in numeric],
-            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in numeric],
+            *[F.min(_as_numeric(c, schema[c].dataType)).alias(f"mn_{c}") for c in numeric],
+            *[F.max(_as_numeric(c, schema[c].dataType)).alias(f"mx_{c}") for c in numeric],
             *[F.min(F.col(c)).alias(f"smn_{c}") for c in strings],
             *[F.max(F.col(c)).alias(f"smx_{c}") for c in strings],
         ).collect()[0]
@@ -113,10 +128,18 @@ def zorder_column(df: DataFrame, cols: List[str], schema: T.StructType) -> Colum
             bounds[c] = (mn if mn is not None else 0.0, mx if mx is not None else 0.0)
         for c in strings:
             str_skip[c] = _common_prefix_len(row[f"smn_{c}"], row[f"smx_{c}"])
-    keys = [_key16(c, schema[c].dataType, bounds, str_skip).cast("long") for c in cols]
-    k = len(keys)
+    k = len(cols)
+    # keep the interleaved code out of the long's sign bit: at k=4 a full
+    # 16-bit key would place the last column's top bit at bit 63 and the
+    # signed sort would split that dimension's keyspace (files at the wrap
+    # get wide bounds).  15 bits x 4 = 60 keeps the code non-negative.
+    key_bits = _KEY_BITS if k * _KEY_BITS < 64 else 15
+    keys = [
+        _key16(c, schema[c].dataType, bounds, str_skip, key_bits).cast("long")
+        for c in cols
+    ]
     z = F.lit(0).cast("long")
-    for bit in range(_KEY_BITS):
+    for bit in range(key_bits):
         for j, key in enumerate(keys):
             z = z.bitwiseOR(
                 F.shiftleft(

@@ -233,7 +233,19 @@ class ChangelogFollower:
             if i in to_by_id and to_by_id[i] != old
         }
         dropped = [old for old, i in fids_from.items() if i not in to_by_id]
-        changes = {"renamed": renamed, "dropped": dropped} if (renamed or dropped) else None
+        changes = (
+            {
+                "renamed": renamed,
+                # field ids let the SINK resolve each pair against its own
+                # id map — name presence alone cannot tell a completed
+                # permutation (swap) from a pending one (see apply_delivery)
+                "renamed_ids": {old: fids_from[old] for old in renamed},
+                "dropped": dropped,
+                "dropped_ids": {n: fids_from[n] for n in dropped},
+            }
+            if (renamed or dropped)
+            else None
+        )
         return Delivery(
             df, pos, current, self.consumer_id,
             changed_buckets=(
@@ -338,15 +350,59 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
     # guards skip.  Without this, a source rename would evolve-in the new
     # name and orphan the old column with stale values on untouched keys.
     sc = delivery.schema_changes or {}
-    target_names = {f.name for f in target.schema.fields}
-    for old, new in (sc.get("renamed") or {}).items():
-        if old in target_names and new not in target_names:
-            target.rename_column(old, new, note=f"mirrored from delivery {delivery.token}")
-            target_names = (target_names - {old}) | {new}
-    for name in sc.get("dropped") or []:
-        if name in target_names:
-            target.drop_column(name, note=f"mirrored from delivery {delivery.token}")
-            target_names.discard(name)
+    note = f"mirrored from delivery {delivery.token}"
+    renamed = dict(sc.get("renamed") or {})
+    if renamed or sc.get("dropped"):
+        from .lake import _field_meta
+
+        # resolve every pair against the TARGET's own field-id map: a
+        # mirror maintained by this pipeline assigns ids in lockstep with
+        # the source (same base schema, adds in delivery order, renames
+        # preserve ids), so "pair done" = the id already lives under the
+        # new name.  Name presence alone cannot tell a COMPLETED
+        # permutation (swap: both names still exist) from a pending one —
+        # a crash-replay would swap the mirror back.  Ids also name the
+        # column to drop even when the mirror is mid-dance.
+        t_fids = _field_meta(target.metadata())[0]
+        by_id = {i: n for n, i in t_fids.items()}
+        rn_ids = sc.get("renamed_ids") or {}
+        pending: dict = {}
+        for old, new in renamed.items():
+            i = rn_ids.get(old)
+            cur = by_id.get(i) if i is not None else (
+                old if old in t_fids else None  # legacy delivery: by name
+            )
+            if cur is not None and cur != new:
+                pending[cur] = new
+        names = set(t_fids)
+        # apply every unblocked pair; when only blocked pairs remain
+        # (a cycle), park one member on a deterministic temp.  Idempotent:
+        # on replay the id map re-derives each pair's true current name
+        # (including a parked temp), so completed work never re-runs.
+        while pending:
+            progressed = False
+            for cur, new in list(pending.items()):
+                if new not in names:
+                    target.rename_column(cur, new, note=note)
+                    names = (names - {cur}) | {new}
+                    del pending[cur]
+                    progressed = True
+            if progressed:
+                continue
+            cur, new = next(iter(pending.items()))  # cycle: park one member
+            tmp = f"{new}__rename_tmp_v{delivery.to_version}"
+            target.rename_column(cur, tmp, note=note)
+            names = (names - {cur}) | {tmp}
+            pending[tmp] = pending.pop(cur)
+        dr_ids = sc.get("dropped_ids") or {}
+        for name in sc.get("dropped") or []:
+            i = dr_ids.get(name)
+            cur = by_id.get(i) if i is not None else (
+                name if name in names else None
+            )
+            if cur is not None and cur in names:
+                target.drop_column(cur, note=note)
+                names.discard(cur)
     by_name = {f.name: f for f in delivery.df.schema.fields}
     have = {f.name for f in target.schema.fields}
     new_cols = [

@@ -800,6 +800,39 @@ class LakeTable:
             preds.append((col, op, val))
         return preds
 
+    def _era_preds(self, meta: dict, preds: List[tuple]):
+        """Per-era predicate translation for bounds pruning: returns
+        ``fn(seq) -> preds`` with each column name rewritten to the name
+        the column's FIELD ID was stored under in the file's era.  Bounds
+        in manifests are keyed by physical (write-time) names, so after a
+        rename a current-name lookup could hit a STALE same-named entry
+        from a different field and mis-prune (the rename-into-reused-name
+        hazard); translating by id always finds the right entry.  A
+        predicate on a field id the era lacks is dropped for that era
+        (unbounded — never prunes; the residual filter keeps exactness)."""
+        log = meta.get("schema_log")
+        if not log or len(log) <= 1:
+            return lambda seq: preds
+        fids, log = _field_meta(meta)
+        cache: Dict[int, List[tuple]] = {}
+
+        def fn(seq: int) -> List[tuple]:
+            idx = 0
+            for i, (v, _) in enumerate(log):
+                if v <= seq:
+                    idx = i
+            if idx not in cache:
+                era = log[idx][1]
+                out = []
+                for col, op, val in preds:
+                    phys = era.get(str(fids[col]))
+                    if phys is not None:
+                        out.append((phys, op, val))
+                cache[idx] = out
+            return cache[idx]
+
+        return fn
+
     def _prune_for_scan(
         self, meta: dict, preds: List[tuple], buckets: Optional[List[int]]
     ) -> Tuple[List[str], List[Tuple[str, int]], List[Tuple[str, int]], int, int]:
@@ -812,6 +845,7 @@ class LakeTable:
         — those buckets resolve fully and filter after."""
         files = self._bucket_files(meta, buckets)
         dirty = meta.get("dirty", {})
+        era_preds = self._era_preds(meta, preds)
         clean_paths: List[str] = []
         mor_data: List[Tuple[str, int]] = []
         mor_tombs: List[Tuple[str, int]] = []
@@ -826,8 +860,9 @@ class LakeTable:
                     if not is_tomb:
                         kept += 1
                 elif not is_tomb:
-                    if _file_may_match(e.get("cols"), preds):
-                        clean_paths.append((e["path"], _entry_seq(e)))
+                    seq = _entry_seq(e)
+                    if _file_may_match(e.get("cols"), era_preds(seq)):
+                        clean_paths.append((e["path"], seq))
                         kept += 1
         return clean_paths, mor_data, mor_tombs, kept, total
 
@@ -1316,7 +1351,6 @@ class LakeTable:
                 .sortWithinPartitions(BUCKET_COL, KHASH_COL)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
-            .options(**_bloom_opts(meta))
                 .options(**_bloom_opts(meta))
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
@@ -1956,8 +1990,11 @@ class LakeTable:
                 raise KeyError(f"SET column {c!r} not in table schema {sorted(names)}")
         files = self._bucket_files(meta)
         dirty = meta.get("dirty", {})
+        era_preds = self._era_preds(meta, preds)
         # plan: dirty buckets resolve fully; clean buckets rewrite only the
         # files whose stats bounds can match, carrying the rest untouched
+        # (bounds looked up under each file's ERA-physical column names —
+        # see _era_preds for the rename-into-reused-name hazard)
         rewrite_paths: List[str] = []
         mor_data: List[Tuple[str, int]] = []
         mor_tombs: List[Tuple[str, int]] = []
@@ -1973,7 +2010,8 @@ class LakeTable:
             else:
                 cand = [
                     e for e in entries
-                    if e.get("kind") != "tomb" and _file_may_match(e.get("cols"), preds)
+                    if e.get("kind") != "tomb"
+                    and _file_may_match(e.get("cols"), era_preds(_entry_seq(e)))
                 ]
                 if cand:
                     touched.append(b)
@@ -2029,7 +2067,6 @@ class LakeTable:
                 .sortWithinPartitions(BUCKET_COL, KHASH_COL)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
-            .options(**_bloom_opts(meta))
                 .options(**_bloom_opts(meta))
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
@@ -2177,7 +2214,6 @@ class LakeTable:
                 .sortWithinPartitions(BUCKET_COL, KHASH_COL)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
-            .options(**_bloom_opts(meta))
                 .options(**_bloom_opts(meta))
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
@@ -2596,12 +2632,21 @@ class LakeTable:
         cutoff = time.time() - float(min_age_seconds)
         retained = [v for v in range(max(0, current - keep_last + 1), current + 1)
                     if os.path.exists(self._meta_path(v))]
-        # tag-pinned snapshots of THIS ref are retained regardless of age
-        # (delete_tag releases them to the next expiry)
+        # tag-pinned snapshots are retained regardless of age (delete_tag
+        # releases them to the next expiry).  Tags on THIS ref pin their
+        # snapshot json + files; tags on OTHER refs pin their FILES too —
+        # data/manifest files are shared across refs, so an expiry from any
+        # handle must honor every ref's tags (their snapshot jsons live in
+        # their own ref dir, which this handle never deletes).
+        cross_ref_tags = []
         for t in self.list_tags():
-            if t.get("ref", "main") == self.ref and t["version"] not in retained:
-                if os.path.exists(self._meta_path(t["version"])):
+            if t.get("ref", "main") == self.ref:
+                if t["version"] not in retained and os.path.exists(
+                    self._meta_path(t["version"])
+                ):
                     retained.append(t["version"])
+            else:
+                cross_ref_tags.append(t)
         retained.sort()
         keep_files: set = set()
         keep_meta: set = {f"v{v}.json" for v in retained} | {"CURRENT"}
@@ -2628,6 +2673,14 @@ class LakeTable:
         for r in other_refs:
             try:
                 _retain(LakeTable(self.root, self.spark, ref=r).metadata())
+            except FileNotFoundError:
+                continue
+        for t in cross_ref_tags:
+            try:
+                _retain(
+                    LakeTable(self.root, self.spark, ref=t.get("ref", "main"))
+                    .metadata(t["version"])
+                )
             except FileNotFoundError:
                 continue
         removed_files = removed_bytes = removed_snapshots = 0

@@ -162,6 +162,14 @@ class MergeIntoBuilder:
 
         if not self._clauses:
             raise ValueError("MERGE INTO requires at least one WHEN clause")
+        lake = self._lake
+        # exactly-once fast path FIRST: a replayed duplicate batch must skip
+        # on metadata alone, not after a full source aggregation (the
+        # cardinality check below scans the source)
+        if batch_id is not None and lake.is_applied(batch_id):
+            return {
+                "batch_id": batch_id, "skipped": True, "version": lake.version
+            }
         if not assume_unique:
             dup = (
                 self._source.groupBy(*KEY_COLS)
