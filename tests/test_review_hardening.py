@@ -1,0 +1,291 @@
+"""Regression tests for the round-4 adversarial-review findings on
+``cdc/lake.py`` — each test encodes one failure scenario the review
+surfaced, all silent-corruption or crash class:
+
+  * field-id reuse: evolve after dropping the max-id column must issue a
+    FRESH id (reuse would resurrect the dropped column's stale bytes
+    through ``_era_colmap``);
+  * restore() across a rename/drop must carry the target snapshot's
+    field_ids/schema_log (inheriting the head's leaves every read
+    KeyError-ing on era resolution);
+  * compact() over buckets holding only clean-bucket tombstones (deletes
+    of never-present keys) must drop them, not IndexError;
+  * tag_version() must refuse to resolve a tag created on another ref
+    (version numbers are per-ref — main's v12 is not the branch's v12);
+  * a create() crash between publishing v0.json and writing CURRENT must
+    leave a readable table (bootstrap recovery in ``_latest_version``);
+  * state_checksum() must survive rename/drop of the content column;
+  * expire_snapshots() must reclaim commit dirs whose parquet is expired
+    even though Spark's _SUCCESS markers remain.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from valentine_spark.cdc import LakeTable, apply_batch, synth_change_stream
+
+
+def _mk(spark, path, **kw):
+    lake = LakeTable.create(str(path), spark, n_buckets=4, target_file_rows=200, **kw)
+    stream = synth_change_stream(spark, 2000, 1200, seed=3)
+    apply_batch(lake, stream, "b1")
+    return lake
+
+
+def test_drop_max_id_then_add_gets_fresh_field_id(spark, tmp_path):
+    """Drop the column holding the MAX field id, then evolve-add a new
+    column: the new column must NOT inherit the retired id, and reads of
+    pre-drop files must serve nulls for it (never the dropped column's
+    stale physical bytes)."""
+    lake = _mk(spark, tmp_path / "t")
+    # materialize field ids via a rename (legacy tables keep positional)
+    lake.rename_column("lang", "language")
+    meta = lake.metadata()
+    dropped_id = meta["field_ids"]["content"]
+    assert dropped_id == max(meta["field_ids"].values())
+    lake.drop_column("content")
+    lake.evolve_schema([T.StructField("embedding", T.StringType())], "re-add slot")
+    meta2 = lake.metadata()
+    assert meta2["field_ids"]["embedding"] != dropped_id
+    assert meta2["field_ids"]["embedding"] > dropped_id
+    # pre-drop files: the new column is null everywhere, not stale content
+    vals = lake.read().select("embedding").distinct().collect()
+    assert [r[0] for r in vals] == [None]
+
+
+def test_restore_across_rename_stays_readable(spark, tmp_path):
+    """restore() to a snapshot predating a rename: the restored table
+    reads under the OLD schema (no KeyError from head-era field_ids)."""
+    lake = _mk(spark, tmp_path / "t")
+    v = lake.version
+    before = {tuple(r[:3]): r["lang"] for r in lake.read().collect()}
+    lake.rename_column("lang", "language")
+    lake.restore(v)
+    df = lake.read()
+    assert "lang" in df.columns and "language" not in df.columns
+    after = {tuple(r[:3]): r["lang"] for r in df.collect()}
+    assert after == before
+    # and the restored lineage keeps evolving safely: a fresh add must not
+    # collide with the id the abandoned later era may have consumed
+    lake.evolve_schema([T.StructField("extra", T.StringType())], "post-restore add")
+    assert lake.read().select("extra").distinct().collect()[0][0] is None
+
+
+def test_restore_across_drop_stays_readable(spark, tmp_path):
+    lake = _mk(spark, tmp_path / "t")
+    v = lake.version
+    n = lake.read().count()
+    lake.drop_column("content")
+    lake.restore(v)
+    df = lake.read()
+    assert "content" in df.columns
+    assert df.where(F.col("content").isNotNull()).count() == n
+
+
+def test_compact_tombstone_only_buckets(spark, tmp_path):
+    """MoR deletes of never-present keys leave tomb-only CLEAN buckets;
+    compact() must drop those entries instead of IndexError-ing."""
+    lake = LakeTable.create(str(tmp_path / "t"), spark, n_buckets=4)
+    ghost = spark.createDataFrame(
+        [(f"repo-{i}", f"path-{i}", "c0") for i in range(8)],
+        "repo string, path string, commit string",
+    ).withColumn("op_ts", F.lit(1)).withColumn("lsn", F.lit(1)) \
+     .withColumn("op", F.lit("delete")) \
+     .withColumn("lang", F.lit(None).cast("string")) \
+     .withColumn("content", F.lit(None).cast("string"))
+    apply_batch(lake, ghost, "g1", mode="mor")
+    assert lake.metadata()["dirty"] == {}  # never-present keys: stays clean
+    res = lake.compact(min_files=1)
+    assert res["files_after"] == 0
+    assert lake.read().count() == 0
+    assert lake.metadata()["buckets"] == {}
+
+
+def test_tag_version_refuses_cross_ref(spark, tmp_path):
+    lake = _mk(spark, tmp_path / "t")
+    branch = lake.create_branch("wap")
+    stream = synth_change_stream(spark, 500, 300, seed=9)
+    apply_batch(branch, stream, "wap-b1")
+    branch.create_tag("cut")
+    assert branch.tag_version("cut") == branch.version
+    with pytest.raises(ValueError, match="ref 'wap'"):
+        lake.tag_version("cut")
+
+
+def test_bootstrap_crash_before_current_is_recoverable(spark, tmp_path):
+    """v0.json published, CURRENT never written (create() died in the
+    window): reads must recover by walking from v0."""
+    root = tmp_path / "t"
+    lake = _mk(spark, root)
+    n = lake.read().count()
+    os.remove(os.path.join(str(root), "metadata", "CURRENT"))
+    fresh = LakeTable(str(root), spark)
+    assert fresh.read().count() == n
+    # and a recovering write repairs the pointer
+    apply_batch(fresh, synth_change_stream(spark, 200, 100, seed=5), "b2")
+    assert os.path.exists(os.path.join(str(root), "metadata", "CURRENT"))
+
+
+def test_state_checksum_survives_schema_evolution(spark, tmp_path):
+    lake = _mk(spark, tmp_path / "t")
+    base = lake.state_checksum()
+    # additive evolution does not change the checksum (content unchanged)
+    lake.evolve_schema([T.StructField("stars", T.LongType())], "add")
+    assert lake.state_checksum() == base
+    # rename of a non-hashed column: unchanged
+    lake.rename_column("lang", "language")
+    assert lake.state_checksum() == base
+    # dropping content changes what is measured but must not crash
+    lake.drop_column("content")
+    after = lake.state_checksum()
+    assert after["rows"] == base["rows"]
+    assert after["checksum"] != base["checksum"]
+
+
+def test_mirror_drop_then_rename_into_freed_name(spark, tmp_path):
+    """One poll window where the source drops 'a' and renames 'b' into the
+    freed name: apply_delivery must apply the drop FIRST (renames-first
+    livelocks parking on its own temp name forever)."""
+    from valentine_spark.cdc import ChangelogFollower, apply_delivery, replay
+
+    stream = synth_change_stream(spark, 2_000, 400, seed=21).cache()
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=4)
+    replay(src, stream, batch_lsns=1_000, batch_id_prefix="b", max_lsn=1_999)
+    dst = LakeTable.create(str(tmp_path / "dst"), spark, n_buckets=4)
+    fol = ChangelogFollower(src, str(tmp_path / "ckpt"))
+    d = fol.poll()
+    apply_delivery(dst, d)
+    fol.commit(d)
+    # drift inside ONE window: drop lang, rename content -> lang
+    src.drop_column("lang")
+    src.rename_column("content", "lang")
+    apply_batch(src, synth_change_stream(spark, 200, 100, seed=22)
+                .drop("content").withColumnRenamed("lang", "drop_me")
+                .withColumn("lang", F.lit("x")).drop("drop_me"), "post")
+    d2 = fol.poll()
+    assert d2.schema_changes is not None
+    apply_delivery(dst, d2)
+    fol.commit(d2)
+    assert [f.name for f in dst.schema.fields] == [f.name for f in src.schema.fields]
+    assert dst.state_checksum() == src.state_checksum()
+
+
+def test_resync_recovers_across_nonadditive_drift(spark, tmp_path):
+    """Mirror expired while the source renamed AND dropped columns: the
+    resync delivery must reconcile the mirror's schema (id-diff against
+    source_field_ids) instead of crashing on absent columns."""
+    from valentine_spark.cdc import ChangelogFollower, apply_delivery, replay
+
+    stream = synth_change_stream(spark, 3_000, 500, seed=23).cache()
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=2)
+    replay(src, stream, batch_lsns=1_000, batch_id_prefix="b", max_lsn=2_999)
+    dst = LakeTable.create(str(tmp_path / "dst"), spark, n_buckets=2)
+    fol = ChangelogFollower(src, str(tmp_path / "ckpt"), on_expired="resync")
+    d = fol.poll()
+    apply_delivery(dst, d)
+    fol.commit(d)
+    # non-additive drift while the follower lags...
+    src.rename_column("lang", "language")
+    src.drop_column("content")
+    apply_batch(src, synth_change_stream(spark, 200, 100, seed=24)
+                .withColumnRenamed("lang", "language").drop("content"), "post")
+    # ...and retention removes the follower's base snapshot
+    src.expire_snapshots(keep_last=1)
+    assert not os.path.exists(src._meta_path(d.to_version))
+    d2 = fol.poll()
+    assert d2.resync and d2.source_field_ids is not None
+    apply_delivery(dst, d2)
+    fol.commit(d2)
+    assert [f.name for f in dst.schema.fields] == [f.name for f in src.schema.fields]
+    assert dst.state_checksum() == src.state_checksum()
+
+
+def test_merge_rejects_stale_bucket_layout_hints(spark, tmp_path):
+    """changed_buckets/watermarks computed under an old n_buckets must be
+    rejected when a rebucket() replaced the layout (silently honoring them
+    would prune the wrong files), and apply_batch recomputes + succeeds."""
+    from valentine_spark.cdc import BucketLayoutChangedError
+
+    lake = _mk(spark, tmp_path / "t")  # n_buckets=4
+    batch = synth_change_stream(spark, 500, 300, seed=31)
+    from valentine_spark.cdc.apply import lww_dedup
+
+    winners = lww_dedup(batch)
+    upserts = winners.where(F.col("op") != "delete").select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    deletes = winners.where(F.col("op") == "delete").select("repo", "path", "commit")
+    lake.rebucket(8)
+    with pytest.raises(BucketLayoutChangedError):
+        lake.merge(upserts, deletes, "stale-hints",
+                   changed_buckets=[0, 1, 2, 3], hint_n_buckets=4)
+    # apply_batch recovers by recomputing hints against the fresh layout
+    res = apply_batch(lake, batch, "fresh-hints")
+    assert not res.get("skipped")
+
+
+def test_async_checkpoint_failure_raises_at_flush(spark, tmp_path):
+    from valentine_spark.cdc import ChangelogFollower
+
+    lake = _mk(spark, tmp_path / "t")
+    fol = ChangelogFollower(lake, str(tmp_path / "ckpt"), async_checkpoint=True)
+    d = fol.poll()
+    fol._flush_file = lambda ckpt: (_ for _ in ()).throw(OSError("disk full"))
+    fol.commit(d)  # async write fails in the background thread
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        fol.flush_checkpoint()
+
+
+def test_resync_pinned_to_requested_version_after_evolution(spark, tmp_path):
+    """_resync_delivery must read the REQUESTED snapshot's schema, not the
+    head's — an evolve between them would select absent columns."""
+    from valentine_spark.cdc import ChangelogFollower
+
+    lake = _mk(spark, tmp_path / "t")
+    v_old = lake.version
+    fol = ChangelogFollower(lake, str(tmp_path / "ckpt"), on_expired="resync")
+    apply_batch(lake, synth_change_stream(spark, 300, 200, seed=33), "b2")
+    lake.evolve_schema([T.StructField("stars", T.LongType())], "add")
+    lake.rename_column("lang", "language")
+    # force the expired path, then resync against the PRE-evolution snapshot
+    os.remove(lake._meta_path(0))
+    d = fol.poll(to_version=v_old)
+    assert d.resync
+    assert "language" not in d.df.columns and "lang" in d.df.columns
+    assert "stars" not in d.df.columns
+
+
+def test_stream_reader_field_ids_match_schema_snapshot(spark, tmp_path):
+    """The stream reader's field-id map must come from the SAME snapshot
+    the stream schema came from: a rename committing between the two reads
+    would otherwise silently null that column for the stream's lifetime."""
+    from valentine_spark.streaming.lake_source import LakeChangesDataSource
+
+    lake = _mk(spark, tmp_path / "t")
+    ds = LakeChangesDataSource(options={"path": str(tmp_path / "t")})
+    schema = ds.schema()
+    assert "content" in [f.name for f in schema.fields]
+    lake.rename_column("content", "body")  # race lands between the two reads
+    reader = ds.streamReader(schema)
+    assert "content" in reader._fids and "body" not in reader._fids
+
+
+def test_expire_reclaims_success_marker_dirs(spark, tmp_path):
+    lake = _mk(spark, tmp_path / "t")
+    for i in range(3):
+        apply_batch(lake, synth_change_stream(spark, 500, 300, seed=i), f"r{i}")
+    lake.compact(min_files=1)
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    lake.expire_snapshots(keep_last=1)
+    leftovers = [
+        d for d in os.listdir(data_root)
+        if not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(os.path.join(data_root, d))
+            for f in fs
+        )
+    ]
+    assert leftovers == [], f"orphan marker-only commit dirs survive expiry: {leftovers}"

@@ -22,7 +22,7 @@ from .follow import (
 )
 from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
-from .lake import CommitConflictError, LakeTable, bucket_expr
+from .lake import BucketLayoutChangedError, CommitConflictError, LakeTable, bucket_expr
 from .merge_into import MergeCardinalityError, MergeIntoBuilder
 from .wal import (
     DecodedStream,
@@ -35,6 +35,7 @@ from .wal import (
 
 __all__ = [
     "LakeTable",
+    "BucketLayoutChangedError",
     "CommitConflictError",
     "MergeIntoBuilder",
     "MergeCardinalityError",

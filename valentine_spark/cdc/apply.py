@@ -90,7 +90,13 @@ def lww_dedup_window(events: DataFrame) -> DataFrame:
 
 
 def batch_watermarks(events: DataFrame, n_buckets: int) -> Dict[int, int]:
-    """Per-bucket max lsn of the batch (the high-watermark checkpoint)."""
+    """Per-bucket max lsn of the batch (the high-watermark checkpoint).
+
+    Public helper for custom callers driving ``LakeTable.merge`` directly.
+    ``apply_batch`` deliberately does NOT call it: its ``_bucket_hints``
+    fuses this aggregation with the changed-bucket list into ONE job over
+    the already-shuffled winner set — change watermark semantics (e.g. the
+    rebucket remapping rules) in BOTH places."""
     rows = (
         events.withColumn("_b", bucket_expr(n_buckets))
         .groupBy("_b")
@@ -142,20 +148,19 @@ def apply_batch(
     # SLOWER (materializing ~600B/row content vs recomputing hash exprs).
     from pyspark import StorageLevel
 
+    from .lake import BucketLayoutChangedError
+
     if cache_batch:
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        meta = lake.metadata()
-        n_buckets = meta["n_buckets"]
-
         winners = lww_dedup(events, n_salts=n_salts)
 
-        if watermark_lsn is not None:
-            # lsn-range batch: all buckets advance to the range top; merge
-            # treats every bucket as changed (no stats job needed).
-            changed = list(range(n_buckets))
-            wms = {b: int(watermark_lsn) for b in changed}
-        else:
+        def _bucket_hints(n_buckets: int):
+            if watermark_lsn is not None:
+                # lsn-range batch: all buckets advance to the range top;
+                # merge treats every bucket as changed (no stats job).
+                changed = list(range(n_buckets))
+                return changed, {b: int(watermark_lsn) for b in changed}
             # ONE small job over the (already-shuffled) winner set yields
             # both the changed-bucket list and the per-bucket watermarks.
             # Watermarks from winners can under-report vs the raw batch max
@@ -168,8 +173,13 @@ def apply_batch(
                 .agg(F.max("lsn").alias("wm"))
                 .collect()
             )
-            changed = sorted(int(r["_b"]) for r in bucket_stats)
-            wms = {int(r["_b"]): int(r["wm"]) for r in bucket_stats}
+            return (
+                sorted(int(r["_b"]) for r in bucket_stats),
+                {int(r["_b"]): int(r["wm"]) for r in bucket_stats},
+            )
+
+        n_buckets = lake.metadata()["n_buckets"]
+        changed, wms = _bucket_hints(n_buckets)
 
         schema_cols = [f.name for f in lake.schema.fields]
         upsert_cols = [
@@ -196,19 +206,32 @@ def apply_batch(
                 "deletes": int(m["deletes"] or 0),
                 "keys_touched": int(m["keys_touched"] or 0),
             }
-        return lake.merge(
-            upserts,
-            deletes,
-            batch_id,
-            batch_watermarks=wms,
-            lineage=lineage,
-            changed_buckets=changed,
-            mode=mode,
-            # raw batch keys = the winners' key set, recomputable by a
-            # column-pruned source scan instead of an LWW reduction — the
-            # pruning and anti-join jobs use this (see LakeTable.merge)
-            touched_hint=events,
-        )
+        while True:
+            try:
+                return lake.merge(
+                    upserts,
+                    deletes,
+                    batch_id,
+                    batch_watermarks=wms,
+                    lineage=lineage,
+                    changed_buckets=changed,
+                    mode=mode,
+                    # raw batch keys = the winners' key set, recomputable by
+                    # a column-pruned source scan instead of an LWW
+                    # reduction — the pruning and anti-join jobs use this
+                    # (see LakeTable.merge)
+                    touched_hint=events,
+                    # bucket ids above are relative to THIS layout; merge
+                    # raises BucketLayoutChangedError instead of silently
+                    # honoring them if a rebucket() replaced it in between
+                    hint_n_buckets=n_buckets,
+                )
+            except BucketLayoutChangedError:
+                # recompute the layout-relative hints against the new
+                # layout and retry; bounded in practice by how often a
+                # maintenance rebucket can land mid-batch
+                n_buckets = lake.metadata()["n_buckets"]
+                changed, wms = _bucket_hints(n_buckets)
     finally:
         if cache_batch:
             events.unpersist()

@@ -94,6 +94,13 @@ class Delivery:
     # rename/drop propagates as the same metadata-only op instead of
     # becoming a spurious added column + a stale orphan (see apply_delivery).
     schema_changes: Optional[dict] = field(default=None, compare=False)
+    # resync only: the source's CURRENT field-id map (name -> id).  A
+    # resync window has no FROM snapshot to diff, so the sink reconciles
+    # non-additive drift by diffing these ids against its OWN map — without
+    # them a mirror that diverged while expired (source renamed/dropped a
+    # column) would select absent columns and crash in the one path meant
+    # to recover it.
+    source_field_ids: Optional[dict] = field(default=None, compare=False)
 
     @property
     def token(self) -> str:
@@ -137,6 +144,7 @@ class ChangelogFollower:
         # sync checkpoint gives for a crash between effect and commit.
         self.async_checkpoint = async_checkpoint
         self._writer: Optional[threading.Thread] = None
+        self._writer_error: Optional[BaseException] = None
         self._ckpt_cache: Optional[dict] = None
         self._ckpt_path = os.path.join(checkpoint_dir, f"{consumer_id}.json")
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -169,20 +177,36 @@ class ChangelogFollower:
 
     def _write_ckpt(self, ckpt: dict) -> None:
         self._ckpt_cache = ckpt
-        self.flush_checkpoint()  # at most one write in flight
+        self.flush_checkpoint()  # at most one write in flight; raises if it failed
         if self.async_checkpoint:
-            self._writer = threading.Thread(
-                target=self._flush_file, args=(ckpt,), daemon=True
-            )
+
+            def _run() -> None:
+                try:
+                    self._flush_file(ckpt)
+                except BaseException as e:  # surfaced at the next flush/join
+                    self._writer_error = e
+
+            self._writer = threading.Thread(target=_run, daemon=True)
             self._writer.start()
         else:
             self._flush_file(ckpt)
 
     def flush_checkpoint(self) -> None:
-        """Block until any in-flight async checkpoint write is durable."""
+        """Block until any in-flight async checkpoint write is durable.
+        Re-raises a failed async write (ENOSPC, permissions): a writer
+        thread dying silently would let the caller report success while the
+        on-disk position is arbitrarily stale — the documented 'caught-up
+        position is on disk at exit' guarantee must fail loudly instead."""
         if self._writer is not None:
             self._writer.join()
             self._writer = None
+        if self._writer_error is not None:
+            err, self._writer_error = self._writer_error, None
+            raise RuntimeError(
+                f"async checkpoint write failed for consumer "
+                f"{self.consumer_id!r}: {err!r} (on-disk position is stale; "
+                "the in-memory position was NOT persisted)"
+            ) from err
 
     @property
     def position(self) -> int:
@@ -202,23 +226,35 @@ class ChangelogFollower:
         current = self.lake.version if to_version is None else to_version
         if current <= pos:
             return None
-        if not os.path.exists(self.lake._meta_path(pos)):
-            if self.on_expired == "error":
-                raise SnapshotExpiredError(
-                    f"consumer {self.consumer_id!r} is positioned on expired "
-                    f"snapshot v{pos} (lake retains from a later version); "
-                    f"re-attach with on_expired='resync' or reset the checkpoint"
-                )
-            return self._resync_delivery(current)
-        df = self.lake.changes(pos, current, include_before=self.include_before)
+        try:
+            # existence check + changes() + the metadata reads below are all
+            # inside one guard: retention can delete v{pos}.json BETWEEN the
+            # check and any later read (TOCTOU) — a raw FileNotFoundError
+            # escaping here would bypass the resync recovery path in exactly
+            # the lagging-consumer situation it exists for
+            if not os.path.exists(self.lake._meta_path(pos)):
+                raise FileNotFoundError(self.lake._meta_path(pos))
+            df = self.lake.changes(pos, current, include_before=self.include_before)
+            meta_to = self.lake.metadata(current)
+            meta_from = self.lake.metadata(pos)
+        except FileNotFoundError:
+            if os.path.exists(self.lake._meta_path(current)):
+                # only the FROM endpoint can expire (current is retained);
+                # anything else is a real error and propagates below
+                if self.on_expired == "error":
+                    raise SnapshotExpiredError(
+                        f"consumer {self.consumer_id!r} is positioned on expired "
+                        f"snapshot v{pos} (lake retains from a later version); "
+                        f"re-attach with on_expired='resync' or reset the checkpoint"
+                    )
+                return self._resync_delivery(current)
+            raise
         # a window crossing a rebucket() mixes two bucket layouts: the
         # manifest-diff ids are not a valid pruning hint for the sink's
         # layout, so drop the hint (the sink falls back to its distributed
         # distinct-buckets path — correct, one-time cost at the boundary)
         from .lake import _field_meta
 
-        meta_to = self.lake.metadata(current)
-        meta_from = self.lake.metadata(pos)
         to_n = meta_to["n_buckets"]
         crossed = meta_from["n_buckets"] != to_n
         # non-additive drift inside the window, by field id: a column whose
@@ -248,16 +284,32 @@ class ChangelogFollower:
         )
         return Delivery(
             df, pos, current, self.consumer_id,
+            # same diff as changed_buckets_between, over the endpoint metas
+            # already in hand (no re-read on the per-poll serial path)
             changed_buckets=(
                 None if crossed
-                else self.lake.changed_buckets_between(pos, current)
+                else sorted(
+                    int(b)
+                    for b in set(meta_to["buckets"]) | set(meta_from["buckets"])
+                    if meta_from["buckets"].get(b) != meta_to["buckets"].get(b)
+                )
             ),
             source_n_buckets=to_n,
             schema_changes=changes,
         )
 
     def _resync_delivery(self, current: int) -> Delivery:
-        schema = self.lake.schema
+        from pyspark.sql import types as T
+
+        from .lake import _field_meta
+
+        # schema and field ids pinned to the snapshot actually being read:
+        # self.lake.schema is the HEAD schema, which diverges when a
+        # schema-evolving commit lands mid-poll (or with an explicit older
+        # to_version) — selecting head names from read(version=current)
+        # would raise
+        meta = self.lake.metadata(current)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
         nonkey = [f.name for f in schema.fields if f.name not in KEY_COLS]
         df = self.lake.read(version=current).select(
             F.lit("insert").alias("change_op"),
@@ -266,7 +318,10 @@ class ChangelogFollower:
         if self.include_before:
             for c in nonkey:
                 df = df.withColumn(f"_before_{c}", F.lit(None).cast(schema[c].dataType))
-        return Delivery(df, None, current, self.consumer_id, resync=True)
+        return Delivery(
+            df, None, current, self.consumer_id, resync=True,
+            source_field_ids=dict(_field_meta(meta)[0]),
+        )
 
     def commit(self, delivery: Delivery) -> None:
         """Advance the checkpoint past ``delivery``.  Rejects stale or
@@ -352,7 +407,29 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
     sc = delivery.schema_changes or {}
     note = f"mirrored from delivery {delivery.token}"
     renamed = dict(sc.get("renamed") or {})
-    if renamed or sc.get("dropped"):
+    rn_ids = dict(sc.get("renamed_ids") or {})
+    dropped = list(sc.get("dropped") or [])
+    dr_ids = dict(sc.get("dropped_ids") or {})
+    if delivery.resync and delivery.source_field_ids:
+        # a resync window has no FROM snapshot, so derive the drift by
+        # diffing the source's CURRENT ids against the target's own map: a
+        # target id living under a different source name was renamed; a
+        # target id absent from the source was dropped.  Without this, a
+        # mirror that diverged while expired would select absent columns
+        # below and crash in the one path meant to recover it.
+        from .lake import _field_meta
+
+        t_fids_now = _field_meta(target.metadata())[0]
+        src_by_id = {i: n for n, i in delivery.source_field_ids.items()}
+        for tname, i in t_fids_now.items():
+            if i in src_by_id:
+                if src_by_id[i] != tname:
+                    renamed[tname] = src_by_id[i]
+                    rn_ids[tname] = i
+            else:
+                dropped.append(tname)
+                dr_ids[tname] = i
+    if renamed or dropped:
         from .lake import _field_meta
 
         # resolve every pair against the TARGET's own field-id map: a
@@ -365,16 +442,28 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
         # column to drop even when the mirror is mid-dance.
         t_fids = _field_meta(target.metadata())[0]
         by_id = {i: n for n, i in t_fids.items()}
-        rn_ids = sc.get("renamed_ids") or {}
+        names = set(t_fids)
+        # drops FIRST: a window can drop 'a' and rename 'b' into the freed
+        # name — applying renames first would see 'a' occupied forever
+        # (the park-on-temp fallback then livelocks on its own temp name).
+        # Dropped ids are disjoint from renamed ids (endpoint diff), so
+        # dropping never removes a rename operand; it only frees names.
+        for name in dropped:
+            i = dr_ids.get(name)
+            cur = by_id.get(i) if i is not None else (
+                name if name in names else None
+            )
+            if cur is not None and cur in names:
+                target.drop_column(cur, note=note)
+                names.discard(cur)
         pending: dict = {}
         for old, new in renamed.items():
             i = rn_ids.get(old)
             cur = by_id.get(i) if i is not None else (
                 old if old in t_fids else None  # legacy delivery: by name
             )
-            if cur is not None and cur != new:
+            if cur is not None and cur != new and cur in names:
                 pending[cur] = new
-        names = set(t_fids)
         # apply every unblocked pair; when only blocked pairs remain
         # (a cycle), park one member on a deterministic temp.  Idempotent:
         # on replay the id map re-derives each pair's true current name
@@ -394,15 +483,6 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
             target.rename_column(cur, tmp, note=note)
             names = (names - {cur}) | {tmp}
             pending[tmp] = pending.pop(cur)
-        dr_ids = sc.get("dropped_ids") or {}
-        for name in sc.get("dropped") or []:
-            i = dr_ids.get(name)
-            cur = by_id.get(i) if i is not None else (
-                name if name in names else None
-            )
-            if cur is not None and cur in names:
-                target.drop_column(cur, note=note)
-                names.discard(cur)
     by_name = {f.name: f for f in delivery.df.schema.fields}
     have = {f.name for f in target.schema.fields}
     new_cols = [
@@ -414,10 +494,23 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
             [T.StructField(c, by_name[c].dataType) for c in new_cols],
             note=f"mirrored from delivery {delivery.token}",
         )
-    cols = [f.name for f in target.schema.fields]
+    target_schema = target.schema
+    cols = [f.name for f in target_schema.fields]
     df = delivery.df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        upserts = df.where(F.col("change_op") != "delete").select(*cols)
+        if delivery.resync:
+            # last-resort shape safety: a legacy resync delivery (no
+            # source_field_ids) against a drifted mirror can leave target
+            # columns the delivery doesn't carry — resync is replace-all,
+            # so null-fill them rather than crash the recovery path
+            sel = [
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(target_schema[c].dataType).alias(c)
+                for c in cols
+            ]
+        else:
+            sel = [F.col(c) for c in cols]
+        upserts = df.where(F.col("change_op") != "delete").select(*sel)
         deletes = df.where(F.col("change_op") == "delete").select(*KEY_COLS)
         changed = (
             delivery.changed_buckets
@@ -425,8 +518,23 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
             and delivery.source_n_buckets == target.metadata()["n_buckets"]
             else None
         )
-        return target.merge(upserts, deletes, batch_id=delivery.token,
-                            changed_buckets=changed)
+        from .lake import BucketLayoutChangedError
+
+        try:
+            return target.merge(
+                upserts, deletes, batch_id=delivery.token,
+                changed_buckets=changed,
+                hint_n_buckets=(
+                    delivery.source_n_buckets if changed is not None else None
+                ),
+            )
+        except BucketLayoutChangedError:
+            # a rebucket() committed on the TARGET between the equality
+            # check above and the merge's own snapshot read: the hint's
+            # bucket ids are from the old layout — retry without it (the
+            # merge falls back to its distributed distinct-buckets job)
+            return target.merge(upserts, deletes, batch_id=delivery.token,
+                                changed_buckets=None)
     finally:
         df.unpersist()
 

@@ -212,6 +212,17 @@ class CommitConflictError(RuntimeError):
     sustained conflicting write pressure on the same buckets."""
 
 
+class BucketLayoutChangedError(RuntimeError):
+    """The caller's ``changed_buckets`` / ``batch_watermarks`` hint was
+    computed against a bucket layout (``n_buckets``) that a concurrent
+    ``rebucket()`` has since replaced.  Bucket ids are layout-relative, so
+    silently honoring the hint would prune the WRONG file set (old rows
+    surviving beside new ones in clean buckets) and advance watermarks on
+    the wrong buckets (resume skipping unapplied events).  Callers
+    recompute their hints against the fresh snapshot (``apply_batch`` does
+    this automatically) or retry without hints."""
+
+
 class _SkipCommit(Exception):
     """Raised by a commit builder when rebasing discovers the work is
     already done (the batch id landed via a concurrent writer)."""
@@ -240,6 +251,19 @@ def _field_meta(meta: dict) -> Tuple[Dict[str, int], List[list]]:
     fids = meta.get("field_ids") or {n: i for i, n in enumerate(names)}
     log = meta.get("schema_log") or [[0, {str(fids[n]): n for n in names}]]
     return fids, log
+
+
+def _next_field_id(meta: dict, fids: Dict[str, int], log: List[list]) -> int:
+    """Smallest field id never used anywhere in the table's history: above
+    every current id, every id recorded in any schema-log era, and the
+    persisted ``last_field_id`` high-water mark (the Iceberg last-column-id
+    analogue — it survives restore(), whose target snapshot's log may
+    predate later eras that consumed higher ids)."""
+    used = [int(meta.get("last_field_id", -1))]
+    used.extend(fids.values())
+    for _v, names in log:
+        used.extend(int(i) for i in names)
+    return max(used, default=-1) + 1
 
 
 def _era_names(log: List[list], seq: int) -> Dict[str, str]:
@@ -447,8 +471,19 @@ class LakeTable:
         forward while the next snapshot file exists.  Snapshot files are
         published atomically and versions are contiguous, which makes the
         walk exact; the hint keeps it O(1) in steady state."""
-        with open(self._current_path()) as fh:
-            v = int(fh.read().strip())
+        try:
+            with open(self._current_path()) as fh:
+                v = int(fh.read().strip())
+        except FileNotFoundError:
+            # bootstrap crash window: create() died after publishing
+            # v0.json but before the first CURRENT write (for v1+ the old
+            # CURRENT exists and the walk recovers, but v0 has no older
+            # pointer to start from).  v0.json itself is complete —
+            # snapshot files are published atomically — so start the walk
+            # at 0; a missing v0 really is a missing table.
+            if not os.path.exists(self._meta_path(0)):
+                raise
+            v = 0
         while os.path.exists(self._meta_path(v + 1)):
             v += 1
         return v
@@ -1155,6 +1190,7 @@ class LakeTable:
         changed_buckets: Optional[List[int]] = None,
         mode: Optional[str] = None,
         touched_hint: Optional[DataFrame] = None,
+        hint_n_buckets: Optional[int] = None,
     ) -> dict:
         """Key-partitioned MERGE: ``upserts`` (full rows, one per key) replace
         or insert; ``deletes`` (key rows) remove.  Exactly one row per key per
@@ -1198,6 +1234,18 @@ class LakeTable:
             meta = self.metadata()
             if self.is_applied(batch_id, meta):
                 return {"batch_id": batch_id, "skipped": True, "version": meta["version"]}
+            # bucket ids in caller-supplied hints are layout-relative: if a
+            # concurrent rebucket() replaced the layout the caller computed
+            # them under, honoring them would prune the wrong files and
+            # advance the wrong watermarks — fail to the caller, which
+            # recomputes against the fresh snapshot
+            if hint_n_buckets is not None and hint_n_buckets != meta["n_buckets"]:
+                raise BucketLayoutChangedError(
+                    f"hints computed for n_buckets={hint_n_buckets} but the "
+                    f"table now has n_buckets={meta['n_buckets']} "
+                    "(concurrent rebucket); recompute changed_buckets / "
+                    "batch_watermarks against the current snapshot"
+                )
             try:
                 return self._merge_once(
                     meta, upserts, deletes, batch_id, batch_watermarks,
@@ -1263,10 +1311,35 @@ class LakeTable:
         # new commit version, flipping the read-time winner.  Resolve those
         # buckets first (a semantics-preserving compaction commit), then run
         # the normal COW body against single-version state.
-        dirty_changed = [b for b in changed if str(b) in meta.get("dirty", {})]
-        if dirty_changed:
+        # loop, not a single pass: a concurrent MoR commit can land in
+        # ANOTHER changed bucket while the compact's Spark job runs, so the
+        # re-read snapshot may be dirty again in buckets the first pass saw
+        # clean — running the COW body over one would rewrite multi-version
+        # state flat (both versions of an untouched key would survive the
+        # anti-join and re-stamp at the new version, making the read-time
+        # winner arbitrary).  Exit only on a snapshot where NO changed
+        # bucket is dirty; any MoR commit that dirties one AFTER that
+        # snapshot conflicts at install via _validate_base.
+        for _ in range(_BODY_ATTEMPTS):
+            dirty_changed = [b for b in changed if str(b) in meta.get("dirty", {})]
+            if not dirty_changed:
+                break
             self.compact(buckets=dirty_changed, min_files=1)
             meta = self.metadata()
+            if meta["n_buckets"] != n_buckets:
+                # a rebucket() landed while the compact ran: the batch's
+                # stamped bucket/khash columns and `changed` are from the
+                # old layout — re-run the whole body on the fresh snapshot
+                raise CommitConflictError(
+                    "bucket layout changed (concurrent rebucket) during "
+                    "dirty-bucket resolution"
+                )
+        else:
+            raise CommitConflictError(
+                f"changed buckets still dirty after {_BODY_ATTEMPTS} "
+                "compaction passes (sustained concurrent MoR writes): "
+                f"{[b for b in changed if str(b) in meta.get('dirty', {})]}"
+            )
         commit = {
             "batch_id": batch_id,
             "changed_buckets": changed,
@@ -1608,9 +1681,11 @@ class LakeTable:
                 )
                 manifest_buckets[str(b)] = entries
                 bucket_map[str(b)] = manifest_rel
-                # multi-version state iff older files could hold a now-
-                # superseded or now-deleted version of a key this commit wrote
-                if existing and (b in new_files or b in tomb_files):
+                # multi-version state iff the bucket had prior files (every
+                # b in this loop received new data or tombstones, so older
+                # files could hold a now-superseded or now-deleted version
+                # of a key this commit wrote)
+                if existing:
                     dirty[str(b)] = True
             if manifest_buckets:
                 segments.append((manifest_rel, {"buckets": manifest_buckets}))
@@ -1658,7 +1733,15 @@ class LakeTable:
             # because adds append)
             if base.get("field_ids") is not None:
                 fids, log = _field_meta(base)
-                next_id = max(fids.values(), default=-1) + 1
+                # never-reused means never-reused across the table's WHOLE
+                # history, not just the current schema: after drop_column
+                # retires the max id, max(fids) would hand it back to the
+                # next add and _era_colmap would serve the dropped column's
+                # stale bytes under the new name.  The high-water mark
+                # spans the current ids, every schema-log era, and the
+                # persisted last_field_id (which restore() carries across
+                # rollbacks).
+                next_id = _next_field_id(base, fids, log)
                 for f in added:
                     fids[f.name] = next_id
                     next_id += 1
@@ -1666,6 +1749,7 @@ class LakeTable:
                 new_meta["schema_log"] = log + [
                     [new_version, {str(i): n for n, i in fids.items()}]
                 ]
+                new_meta["last_field_id"] = next_id - 1
             return new_meta, segments, entry
 
         self._commit_loop(self.metadata(), build)
@@ -1868,31 +1952,38 @@ class LakeTable:
             parts.append(
                 self._resolved_files(mor_data, mor_tombs, schema, meta["n_buckets"], meta=meta)
             )
-        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         known = {f.name for f in schema.fields}
         for c in sort_cols or []:
             if c not in known:
                 raise KeyError(f"sort column {c!r} not in table schema {sorted(known)}")
-        if zorder:
-            from .clustering import zorder_column
+        if parts:
+            df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            if zorder:
+                from .clustering import zorder_column
 
-            order = [
-                F.col(BUCKET_COL),
-                zorder_column(df, list(sort_cols or []), schema),
-                F.col(KHASH_COL),
-            ]
+                order = [
+                    F.col(BUCKET_COL),
+                    zorder_column(df, list(sort_cols or []), schema),
+                    F.col(KHASH_COL),
+                ]
+            else:
+                order = [BUCKET_COL, *(sort_cols or []), KHASH_COL]
+            (
+                df.repartition(len(todo), F.col(BUCKET_COL))
+                .sortWithinPartitions(*order)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
+                .options(**_bloom_opts(meta))
+                .partitionBy(BUCKET_COL)
+                .parquet(out_dir)
+            )
+            new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
         else:
-            order = [BUCKET_COL, *(sort_cols or []), KHASH_COL]
-        (
-            df.repartition(len(todo), F.col(BUCKET_COL))
-            .sortWithinPartitions(*order)
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", meta.get("target_file_rows", 1_000_000))
-            .options(**_bloom_opts(meta))
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
-        )
-        new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
+            # every qualifying bucket holds only clean-bucket tombstones
+            # (deletes of never-present keys): nothing to read or rewrite —
+            # the commit simply drops those entries (semantics-free, they
+            # suppress nothing) and GC reclaims the files
+            new_files = {}
         read_meta = meta
         entry_base = {
             "compaction": sorted(todo),
@@ -2034,13 +2125,19 @@ class LakeTable:
         matched = 0
         rel_dir = os.path.join("data", f"c-{_uid()}")
         if parts:
+            from pyspark.sql import Observation
+
             df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
             resid = None
             for col, op, val in preds:
                 c = _PRED_EXPRS[op](F.col(col), F.lit(val))
                 resid = c if resid is None else (resid & c)
             hit = F.coalesce(resid, F.lit(False))  # NULL predicate = not matched
-            matched = df.where(hit).count()
+            # rows_matched rides the write job as an observed metric — a
+            # separate count() action would scan every candidate file
+            # (and re-run the dirty-bucket resolution shuffle) twice
+            obs = Observation()
+            df = df.observe(obs, F.count(F.when(hit, True)).alias("matched"))
             if set_values:
                 # ONE projection so every SET expression and the predicate
                 # see the ORIGINAL row (SQL UPDATE semantics) — sequential
@@ -2072,6 +2169,14 @@ class LakeTable:
                 .parquet(out_dir)
             )
             new_files = self._new_file_stats(out_dir, rel_dir, stats_cols=meta.get("stats_cols"))
+            try:
+                matched = int(obs.get["matched"])  # write action already ran
+            except Exception:
+                # zero-output writes (e.g. a delete matching every row) never
+                # deliver the observed-metrics row (Spark 4.1: toPyRow
+                # asserts on the empty sink's missing metrics); this rare
+                # path pays the second scan the observation exists to avoid
+                matched = df.where(hit).count()
         read_meta = meta
         entry_base = {
             "mutation": op_name,
@@ -2340,6 +2445,35 @@ class LakeTable:
             )
             new_meta["schema"] = target["schema"]
             new_meta["n_buckets"] = target["n_buckets"]
+            # the schema-evolution metadata must travel WITH the schema: a
+            # rename/drop between target and head leaves the current
+            # field_ids keyed by names the restored schema doesn't have
+            # (every read would KeyError), and the current schema_log's
+            # later eras describe files the restored bucket map no longer
+            # references.  The restored snapshot therefore takes the
+            # target's field_ids / schema_log / stats_cols / bloom_cols
+            # verbatim — files visible after the restore were all committed
+            # at seq <= target version, so the target's log resolves every
+            # one of them exactly as it did then, and post-restore writes
+            # resolve through its last era (whose names ARE the restored
+            # schema).  last_field_id keeps the MAX of both lineages so a
+            # post-restore evolve_schema can never re-issue an id consumed
+            # by an abandoned later era (stale same-named bytes would
+            # otherwise resurrect through _era_colmap).
+            for k in ("field_ids", "schema_log", "stats_cols", "bloom_cols"):
+                if target.get(k) is not None:
+                    new_meta[k] = target[k]
+                else:
+                    new_meta.pop(k, None)
+            hw = max(int(base.get("last_field_id", -1)),
+                     int(target.get("last_field_id", -1)))
+            t_fids, t_log = _field_meta(target)
+            if base.get("field_ids") is not None:
+                b_fids, b_log = _field_meta(base)
+                hw = max(hw, _next_field_id(base, b_fids, b_log) - 1)
+            if target.get("field_ids") is not None or hw >= 0:
+                hw = max(hw, _next_field_id(target, t_fids, t_log) - 1)
+                new_meta["last_field_id"] = hw
             return new_meta, segments, entry
 
         return self._commit_loop(self.metadata(), build)
@@ -2489,12 +2623,26 @@ class LakeTable:
         return tag
 
     def tag_version(self, name: str) -> int:
-        """Snapshot version a tag pins (read it via ``read(version=...)``)."""
+        """Snapshot version a tag pins (read it via ``read(version=...)``).
+
+        Version numbers are per-ref (each ref has its own snapshot chain),
+        so a tag is only resolvable from a handle on the ref it was created
+        on — resolving a branch tag through a main handle would silently
+        read main's same-numbered snapshot, a completely different table
+        state.  A ref mismatch therefore raises; open
+        ``LakeTable(root, spark, ref=<tag ref>)`` to read it."""
         path = os.path.join(self._tags_dir(), f"{name}.json")
         if not os.path.exists(path):
             raise FileNotFoundError(f"no tag {name!r} at {self.root!r}")
         with open(path) as fh:
-            return int(json.load(fh)["version"])
+            tag = json.load(fh)
+        tref = tag.get("ref", "main")
+        if tref != self.ref:
+            raise ValueError(
+                f"tag {name!r} pins v{tag['version']} on ref {tref!r}, not "
+                f"{self.ref!r}; open LakeTable(root, spark, ref={tref!r}) to read it"
+            )
+        return int(tag["version"])
 
     def list_tags(self) -> List[dict]:
         out = []
@@ -2694,7 +2842,22 @@ class LakeTable:
         for d in sorted(_glob.glob(os.path.join(data_root, "*", "*", "*")) +
                         _glob.glob(os.path.join(data_root, "*", "*")) +
                         _glob.glob(os.path.join(data_root, "*")), reverse=True):
-            if os.path.isdir(d) and not os.listdir(d):
+            if not os.path.isdir(d):
+                continue
+            # Spark's committer leaves _SUCCESS (and sometimes .crc)
+            # markers beside the parquet files; once every data file in a
+            # commit dir is expired, those markers are the only thing
+            # keeping the dir alive — without this sweep a long-running
+            # table accumulates one orphan dir tree per historical commit.
+            # Directories (bucket=N subdirs) never match the marker test,
+            # so a dir with any live content is untouched.
+            leftover = os.listdir(d)
+            if leftover and all(n.startswith(("_", ".")) for n in leftover):
+                for n in leftover:
+                    p = os.path.join(d, n)
+                    if os.path.isfile(p):
+                        os.remove(p)
+            if not os.listdir(d):
                 os.rmdir(d)
         # snapshot JSONs (v{N}.json) are PER-REF: only this handle's chain is
         # eligible; shared manifests/segments live flat under metadata/ and
@@ -2919,13 +3082,29 @@ class LakeTable:
     def state_checksum(self) -> dict:
         """Order-insensitive table-state checksum: row count + sum of the
         first 15 hex digits of sha256(repo|path|commit|content) per row —
-        computed entirely JVM-side; identical across any partitioning."""
+        computed entirely JVM-side; identical across any partitioning.
+
+        Hashed columns are the key columns plus ``content`` (the
+        reference's per-row sha256 invariant) — NOT every column, so the
+        value is stable under additive evolution of other columns.  When
+        ``content`` itself was renamed or dropped, the remaining non-key
+        columns are hashed instead, in schema order, cast to string
+        (rename/drop are metadata-only everywhere else; the checksum must
+        not crash on an evolved schema, though its value naturally changes
+        with what it measures)."""
         df = self.read()
-        if not df.columns:
-            return {"rows": 0, "checksum": 0}
+        payload = (
+            [F.coalesce(F.col("content"), F.lit(""))]
+            if "content" in df.columns
+            else [
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in df.columns
+                if c not in KEY_COLS
+            ]
+        )
         row_hash = F.sha2(
             F.concat_ws("\x1f", F.col("repo"), F.col("path"), F.col("commit"),
-                        F.coalesce(F.col("content"), F.lit(""))),
+                        *payload),
             256,
         )
         agg = df.select(

@@ -94,8 +94,15 @@ def _read_meta(root: str, version: Optional[int] = None) -> dict:
         # CURRENT is a hint: a committer can crash (or lag) between
         # publishing v{N}.json and advancing the pointer — walk forward to
         # the newest contiguous snapshot, mirroring LakeTable._latest_version
-        with open(os.path.join(root, "metadata", "CURRENT")) as fh:
-            version = int(fh.read().strip())
+        # (including its bootstrap fallback: create() can die after
+        # publishing v0.json but before the first CURRENT write)
+        try:
+            with open(os.path.join(root, "metadata", "CURRENT")) as fh:
+                version = int(fh.read().strip())
+        except FileNotFoundError:
+            if not os.path.exists(os.path.join(root, "metadata", "v0.json")):
+                raise
+            version = 0
         while os.path.exists(os.path.join(root, "metadata", f"v{version + 1}.json")):
             version += 1
     path = os.path.join(root, "metadata", f"v{version}.json")
@@ -128,7 +135,8 @@ class BucketDiffPartition(InputPartition):
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
-    def __init__(self, schema: T.StructType, options: dict):
+    def __init__(self, schema: T.StructType, options: dict,
+                 schema_meta: Optional[dict] = None):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("lake_changes requires .load(<lake root path>)")
@@ -149,10 +157,18 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         # field ids of the query-start schema: files written under OLDER
         # column names (rename_column never rewrites data) map back to the
         # stream's fixed names by id (see _with_colmaps); same id contract
-        # as LakeTable._read_files
+        # as LakeTable._read_files.  The ids MUST come from the same
+        # snapshot the stream schema came from (schema_meta, stashed by
+        # LakeChangesDataSource.schema()): re-reading CURRENT here would
+        # race a rename committing between the two reads — ids keyed by the
+        # new name against a fixed schema holding the old one silently
+        # nulls that column for the stream's whole run.  Fallback to
+        # CURRENT only when no stash exists (user-supplied schema path).
         from valentine_spark.cdc.lake import _field_meta
 
-        self._fids = _field_meta(_read_meta(self.root))[0]
+        self._fids = _field_meta(
+            schema_meta if schema_meta is not None else _read_meta(self.root)
+        )[0]
 
     # -- offsets -----------------------------------------------------------
 
@@ -378,6 +394,10 @@ class LakeChangesDataSource(DataSource):
         if not root:
             raise ValueError("lake_changes requires .load(<lake root path>)")
         meta = _read_meta(root)
+        # stash for streamReader(): the reader's field-id map must be
+        # resolved against THIS snapshot, not a fresh CURRENT read (a
+        # rename committing in between would desynchronize ids and names)
+        self._schema_meta = meta
         table_schema = T.StructType.fromJson(json.loads(meta["schema"]))
         fields = [T.StructField("change_op", T.StringType(), False)] + list(
             table_schema.fields
@@ -394,7 +414,10 @@ class LakeChangesDataSource(DataSource):
         return T.StructType(fields)
 
     def streamReader(self, schema: T.StructType) -> LakeChangesStreamReader:
-        return LakeChangesStreamReader(schema, dict(self.options))
+        return LakeChangesStreamReader(
+            schema, dict(self.options),
+            schema_meta=getattr(self, "_schema_meta", None),
+        )
 
 
 def register_lake_changes(spark: SparkSession) -> None:
