@@ -273,6 +273,69 @@ def test_stream_reader_field_ids_match_schema_snapshot(spark, tmp_path):
     assert "content" in reader._fids and "body" not in reader._fids
 
 
+def test_merge_into_coerces_source_key_types(spark, tmp_path):
+    """Source key columns arriving with the wrong dtype (int commit ids)
+    must hash like the stored strings — otherwise the match is silently
+    missed and an insert clause writes a duplicate beside the original."""
+    lake = LakeTable.create(str(tmp_path / "t"), spark, n_buckets=4)
+    base = spark.createDataFrame(
+        [("r1", "p1", "42", "py", "old")],
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("op_ts", F.lit(1)).withColumn("lsn", F.lit(1)).withColumn("op", F.lit("upsert"))
+    apply_batch(lake, base, "b1")
+    src = spark.createDataFrame(
+        [("r1", "p1", 42, "py", "new")],
+        "repo string, path string, commit int, lang string, content string",
+    )
+    res = (lake.merge_into(src)
+           .when_matched_update({"content": F.col("s.content")})
+           .when_not_matched_insert()
+           .execute(batch_id="m1"))
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    rows = lake.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "new"
+
+
+def test_merge_into_rejects_null_source_keys(spark, tmp_path):
+    """NULL key columns would match via eqNullSafe but never confirm in
+    the pruning equi-join — reject them up front instead of silently
+    mis-classifying the row."""
+    from valentine_spark.cdc import MergeCardinalityError
+
+    lake = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame(
+        [("r1", None, "c1", "py", "x")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with pytest.raises(MergeCardinalityError, match="NULL key"):
+        lake.merge_into(src).when_not_matched_insert().execute()
+
+
+def test_ivm_integer_sums_exact_past_double_precision(spark, tmp_path):
+    """Sum measures over integral columns must be exact: a double
+    accumulator silently rounds totals past 2^53 (the docstring's
+    'integer measures are exact' promise)."""
+    from valentine_spark.cdc import aggregate_delta, init_aggregate, maintain_aggregate
+
+    big = (1 << 53) + 1  # not representable as a double
+    state = spark.createDataFrame(
+        [("r1", "p1", "c1", "py", big), ("r2", "p2", "c2", "py", 3)],
+        "repo string, path string, commit string, lang string, sz long",
+    )
+    agg = init_aggregate(state, ["lang"], {"total": ("sum", "sz")})
+    row = agg.collect()[0]
+    assert row["total"] == big + 3  # exact, not 2^53 + 4.0
+    assert dict(agg.dtypes)["total"] == "bigint"
+    # delta maintenance stays exact too
+    chg = spark.createDataFrame(
+        [("insert", "r3", "p3", "c3", "py", 1, None, None)],
+        "change_op string, repo string, path string, commit string, "
+        "lang string, sz long, _before_lang string, _before_sz long",
+    )
+    agg2 = maintain_aggregate(agg, chg, ["lang"], {"total": ("sum", "sz")})
+    assert agg2.collect()[0]["total"] == big + 4
+
+
 def test_expire_reclaims_success_marker_dirs(spark, tmp_path):
     lake = _mk(spark, tmp_path / "t")
     for i in range(3):

@@ -25,7 +25,9 @@ absent.
 
 Numeric caveat: float sums maintained incrementally accumulate the usual
 reassociation error relative to a from-scratch recompute; integer/decimal
-measures are exact (the tests pin integer equality).
+measures are exact (the tests pin integer equality) — integral sources
+accumulate in LONG and decimals widen to precision 38 (see ``_sum_type``;
+a double accumulator would silently round integer totals past 2^53).
 """
 
 from __future__ import annotations
@@ -40,6 +42,24 @@ from .generator import KEY_COLS
 __all__ = ["aggregate_delta", "maintain_aggregate", "init_aggregate"]
 
 _GROUP_N = "_n"  # hidden per-group row count: decides group liveness
+
+
+def _sum_type(df: DataFrame, col: str):
+    """Accumulator type for a sum measure over ``col`` — chosen so the
+    docstring's exactness promise actually holds: integral sources sum in
+    LONG (exact; ANSI mode raises on the astronomically-unlikely 2^63
+    overflow instead of wrapping), decimals widen to precision 38 with
+    their own scale (exact), everything else sums in double (the
+    documented float reassociation caveat).  A blanket double cast would
+    silently round integer totals past 2^53."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T.LongType()
+    if isinstance(dt, T.DecimalType):
+        return T.DecimalType(38, dt.scale)
+    return T.DoubleType()
 
 
 def _measure_exprs(measures: Dict[str, Tuple[str, Optional[str]]]):
@@ -85,7 +105,12 @@ def _side_contrib(
         if agg == "count":
             cols.append(F.lit(sign).cast("long").alias(out))
         else:
-            cols.append((F.lit(sign) * F.coalesce(_src(col).cast("double"), F.lit(0))).alias(out))
+            t = _sum_type(changes, col)
+            cols.append(
+                (F.lit(sign) * F.coalesce(_src(col).cast(t), F.lit(0).cast(t)))
+                .cast(t)
+                .alias(out)
+            )
     return side.select(*cols)
 
 
@@ -127,7 +152,12 @@ def init_aggregate(
         if agg == "count":
             aggs.append(F.count(F.lit(1)).alias(out))
         else:
-            aggs.append(F.sum(F.coalesce(F.col(col).cast("double"), F.lit(0))).alias(out))
+            t = _sum_type(state, col)
+            aggs.append(
+                F.sum(F.coalesce(F.col(col).cast(t), F.lit(0).cast(t)))
+                .cast(t)
+                .alias(out)
+            )
     return state.groupBy(*group_cols).agg(*aggs)
 
 

@@ -117,6 +117,20 @@ def _first_match_reason(checks: List[tuple]) -> Column:
     return expr
 
 
+def _canon_op_expr(op_col: Column, mapping: dict) -> Column:
+    """Raw envelope op → canonical op, driven by the mapping dict so it is
+    the single source of truth: extending DEBEZIUM_OPS / MAXWELL_OPS (e.g.
+    a truncate op) changes both the unknown_op gate and this projection —
+    no second hardcoded copy to forget.  Unmapped ops yield NULL, which is
+    unreachable on the healthy stream (the unknown_op quarantine fires
+    first)."""
+    expr: Optional[Column] = None
+    for raw_op, canon in mapping.items():
+        branch = F.when(op_col == raw_op, F.lit(canon))
+        expr = branch if expr is None else expr.when(op_col == raw_op, F.lit(canon))
+    return expr
+
+
 def _canonical(
     parsed: DataFrame,
     json_col: str,
@@ -126,7 +140,6 @@ def _canonical(
     op: Column,
     image: Column,
     payload_schema: StructType,
-    key_cols: List[str],
 ) -> DecodedStream:
     """Split a parsed envelope frame into (canonical stream, dead letters).
 
@@ -181,7 +194,7 @@ def decode_debezium(
     )
     e = F.col("_env")
     op_raw = e["op"]
-    canon_op = F.when(op_raw == "d", F.lit("delete")).otherwise(F.lit("upsert"))
+    canon_op = _canon_op_expr(op_raw, DEBEZIUM_OPS)
     image = F.when(op_raw == "d", e["before"]).otherwise(e["after"])
     unparseable = e.isNull() | e[CORRUPT_COL].isNotNull()
     reason = _first_match_reason(
@@ -204,7 +217,6 @@ def decode_debezium(
         canon_op,
         image,
         payload_schema,
-        key_cols,
     )
 
 
@@ -245,7 +257,7 @@ def decode_maxwell(
     e = F.col("_env")
     typ = e["type"]
     lsn = maxwell_position_lsn(e["position"])
-    canon_op = F.when(typ == "delete", F.lit("delete")).otherwise(F.lit("upsert"))
+    canon_op = _canon_op_expr(typ, MAXWELL_OPS)
     image = e["data"]
     unparseable = e.isNull() | e[CORRUPT_COL].isNotNull()
     reason = _first_match_reason(
@@ -268,5 +280,4 @@ def decode_maxwell(
         canon_op,
         image,
         payload_schema,
-        key_cols,
     )
