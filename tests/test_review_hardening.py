@@ -336,6 +336,93 @@ def test_ivm_integer_sums_exact_past_double_precision(spark, tmp_path):
     assert agg2.collect()[0]["total"] == big + 4
 
 
+def test_drift_evolves_with_actual_spark_types(spark, tmp_path):
+    """A drifted NEW column must evolve the schema with its real Spark
+    type — the old dtype-string lookup mapped anything exotic (decimal,
+    arrays) to string, writing files whose physical type contradicted the
+    schema."""
+    from decimal import Decimal
+
+    lake = _mk(spark, tmp_path / "t")
+    batch = synth_change_stream(spark, 300, 200, seed=41).withColumn(
+        "price", F.lit(Decimal("9.99")).cast("decimal(10,2)")
+    )
+    apply_batch(lake, batch, "drifted")
+    assert dict(lake.read().dtypes)["price"] == "decimal(10,2)"
+    row = lake.read().where(F.col("price").isNotNull()).first()
+    assert row["price"] == Decimal("9.99")
+
+
+def test_drift_rename_casts_to_target_type(spark, tmp_path):
+    """An accepted rename whose batch column has the wrong dtype must be
+    cast to the target column's type — uncast, the merge would write int
+    physical data into a string-schema'd file."""
+    from valentine_spark.cdc.drift import resolve_drift
+
+    lake = _mk(spark, tmp_path / "t")
+    batch = (
+        synth_change_stream(spark, 300, 200, seed=43)
+        .withColumn("lang", F.when(F.col("op") != "delete", F.lit("1000")).otherwise(F.lit(None)))
+        .withColumnRenamed("lang", "language")  # rename target: lang
+        .withColumn("language", F.col("language").cast("int"))
+    )
+
+    class ForceMatch:  # a matcher that accepts the rename despite the dtype
+        def get_matches(self, s, t, sn, tn):
+            return {((sn, "language"), (tn, "lang")): 1.0}
+
+    renamed, mapping, _stages = resolve_drift(batch, lake, matcher=ForceMatch())
+    assert mapping.get("language") == "lang"
+    assert dict(renamed.dtypes)["lang"] == "string"  # cast to target type
+
+
+def test_drift_threshold_floor_applies_to_default_cascade(spark, tmp_path):
+    """apply_batch(drift_threshold=...) must actually gate the default
+    matcher cascade — a floor of 1.01 makes every rename unacceptable, so
+    the drifted column evolves as NEW instead of renaming."""
+    from valentine_spark.cdc.drift import resolve_drift
+
+    lake = _mk(spark, tmp_path / "t")
+    batch = synth_change_stream(spark, 300, 200, seed=44).withColumnRenamed(
+        "lang", "language"
+    )
+    _r, mapping_loose, _s = resolve_drift(batch, lake)
+    assert mapping_loose.get("language") == "lang"  # default accepts
+    lake2 = _mk(spark, tmp_path / "t2")
+    _r2, mapping_strict, _s2 = resolve_drift(batch, lake2, threshold=1.01)
+    assert mapping_strict == {}  # floor above 1.0: nothing accepted
+
+
+def test_zorder_nulls_key_to_origin(spark):
+    """NULL numeric values must z-key to 0 (cluster at the origin), not to
+    the top of the range — Spark's least/greatest skip nulls, so the old
+    trailing coalesce never fired."""
+    from valentine_spark.cdc.clustering import zorder_column
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [(None, 0), (0, 0), (100, 0)], schema
+    )
+    z = df.select(F.col("a"), zorder_column(df, ["a", "b"], schema).alias("z")).collect()
+    by_a = {r["a"]: r["z"] for r in z}
+    assert by_a[None] == by_a[0] == 0  # null clusters with the minimum
+    assert by_a[100] > 0
+
+
+def test_zorder_rejects_unsupported_type_clearly(spark):
+    from valentine_spark.cdc.clustering import zorder_column
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ])
+    df = spark.createDataFrame([(1, ["x"])], schema)
+    with pytest.raises(TypeError, match="tags"):
+        zorder_column(df, ["a", "tags"], schema)
+
+
 def test_expire_reclaims_success_marker_dirs(spark, tmp_path):
     lake = _mk(spark, tmp_path / "t")
     for i in range(3):

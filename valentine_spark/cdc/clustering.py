@@ -92,8 +92,12 @@ def _key16(
         if mx <= mn:  # constant column: every row keys to 0
             return F.lit(0)
         scaled = (_as_numeric(col, dtype) - F.lit(float(mn))) / F.lit(float(mx - mn))
-        key = F.floor(scaled * top).cast("long")
-        return F.coalesce(F.greatest(F.lit(0), F.least(key, F.lit(top))), F.lit(0))
+        # NULLs must key to 0 BEFORE the clamp: Spark's least/greatest skip
+        # nulls, so least(NULL, top) = top — a trailing coalesce never
+        # fires and every null row would key to the far corner instead of
+        # clustering at the origin as documented
+        key = F.coalesce(F.floor(scaled * top).cast("long"), F.lit(0))
+        return F.greatest(F.lit(0), F.least(key, F.lit(top)))
     if isinstance(dtype, T.BooleanType):
         return F.coalesce(c.cast("int") * top, F.lit(0))
     raise TypeError(f"z-order does not support column {col!r} of type {dtype}")
@@ -101,14 +105,27 @@ def _key16(
 
 def zorder_column(df: DataFrame, cols: List[str], schema: T.StructType) -> Column:
     """One long-typed Morton code over ``cols`` for each row of ``df``.
-    Runs a single two-value (min, max) aggregation per numeric column to
-    calibrate the scaling; string columns need no pass."""
+    Runs ONE calibration aggregation over all listed columns: (min, max)
+    per numeric/temporal column for range scaling, plus (min, max) per
+    string column to compute the common-prefix skip — a single Spark job
+    regardless of the column mix."""
     if not 2 <= len(cols) <= 4:
         raise ValueError(f"z-order needs 2-4 columns, got {len(cols)}")
     names = {f.name for f in schema.fields}
+    supported = (
+        (T.StringType, T.BooleanType)
+        + _NUMERIC
+        + (T.TimestampType, T.TimestampNTZType, T.DateType)
+    )
     for c in cols:
         if c not in names:
             raise KeyError(f"z-order column {c!r} not in table schema {sorted(names)}")
+        if not isinstance(schema[c].dataType, supported):
+            # fail here with a clear message, not as a DATATYPE_MISMATCH
+            # from deep inside the calibration agg's cast-to-double
+            raise TypeError(
+                f"z-order does not support column {c!r} of type {schema[c].dataType}"
+            )
     numeric = [
         c for c in cols
         if not isinstance(schema[c].dataType, (T.StringType, T.BooleanType))

@@ -52,9 +52,20 @@ def match_drifted_columns(
     jaccard_threshold: float = 0.5,
     name_threshold: float = 0.55,
     emd_threshold: float = 0.85,
+    floor: float = 0.0,
 ) -> Tuple[Dict[str, str], Dict[str, str]]:
-    """Returns ({batch_col: target_col}, {batch_col: deciding_stage})."""
+    """Returns ({batch_col: target_col}, {batch_col: deciding_stage}).
+
+    ``floor`` raises every stage's acceptance threshold to at least that
+    similarity — the conduit for ``resolve_drift(threshold=...)`` /
+    ``apply_batch(drift_threshold=...)``, which would otherwise have no
+    effect on the default cascade (each stage keeps its own calibrated
+    default when the floor is lower)."""
     from ..matchers import Cupid, DistributionBased, JaccardDistanceMatcher, StringDistanceFunction
+
+    jaccard_threshold = max(jaccard_threshold, floor)
+    name_threshold = max(name_threshold, floor)
+    emd_threshold = max(emd_threshold, floor)
 
     mapping: Dict[str, str] = {}
     stages: Dict[str, str] = {}
@@ -127,31 +138,35 @@ def resolve_drift(
             mapping = _assign(raw, extra, missing, threshold)
             stages = {c: type(matcher).__name__ for c in mapping}
         else:
-            mapping, stages = match_drifted_columns(batch_sample, target_sample, extra, missing)
+            mapping, stages = match_drifted_columns(
+                batch_sample, target_sample, extra, missing, floor=threshold
+            )
 
     renamed = events
+    lake_types = {f.name: f.dataType for f in lake.schema.fields}
     for src_col, tgt_col in mapping.items():
         renamed = renamed.withColumnRenamed(src_col, tgt_col)
+    # an accepted rename maps the batch column onto the TARGET's type
+    # contract: the merge path writes payload columns uncast, so a
+    # wrong-typed drifted column (lang_code:int -> language:string) would
+    # land int physical data in a string-schema'd file and break every
+    # later scan.  Cast renamed columns to the target type — ANSI mode
+    # makes an incompatible value a loud error at ingest, not a corrupt
+    # file discovered at read.
+    for tgt_col in mapping.values():
+        if renamed.schema[tgt_col].dataType != lake_types[tgt_col]:
+            renamed = renamed.withColumn(
+                tgt_col, F.col(tgt_col).cast(lake_types[tgt_col])
+            )
 
     unmapped = [c for c in extra if c not in mapping]
     if unmapped:
-        batch_types = dict(renamed.dtypes)
+        # evolve with the batch's ACTUAL Spark types — re-parsing dtype
+        # strings through a lookup table silently mapped anything exotic
+        # (decimal, smallint, arrays) to string, writing files whose
+        # physical type contradicted the evolved schema
         lake.evolve_schema(
-            [T.StructField(c, _parse_type(batch_types[c])) for c in unmapped],
+            [T.StructField(c, renamed.schema[c].dataType) for c in unmapped],
             note=f"auto-evolved from drifted batch columns: {unmapped}",
         )
     return renamed, mapping, stages
-
-
-def _parse_type(dtype_str: str) -> T.DataType:
-    mapping = {
-        "string": T.StringType(),
-        "int": T.IntegerType(),
-        "bigint": T.LongType(),
-        "double": T.DoubleType(),
-        "float": T.FloatType(),
-        "boolean": T.BooleanType(),
-        "timestamp": T.TimestampType(),
-        "date": T.DateType(),
-    }
-    return mapping.get(dtype_str, T.StringType())

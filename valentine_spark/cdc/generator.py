@@ -84,6 +84,60 @@ def synth_base_table(
     )
 
 
+def change_op_expr(seed: int, lsn: Column, delete_fraction: float = 0.05) -> Column:
+    """The op roll (delete / insert / update) for one change event — shared
+    by the batch generator below and the rate-source stream
+    (``streaming.stream.synth_rate_stream``) so the op mix has ONE source
+    of truth; 30% of non-delete events are inserts."""
+    op_roll = _pmod(_h(seed ^ 8, lsn), 10_000)
+    del_cut = int(delete_fraction * 10_000)
+    return (
+        F.when(op_roll < del_cut, F.lit("delete"))
+        .when(op_roll < del_cut + 3000, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+
+
+def change_payload_cols(
+    seed: int,
+    key_id: Column,
+    lsn: Column,
+    op: Column,
+    n_repos: int = 500,
+    n_hot: int = 3,
+    hot_fraction: float = 0.5,
+) -> list:
+    """The five payload columns (repo, path, commit, lang, content) of one
+    change event, derived deterministically from (key_id, lsn) — the single
+    definition both the batch generator and the rate-source stream project,
+    so the two streams can never silently drift apart.  Content varies per
+    touch via a (key, lsn) version hash; deletes carry NULL payload."""
+    version = _pmod(_h(seed ^ 7, key_id, lsn), 1_000_000)
+    is_delete = op == "delete"
+    return [
+        _repo_expr(seed, key_id, n_repos, n_hot, hot_fraction).alias("repo"),
+        F.concat(
+            F.lit("src/dir"), _pmod(_h(seed ^ 3, key_id), 50),
+            F.lit("/file_"), key_id, F.lit(".py"),
+        ).alias("path"),
+        F.lpad(
+            F.conv(F.abs(_h(seed ^ 4, key_id, F.lit(0))).cast("string"), 10, 16),
+            40, "0",
+        ).alias("commit"),
+        F.when(is_delete, F.lit(None).cast("string"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(l) for l in LANGS]),
+                (_pmod(_h(seed ^ 5, key_id), len(LANGS)) + 1).cast("int"),
+            )
+        )
+        .alias("lang"),
+        F.when(is_delete, F.lit(None).cast("string"))
+        .otherwise(_content_expr(seed, key_id, version))
+        .alias("content"),
+    ]
+
+
 def synth_change_stream(
     spark: SparkSession,
     n_events: int,
@@ -110,32 +164,10 @@ def synth_change_stream(
     if hot_key_fraction > 0:
         hot_roll = _pmod(_h(seed ^ 9, lsn), 10_000)
         key_id = F.when(hot_roll < int(hot_key_fraction * 10_000), F.lit(0)).otherwise(key_id)
-    # version counts how many times this key was touched up to this lsn —
-    # approximated deterministically by hashing (key, lsn); only used to vary
-    # content between updates.
-    version = _pmod(_h(seed ^ 7, key_id, lsn), 1_000_000)
-    op_roll = _pmod(_h(seed ^ 8, lsn), 10_000)
-    del_cut = int(delete_fraction * 10_000)
-    op = (
-        F.when(op_roll < del_cut, F.lit("delete"))
-        .when(op_roll < del_cut + 3000, F.lit("insert"))
-        .otherwise(F.lit("update"))
-    )
-    is_delete = op == "delete"
+    op = change_op_expr(seed, lsn, delete_fraction)
     return ev.select(
         lsn,
         (F.to_timestamp(F.lit(t0)) + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), (lsn / 1000).cast("int").cast("double"))).alias("op_ts"),
         op.alias("op"),
-        _repo_expr(seed, key_id, n_repos, n_hot, hot_fraction).alias("repo"),
-        F.concat(
-            F.lit("src/dir"), _pmod(_h(seed ^ 3, key_id), 50),
-            F.lit("/file_"), key_id, F.lit(".py"),
-        ).alias("path"),
-        F.lpad(F.conv(F.abs(_h(seed ^ 4, key_id, F.lit(0))).cast("string"), 10, 16), 40, "0").alias("commit"),
-        F.when(is_delete, F.lit(None).cast("string"))
-        .otherwise(F.element_at(F.array(*[F.lit(l) for l in LANGS]), (_pmod(_h(seed ^ 5, key_id), len(LANGS)) + 1).cast("int")))
-        .alias("lang"),
-        F.when(is_delete, F.lit(None).cast("string"))
-        .otherwise(_content_expr(seed, key_id, version))
-        .alias("content"),
+        *change_payload_cols(seed, key_id, lsn, op, n_repos, n_hot, hot_fraction),
     )

@@ -20,7 +20,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..cdc.apply import apply_batch
-from ..cdc.generator import STREAM_COLS, _content_expr, _h, _pmod, _repo_expr, LANGS
+from ..cdc.generator import _h, _pmod, change_op_expr, change_payload_cols
 from ..cdc.lake import LakeTable
 
 STREAM_DDL = (
@@ -53,29 +53,19 @@ def synth_rate_stream(
     n_keys: int = 10_000,
     seed: int = 42,
 ) -> DataFrame:
-    """Rate-source-backed synthetic change stream (same field derivations as
-    the batch generator, keyed on the rate source's monotonic value)."""
+    """Rate-source-backed synthetic change stream — the SAME per-event
+    derivations as the batch generator (``change_op_expr`` /
+    ``change_payload_cols``, one source of truth), keyed on the rate
+    source's monotonic value as the lsn."""
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     lsn = F.col("value")
     key_id = _pmod(_h(seed ^ 6, lsn), n_keys)
-    op_roll = _pmod(_h(seed ^ 8, lsn), 10_000)
-    op = (
-        F.when(op_roll < 500, F.lit("delete"))
-        .when(op_roll < 3500, F.lit("insert"))
-        .otherwise(F.lit("update"))
-    )
-    is_delete = op == "delete"
+    op = change_op_expr(seed, lsn)
     return rate.select(
         lsn.alias("lsn"),
         F.col("timestamp").alias("op_ts"),
         op.alias("op"),
-        _repo_expr(seed, key_id, 500, 3, 0.5).alias("repo"),
-        F.concat(F.lit("src/dir"), _pmod(_h(seed ^ 3, key_id), 50), F.lit("/file_"), key_id, F.lit(".py")).alias("path"),
-        F.lpad(F.conv(F.abs(_h(seed ^ 4, key_id, F.lit(0))).cast("string"), 10, 16), 40, "0").alias("commit"),
-        F.when(is_delete, F.lit(None).cast("string"))
-        .otherwise(F.element_at(F.array(*[F.lit(l) for l in LANGS]), (_pmod(_h(seed ^ 5, key_id), len(LANGS)) + 1).cast("int")))
-        .alias("lang"),
-        F.when(is_delete, F.lit(None).cast("string")).otherwise(_content_expr(seed, key_id, lsn)).alias("content"),
+        *change_payload_cols(seed, key_id, lsn, op),
     )
 
 
@@ -87,12 +77,22 @@ def stream_apply(
     matcher=None,
     n_salts: int = 1,
     available_now: bool = False,
+    stream_id: str = "stream",
 ):
     """Start the streaming apply: every micro-batch goes through drift
     resolution + LWW + exactly-once MERGE.  Returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently available then stops
-    (the catch-up/backfill trigger)."""
+    (the catch-up/backfill trigger).
+
+    ``stream_id`` namespaces the lake batch ids (``{stream_id}-{n}``).
+    The lake's applied-batch set is GLOBAL per table and Structured
+    Streaming numbers micro-batches from 0 per checkpoint, so two queries
+    writing the same lake — or one query whose checkpoint directory was
+    deleted and recreated — MUST use distinct stream_ids: with a reused id,
+    every replayed micro-batch number is "already applied" and its events
+    are silently dropped.  Resuming from the SAME checkpoint with the same
+    stream_id is the exactly-once path (replays dedupe correctly)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -100,7 +100,7 @@ def stream_apply(
         apply_batch(
             lake,
             batch_df,
-            batch_id=f"stream-{batch_id}",
+            batch_id=f"{stream_id}-{batch_id}",
             matcher=matcher,
             n_salts=n_salts,
         )

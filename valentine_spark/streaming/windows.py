@@ -5,7 +5,40 @@ events for a closed window are dropped, bounding state size."""
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def _append_writer(
+    out: DataFrame, checkpoint_dir: str, query_name: str,
+    available_now: bool, sink_path: Optional[str],
+):
+    """Shared sink wiring for the runners below.  ``sink_path=None`` uses
+    the in-memory sink for interactive inspection via
+    ``spark.table(query_name)`` — NOTE: the memory sink cannot recover
+    from an existing checkpoint (Spark refuses at start), so it only
+    serves single-run use; a periodic drain loop re-invoking the runner
+    against the same checkpoint dir must pass ``sink_path`` (restartable
+    parquet append — append mode emits each finalized row exactly once,
+    so the sink is the cumulative result)."""
+    if sink_path is None:
+        writer = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+        )
+    else:
+        writer = (
+            out.writeStream.format("parquet")
+            .option("path", sink_path)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+        )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_op_counts(
@@ -75,22 +108,17 @@ def run_gap_sessions(
     ts_col: str = "ts",
     value_col: str = "value",
     available_now: bool = True,
+    sink_path: Optional[str] = None,
 ):
     """Streaming sessionization: watermarked session windows finalize once
     the watermark passes the session's close (append mode — each session
-    row is emitted exactly once)."""
+    row is emitted exactly once).  See ``_append_writer`` for the
+    memory-vs-parquet sink contract (re-running against the same
+    checkpoint requires ``sink_path``)."""
     sessions = gap_sessions(
         stream.withWatermark(ts_col, lateness), gap, user_col, ts_col, value_col
     )
-    writer = (
-        sessions.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _append_writer(sessions, checkpoint_dir, query_name, available_now, sink_path)
 
 
 def run_windowed_counts(
@@ -100,14 +128,10 @@ def run_windowed_counts(
     window_duration: str = "1 minute",
     lateness: str = "2 minutes",
     available_now: bool = True,
+    sink_path: Optional[str] = None,
 ):
-    writer = (
-        windowed_op_counts(stream, window_duration, lateness)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
+    """Windowed op counts; sink contract as in ``_append_writer``."""
+    return _append_writer(
+        windowed_op_counts(stream, window_duration, lateness),
+        checkpoint_dir, query_name, available_now, sink_path,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
