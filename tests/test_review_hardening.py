@@ -423,6 +423,63 @@ def test_zorder_rejects_unsupported_type_clearly(spark):
         zorder_column(df, ["a", "tags"], schema)
 
 
+def test_minhash_lsh_rejects_invalid_band_split(spark):
+    """bands > k would make every band signature empty (the equi-join
+    degenerates to a full cross product); k % bands != 0 silently drops
+    signature entries — both must raise."""
+    from valentine_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(0, "abc"), (1, "abd")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(df, k=8, bands=16)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(df, k=12, bands=8)
+
+
+def test_exact_duplicates_null_text_not_grouped(spark):
+    """Two documents with NULL text are not duplicates of each other —
+    md5(NULL) is NULL and groupBy treats NULL as a key, so unguarded they
+    formed one bogus duplicate group."""
+    from valentine_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "same"), (3, "same")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_duplicates(df).collect()}
+    assert out[0]["group_size"] == 1 and not out[0]["is_dup"]
+    assert out[1]["group_size"] == 1 and not out[1]["is_dup"]
+    assert out[3]["group_size"] == 2 and out[3]["is_dup"]
+
+
+def test_topk_default_queries_raise_on_sparse_ids(spark):
+    """The default query set (id < n) silently returned nothing when ids
+    are not dense 0-based; it must raise instead."""
+    from valentine_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1000 + i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="pass queries explicitly"):
+        cosine_topk(df)
+
+
+def test_pq_topk_string_ids(spark):
+    """pq_topk must support non-integer id columns like the rest of the
+    topk family (ids were forced through int())."""
+    from valentine_spark.operators.pq import pq_topk
+
+    rows = [(f"doc-{i}", [float(i % 4), float((i * 7) % 5), float(i % 3), 1.0])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    queries = df.limit(2)
+    out = pq_topk(df, queries=queries, k=3, m=2, k_sub=2)
+    got = out.collect()
+    assert got and all(isinstance(r["query_id"], str) for r in got)
+    assert all(r["query_id"] != r["vec_id"] for r in got)
+
+
 def test_expire_reclaims_success_marker_dirs(spark, tmp_path):
     lake = _mk(spark, tmp_path / "t")
     for i in range(3):

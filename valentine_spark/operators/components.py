@@ -39,9 +39,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component is
     the minimum node id of its connected component."""
+    # the symmetric edge list is re-joined every round; cut its lineage once
+    # (like labels below) or each round's job re-runs the union+distinct —
+    # a full shuffle of the entire edge set per iteration (shuffle reuse
+    # does not apply across the separate jobs the loop's checkpoints run)
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

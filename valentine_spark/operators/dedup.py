@@ -56,18 +56,25 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per document: its content digest, duplicate-group size and
-    whether it is a non-canonical duplicate (not the min id of its group)."""
+    whether it is a non-canonical duplicate (not the min id of its group).
+
+    NULL text never groups: md5(NULL) is NULL, and groupBy would otherwise
+    treat NULL as one key — flagging every content-less document as a
+    "duplicate" of unrelated documents that also merely lack content.
+    NULL-text rows come back as singletons (group_size 1, is_dup false)."""
     digests = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
-    groups = digests.groupBy("text_hash").agg(
+    groups = digests.where(F.col("text_hash").isNotNull()).groupBy("text_hash").agg(
         F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
     )
     return (
-        digests.join(groups, "text_hash")
+        digests.join(groups, "text_hash", "left")
         .select(
             id_col,
             "text_hash",
-            "group_size",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+            F.coalesce("group_size", F.lit(1)).alias("group_size"),
+            F.coalesce(
+                F.col(id_col) != F.col("canonical_id"), F.lit(False)
+            ).alias("is_dup"),
         )
     )
 
@@ -107,9 +114,21 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles shared by more than that many docs —
     the standard frequency cut that bounds join fan-out at scale."""
     sh = _shingles(df, id_col, text_col, n)
+    # ONE document-frequency aggregation serves both the max_df cut and the
+    # df>=2 joinable prune (dropping whole shingle groups cannot change any
+    # other shingle's count) — two separate groupBys would double the
+    # operator's heaviest shuffle
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
-        sh = sh.join(keep.select("shingle"), "shingle")
+        sh = sh.join(
+            counts.where(F.col("_df") <= max_shingle_df).select("shingle"),
+            "shingle",
+        )
+        joinable_shingles = counts.where(
+            (F.col("_df") >= 2) & (F.col("_df") <= max_shingle_df)
+        )
+    else:
+        joinable_shingles = counts.where(F.col("_df") >= 2)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     # LOSSLESS prunes (sizes are already fixed above):
     #  * shingles appearing in exactly one doc cannot create a pair — drop
@@ -117,10 +136,7 @@ def ngram_jaccard_pairs(
     #  * jaccard >= t requires min(|a|,|b|) >= t * max(|a|,|b|) (the best
     #    case is full containment), so the length-ratio gate runs inside the
     #    join before the pair aggregation shuffles anything.
-    joinable = sh.join(
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") >= 2).select("shingle"),
-        "shingle",
-    ).join(sizes, id_col)
+    joinable = sh.join(joinable_shingles.select("shingle"), "shingle").join(sizes, id_col)
     a = joinable.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_shingles").alias("n_a"))
     b = joinable.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_shingles").alias("n_b"))
     inter = (
@@ -266,7 +282,19 @@ def minhash_lsh_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on at least one LSH band
-    (band = rows/bands consecutive signature entries, concatenated)."""
+    (band = rows/bands consecutive signature entries, concatenated).
+
+    ``k`` must be a positive multiple of ``bands``: rows_per_band = 0
+    (bands > k) would make every band signature the empty string — the
+    equi-join degenerates to a full self cross-product returning every
+    pair — and a non-multiple would silently drop trailing signature
+    entries, changing recall with no error."""
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(
+            f"k ({k}) must be a positive multiple of bands ({bands}): "
+            "bands > k degenerates the band join to a cross product, and "
+            "k % bands != 0 silently ignores trailing signature entries"
+        )
     rows_per_band = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
     band_cols = [

@@ -41,13 +41,17 @@ def _centroid_lits(centroids: List[List[float]]):
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
 
 
-def _dist_structs(vec_col: str, centroids: List[List[float]]):
+def _dist_structs(vec_col, centroids: List[List[float]]):
+    """``vec_col`` may be a column name or an arbitrary Column expression
+    (pq.py reuses this for subvector slices — ONE definition of the
+    distance fold and its oracle-load-bearing (dist, idx) tie-break)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     cents = _centroid_lits(centroids)
     return F.transform(
         cents,
         lambda c, i: F.struct(
             F.aggregate(
-                F.zip_with(F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("dist"),
@@ -225,6 +229,11 @@ def ivf_kmeans_topk(
     default_queries = queries is None
     if default_queries:
         queries = corpus.where(F.col(id_col) < 5)
+        if queries.isEmpty():
+            raise ValueError(
+                f"default query set ({id_col} < 5) matched no rows (ids are "
+                "not dense 0-based) - pass queries explicitly"
+            )
     q = kmeans_assign_multi(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         centroids, vec_col="q_vec", out_col="_cell", nprobe=nprobe,

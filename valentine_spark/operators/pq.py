@@ -139,16 +139,23 @@ def pq_encode_arrow(
 
     @pandas_udf("array<int>")
     def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: tolist() gives shape (0,)
+            return pd.Series([], dtype=object)
         X = np.array(v.tolist(), dtype=np.float64)  # batch x dim
         codes = np.empty((len(X), m), dtype=np.int32)
         for j, B in enumerate(books):
             S = X[:, j * sub : (j + 1) * sub]
-            # ||s-b||^2 = ||s||^2 - 2 s.b + ||b||^2 without the 3-D tensor
-            d = (
-                (S * S).sum(axis=1, keepdims=True)
-                - 2.0 * (S @ B.T)
-                + (B * B).sum(axis=1)
-            )
+            # per-centroid (S - b)^2 sums, NOT the expanded
+            # ||s||^2 - 2 s.b + ||b||^2 form: expansion suffers catastrophic
+            # cancellation near a centroid, and a near-tie could then argmin
+            # to a DIFFERENT code than the expression path's exact
+            # difference fold — the two encode paths (and the DuckDB oracle
+            # replay) must agree.  k_sub differences of small matrices cost
+            # about the same as the expanded GEMM at these sizes.
+            d = np.empty((len(S), len(B)), dtype=np.float64)
+            for ci in range(len(B)):
+                diff = S - B[ci]
+                d[:, ci] = (diff * diff).sum(axis=1)
             codes[:, j] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -156,20 +163,12 @@ def pq_encode_arrow(
 
 
 def _nearest_expr_on(vec_expr, centroids: List[List[float]]):
-    """``kmeans._nearest_expr`` generalized to an arbitrary column expr."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    structs = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(vec_expr, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            i.alias("idx"),
-        ),
-    )
-    return F.array_min(structs).getField("idx")
+    """``kmeans._nearest_expr`` over an arbitrary column expr — delegates
+    to the single shared distance-fold definition (a local copy diverged
+    once; the (dist, idx) tie-break is oracle-load-bearing)."""
+    from .kmeans import _dist_structs
+
+    return F.array_min(_dist_structs(vec_expr, centroids)).getField("idx")
 
 
 def _adc_table(q_vec: List[float], codebooks: Codebooks) -> List[List[float]]:
@@ -246,6 +245,11 @@ def pq_topk(
     (default: corpus rows with id < 5, mirroring ``cosine_topk``)."""
     if dim is None:
         first = corpus.select(F.size(vec_col)).where(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            raise ValueError(
+                f"corpus has no non-null {vec_col!r} vectors to infer dim from "
+                "- pass dim explicitly or supply a non-empty corpus"
+            )
         dim = int(first[0])
     books = pq_train(
         corpus, dim, m=m, k=k_sub, id_col=id_col, vec_col=vec_col,
@@ -257,16 +261,22 @@ def pq_topk(
         books,
     ).select("vec_id", "pq_codes")
 
-    if queries is None:
+    default_queries = queries is None
+    if default_queries:
         queries = corpus.where(F.col(id_col) < 5)
     queries = queries.where(F.col(vec_col).isNotNull())
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).collect()  # driver-scale by contract (an ADC table per query is inlined)
+    if default_queries and not q_rows:
+        raise ValueError(
+            f"default query set ({id_col} < 5) matched no rows (ids are not "
+            "dense 0-based) - pass queries explicitly"
+        )
     qtables = F.array(
         *[
             F.struct(
-                F.lit(int(r["query_id"])).alias("query_id"),
+                F.lit(r["query_id"]).alias("query_id"),  # raw: ids may be strings
                 F.array(
                     *[
                         F.array(*[F.lit(d) for d in row])
@@ -315,6 +325,11 @@ def ivfpq_topk(
 
     if dim is None:
         first = corpus.select(F.size(vec_col)).where(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            raise ValueError(
+                f"corpus has no non-null {vec_col!r} vectors to infer dim from "
+                "- pass dim explicitly or supply a non-empty corpus"
+            )
         dim = int(first[0])
     corpus = corpus.where(F.col(vec_col).isNotNull())
     cells, _ = kmeans_fit(
@@ -331,7 +346,8 @@ def ivfpq_topk(
         cells, vec_col=vec_col, out_col="_cell",
     ).select("vec_id", "_cell", "pq_codes")
 
-    if queries is None:
+    default_queries = queries is None
+    if default_queries:
         queries = corpus.where(F.col(id_col) < 5)
     queries = queries.where(F.col(vec_col).isNotNull())
     q_assigned = kmeans_assign_multi(
@@ -339,10 +355,15 @@ def ivfpq_topk(
         cells, vec_col="q_vec", out_col="_cell", nprobe=nprobe,
     )
     q_rows = q_assigned.collect()  # driver-scale by contract (ADC literals)
+    if default_queries and not q_rows:
+        raise ValueError(
+            f"default query set ({id_col} < 5) matched no rows (ids are not "
+            "dense 0-based) - pass queries explicitly"
+        )
     tables = {}
     probes = []
     for r in q_rows:
-        qid = int(r["query_id"])
+        qid = r["query_id"]  # raw: ids may be strings
         if qid not in tables:
             tables[qid] = _adc_table([float(x) for x in r["q_vec"]], books)
         probes.append((qid, int(r["_cell"])))

@@ -41,14 +41,25 @@ def cosine_topk(
     n_queries: int = 5,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, score, rank).  Default query
-    set: the first ``n_queries`` corpus vectors.  Deterministic tie-break on
+    set: the first ``n_queries`` corpus vectors BY ID VALUE (``id <
+    n_queries`` — requires dense 0-based ids; a sparse id space raises
+    instead of silently returning nothing).  Deterministic tie-break on
     vec_id ascending."""
-    if queries is None:
+    default_queries = queries is None
+    if default_queries:
         queries = corpus.where(F.col(id_col) < n_queries)
+        if queries.isEmpty():
+            raise ValueError(
+                f"default query set ({id_col} < {n_queries}) matched no rows "
+                "(ids are not dense 0-based) — pass queries explicitly"
+            )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    # broadcast only the known-small default query set; a caller-supplied
+    # frame may be arbitrarily large (same guard as kmeans.ivf_kmeans_topk)
+    q_side = F.broadcast(q) if default_queries else q
     scored = (
-        F.broadcast(q)
+        q_side
         .crossJoin(c)
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn(
@@ -82,17 +93,25 @@ def ivf_topk(
     bits: int = 3,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-bucket
-    cell (equi-join on the cell id instead of a crossJoin)."""
-    if queries is None:
+    cell (equi-join on the cell id instead of a crossJoin).  Default query
+    set as in ``cosine_topk`` (dense 0-based ids, raises on no match)."""
+    default_queries = queries is None
+    if default_queries:
         queries = corpus.where(F.col(id_col) < n_queries)
+        if queries.isEmpty():
+            raise ValueError(
+                f"default query set ({id_col} < {n_queries}) matched no rows "
+                "(ids are not dense 0-based) — pass queries explicitly"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sign_bucket(vec_col, bits).alias("cell")
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), sign_bucket(vec_col, bits).alias("cell")
     )
+    q_side = F.broadcast(q) if default_queries else q
     scored = (
-        F.broadcast(q)
+        q_side
         .join(c, "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn(
