@@ -480,6 +480,73 @@ def test_pq_topk_string_ids(spark):
     assert all(r["query_id"] != r["vec_id"] for r in got)
 
 
+def test_csv_encoding_sniff_survives_truncated_utf8(tmp_path):
+    """A valid UTF-8 file whose sniff window cuts a multibyte character
+    mid-sequence must still detect utf-8, not fall through to cp1252."""
+    from valentine_spark.sources.csv import get_encoding
+
+    p = tmp_path / "t.csv"
+    body = ("héllo,wörld\n" * 100).encode("utf-8")
+    p.write_bytes(body)
+    # pick a window that ends one byte into a 2-byte sequence
+    cut = body.index("é".encode("utf-8")) + 1
+    assert get_encoding(str(p), sniff_bytes=cut) == "utf-8"
+
+
+def test_interval_join_survives_corrupt_lo_gt_hi(spark):
+    """One interval row with lo > hi must not abort the job (Spark's
+    sequence() auto-descends and would materialize a huge array); such
+    rows can never match and simply produce no buckets."""
+    from valentine_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame([(5.0,)], "p double")
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0, "good"), (1e9, 0.0, "corrupt")],
+        "lo double, hi double, tag string",
+    )
+    rows = interval_join(points, intervals, "p").collect()
+    assert [r["tag"] for r in rows] == ["good"]
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(points, intervals, "p", bucket_width=0.0)
+
+
+def test_word_shingles_blank_docs_produce_no_rows(spark):
+    from valentine_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   \n "), (2, "one two")],
+        "doc_id long, text string",
+    )
+    rows = word_shingles(df, n=1).collect()
+    assert sorted((r["doc_id"], r["shingle"]) for r in rows) == [
+        (2, "one"), (2, "two"),
+    ]
+
+
+def test_profile_booleans_render_python_style(spark):
+    """profile_table stringifies booleans as 'True'/'False' (the
+    reference's str(x)), not Spark's 'true'/'false'."""
+    from valentine_spark.sources.profiles import profile_table
+
+    df = spark.createDataFrame([(True,), (False,)], "flag boolean")
+    vals = {r["value"] for r in profile_table(df, "t").collect()}
+    assert vals == {"True", "False"}
+
+
+def test_distributed_rank_uniform_sampling_on_sorted_input(spark):
+    """Split-point sampling must draw from the whole key space even when
+    the input is key-clustered: on sorted input an unordered limit sampled
+    only the lowest keys, funneling all rows into one bucket."""
+    from valentine_spark.utils.ranking import distributed_row_number
+
+    n = 200_000
+    df = spark.range(n).orderBy("id").coalesce(4).select(F.col("id").alias("k"))
+    ranked = distributed_row_number(df, ["k"], rank_col="r", num_partitions=8)
+    rows = ranked.orderBy("k").collect()
+    assert [r["r"] for r in rows[:3]] == [1, 2, 3]
+    assert rows[-1]["r"] == n
+
+
 def test_expire_reclaims_success_marker_dirs(spark, tmp_path):
     lake = _mk(spark, tmp_path / "t")
     for i in range(3):

@@ -39,11 +39,22 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width!r}")
     w = float(bucket_width)
     p = points.withColumn("_pb", F.floor(F.col(point_col) / w))
+    # guard lo > hi: Spark's sequence(start, stop) AUTO-DESCENDS, so one
+    # corrupt interval row (lo=1e9, hi=0) would try to materialize a
+    # ~1e9-element array and abort the whole job.  Such rows can never
+    # satisfy the lo <= point <= hi residual anyway — give them no buckets.
     iv = intervals.withColumn(
         "_ib",
-        F.explode(F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))),
+        F.explode(
+            F.when(
+                F.col(lo_col) <= F.col(hi_col),
+                F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
     )
     cond = (
         (F.col("_pb") == F.col("_ib"))

@@ -147,9 +147,13 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
     return decode_stub(payload, kind)
 
 
-def extract_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: the real Spark plumbing around the
-    stubbed codec.  Output: fixed 8-dim float feature per media row."""
+    stubbed codec.  Output: fixed 8-dim float feature per media row.
+
+    Arrow batch sizing (wide binary payloads vs executor memory) is
+    governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — set it
+    on the session; an operator parameter cannot override it per-call."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -292,8 +292,14 @@ def word_shingles(
 ) -> DataFrame:
     """(id, shingle) pairs: every n-word window of the whitespace-normalized
     lowercased text.  Documents shorter than n words produce no rows."""
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\f\r]+", " ")), " "
+    # filter '' tokens: split of a trimmed EMPTY string yields [''] (size
+    # 1), so at n=1 every blank document would emit the shingle '' and
+    # decontaminate() would cross-match all blank docs as contaminated
+    words = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\f\r]+", " ")), " "
+        ),
+        lambda x: x != "",
     )
     nw = F.size(words)
     shingles = F.when(

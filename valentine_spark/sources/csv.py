@@ -27,10 +27,19 @@ def get_encoding(path: str, sniff_bytes: int = 1 << 16) -> str:
     for bom, name in _BOMS:
         if head.startswith(bom):
             return name
-    for candidate in ("utf-8", "cp1252", "latin-1"):
+    # the sniff window can cut a valid multibyte sequence mid-character; a
+    # strict decode of the raw prefix would then reject utf-8 and fall
+    # through to cp1252, mojibaking the whole file.  An incremental decoder
+    # with final=False tolerates exactly (and only) a truncated tail.
+    try:
+        codecs.getincrementaldecoder("utf-8")().decode(head, final=False)
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    for candidate in ("cp1252", "latin-1"):
         try:
             head.decode(candidate)
-            return "utf-8" if candidate == "utf-8" else candidate
+            return candidate
         except UnicodeDecodeError:
             continue
     return "utf-8"

@@ -40,9 +40,23 @@ def profile_table(
     """
     cols = columns if columns is not None else df.columns
     # Normalize every column to string in the unpivot's value expression.
-    # Booleans/dates stringify deterministically; floats keep Spark's
+    # Dates stringify deterministically; floats keep Spark's
     # double-to-string form which matches str(float) for typical values.
-    selected = df.select([F.col(c).cast("string").alias(c) for c in cols])
+    # Booleans need the Python render ('True'/'False') — Spark's cast says
+    # 'true'/'false', which would zero the Jaccard overlap against the
+    # reference's str(x) profile of the same column.
+    from pyspark.sql import types as T
+
+    def _as_str(c: str):
+        if isinstance(df.schema[c].dataType, T.BooleanType):
+            return (
+                F.when(F.col(c), F.lit("True"))
+                .when(~F.col(c), F.lit("False"))
+                .alias(c)
+            )
+        return F.col(c).cast("string").alias(c)
+
+    selected = df.select([_as_str(c) for c in cols])
     long_df = selected.unpivot([], cols, COLUMN_COL, VALUE_COL)
     return (
         long_df.where(F.col(VALUE_COL).isNotNull())

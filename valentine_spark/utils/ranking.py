@@ -70,11 +70,21 @@ def _split_points(df: DataFrame, leading: Column, num_partitions: int) -> list:
     the DATA, not of partition layout or RNG), sorted driver-side, thinned
     to at most ``num_partitions - 1`` evenly spaced boundaries.  One small
     collect; the result is embedded as plan literals."""
+    # the cap must draw UNIFORMLY across the whole key space: a bare
+    # .limit() is an unordered CollectLimit that early-exits on the
+    # first-scanned partitions, so key-clustered/sorted input (the common
+    # ingest layout) would sample only the lowest key range and funnel
+    # nearly every row into the last bucket — silently recreating the
+    # single-partition bottleneck this module exists to remove.  Ordering
+    # by an independent salt hash compiles to TakeOrderedAndProject
+    # (per-partition top-k heaps, driver merge — no full sort shuffle) and
+    # keeps the sample a pure function of the data.
     sample = [
         r[0]
         for r in df.select(leading.alias("_k"))
         .where(F.col("_k").isNotNull())
         .where(F.pmod(F.xxhash64(F.col("_k")), F.lit(_SAMPLE_MOD)) == 0)
+        .orderBy(F.xxhash64(F.col("_k"), F.lit(1)), F.col("_k"))
         .limit(_SAMPLE_CAP)
         .collect()
     ]
