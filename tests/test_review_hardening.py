@@ -547,6 +547,41 @@ def test_distributed_rank_uniform_sampling_on_sorted_input(spark):
     assert rows[-1]["r"] == n
 
 
+def test_lattice_types_per_column_sniff_and_bool_parity(spark):
+    """Date sniffing must use a per-column non-null sample (a shared
+    single-row sample left columns null in that row unsniffed), and
+    booleans map to the reference's untyped '' (its get_data_type branch
+    chain never types bool), not to 'int'."""
+    from valentine_spark.types import lattice_types
+
+    df = spark.createDataFrame(
+        [("x", None, True), ("y", "2024-01-02", False)],
+        "note string, event_date string, flag boolean",
+    )
+    t = lattice_types(df)
+    assert t["event_date"] == "date"  # sniffed despite a null in some row
+    assert t["note"] == "varchar"
+    assert t["flag"] == ""  # reference parity: bool is untyped
+
+
+def test_jaccard_fuzzy_handles_separator_in_column_names(spark):
+    """Fuzzy matching must survive (and not merge) column names containing
+    the old pair-id separator byte."""
+    import valentine_spark as V
+
+    src = spark.createDataFrame(
+        [("alpha",), ("beta",)], f"`a\x1fb` string"
+    )
+    tgt = spark.createDataFrame(
+        [("alphaX",), ("betaY",)], "name string"
+    )
+    res = V.JaccardDistanceMatcher(
+        distance_fun=V.StringDistanceFunction.Levenshtein, threshold_dist=0.5
+    ).get_matches(src, tgt, "s", "t")
+    assert res  # produced matches without crashing on the odd name
+    assert all(k[0][1] == "a\x1fb" for k in res)
+
+
 def test_expire_reclaims_success_marker_dirs(spark, tmp_path):
     lake = _mk(spark, tmp_path / "t")
     for i in range(3):

@@ -82,18 +82,33 @@ class JaccardDistanceMatcher(BaseMatcher):
     ) -> Dict[MatchKey, float]:
         threshold = 1.0 if self.distance_fun == StringDistanceFunction.Exact else self.threshold_dist
 
-        d_src = profile_table(source, source_name).select("column_name", "value").distinct()
-        d_tgt = profile_table(target, target_name).select("column_name", "value").distinct()
+        from pyspark import StorageLevel
 
-        sizes_src = {r["column_name"]: r["n"] for r in d_src.groupBy("column_name").agg(F.count("*").alias("n")).collect()}
-        sizes_tgt = {r["column_name"]: r["n"] for r in d_tgt.groupBy("column_name").agg(F.count("*").alias("n")).collect()}
+        # the distinct profiles feed 2-4 separate actions (both size
+        # collects, then the intersection job — twice in the fuzzy path's
+        # probe/build union): persist them for the duration so each table's
+        # unpivot+distinct shuffle runs once, not per action
+        d_src = (
+            profile_table(source, source_name).select("column_name", "value")
+            .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        d_tgt = (
+            profile_table(target, target_name).select("column_name", "value")
+            .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            sizes_src = {r["column_name"]: r["n"] for r in d_src.groupBy("column_name").agg(F.count("*").alias("n")).collect()}
+            sizes_tgt = {r["column_name"]: r["n"] for r in d_tgt.groupBy("column_name").agg(F.count("*").alias("n")).collect()}
 
-        if self.distance_fun == StringDistanceFunction.Exact or threshold >= 1.0:
-            inter = self._exact_intersections(d_src, d_tgt)
-        else:
-            inter = self._fuzzy_intersections(
-                d_src, d_tgt, source.columns, target.columns, sizes_src, sizes_tgt, threshold
-            )
+            if self.distance_fun == StringDistanceFunction.Exact or threshold >= 1.0:
+                inter = self._exact_intersections(d_src, d_tgt)
+            else:
+                inter = self._fuzzy_intersections(
+                    d_src, d_tgt, source.columns, target.columns, sizes_src, sizes_tgt, threshold
+                )
+        finally:
+            d_src.unpersist()
+            d_tgt.unpersist()
 
         matches: Dict[MatchKey, float] = {}
         for s_col in source.columns:
@@ -142,9 +157,14 @@ class JaccardDistanceMatcher(BaseMatcher):
                 if t_col not in sizes_tgt:
                     continue
                 probe_is_src = sizes_src[s_col] < sizes_tgt[t_col]
-                pair_rows.append((f"{s_col}\x1f{t_col}", s_col, t_col, probe_is_src))
+                # pair_id is an OPAQUE index, not an encoding of the names:
+                # a separator-encoded id both crashes the final split and
+                # can COLLIDE when a column name contains the separator
+                # ("a\x1fb"+"c" == "a"+"b\x1fc"), silently merging two pairs
+                pair_rows.append((f"p{len(pair_rows)}", s_col, t_col, probe_is_src))
         if not pair_rows:
             return {}
+        id_to_pair = {pid: (s, t) for pid, s, t, _ in pair_rows}
         pairs = spark.createDataFrame(pair_rows, "pair_id string, s_col string, t_col string, probe_is_src boolean")
 
         src_vals = d_src.withColumnRenamed("column_name", "c").withColumnRenamed("value", "v")
@@ -218,6 +238,5 @@ class JaccardDistanceMatcher(BaseMatcher):
         )
         out: Dict[Tuple[str, str], int] = {}
         for r in hits.collect():
-            s_col, t_col = r["pair_id"].split("\x1f")
-            out[(s_col, t_col)] = int(r["inter"])
+            out[id_to_pair[r["pair_id"]]] = int(r["inter"])
         return out

@@ -22,7 +22,8 @@ def _name_pairs(matches, n: int | None = None) -> List[Tuple[str, str]]:
 
 
 def get_tp_fn(matches, ground_truth: List[Tuple[str, str]], n: int | None = None):
-    found = _name_pairs(matches, n)
+    # n-truncation BEFORE the set conversion (the top-n cut is positional)
+    found = set(_name_pairs(matches, n))
     tp = sum(1 for expected in ground_truth if tuple(expected) in found)
     return tp, len(ground_truth) - tp
 

@@ -28,7 +28,13 @@ _YEARISH = re.compile(r"^\d{4}$")
 def is_date(value) -> bool:
     """Lightweight stand-in for the reference's dateutil sniff
     (``data_sources/utils.py:32-42``): strptime over common formats, plus
-    bare 4-digit years (dateutil parses those as dates too)."""
+    bare 4-digit years (dateutil parses those as dates too).
+
+    KNOWN NARROWER than dateutil: bare 1-2 digit numbers ('12'), bare
+    month names ('May'), and times of day ('12:30') parse as dates under
+    dateutil but return False here — deliberate, those sniffs misclassify
+    far more real varchar columns than they correctly type; the divergence
+    only matters for columns whose first value is such a fragment."""
     if isinstance(value, (_dt.date, _dt.datetime)):
         return True
     s = str(value).strip()
@@ -68,7 +74,12 @@ def lattice_type_of(spark_type: T.DataType, sample: Optional[str] = None) -> str
     if isinstance(spark_type, (T.DateType, T.TimestampType, T.TimestampNTZType)):
         return "date"
     if isinstance(spark_type, T.BooleanType):
-        return "int"
+        # the reference's get_data_type leaves bool dtypes UNTYPED (its
+        # branch chain covers only object/int*/float*, so new_d_type stays
+        # "") — Cupid's compatibility then falls back to name-token
+        # similarity.  Coarsening to 'int' would instead grant bool~int
+        # compat 1.0, changing the match set vs the pinned reference.
+        return ""
     if sample is not None and is_date(sample):
         return "date"
     return "varchar"
@@ -76,15 +87,20 @@ def lattice_type_of(spark_type: T.DataType, sample: Optional[str] = None) -> str
 
 def lattice_types(df: DataFrame, sniff_dates: bool = True) -> dict:
     """Map every column of ``df`` to its lattice type.  String columns are
-    date-sniffed from the first non-null value of a single-row sample (one
-    tiny job, not one per column)."""
+    date-sniffed from a PER-COLUMN non-null sample — F.min per column in
+    one tiny agg job.  (A single shared sample row would leave any column
+    null in that row unsniffed, and an unordered limit(1) is
+    nondeterministic across runs; min is deterministic and skips nulls —
+    the reference sniffs each column's first non-null value, which for
+    homogeneous columns types identically.)"""
     samples: dict = {}
     if sniff_dates:
         str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
         if str_cols:
-            head = df.select(*str_cols).dropna(how="all").limit(1).collect()
-            if head:
-                samples = head[0].asDict()
+            from pyspark.sql import functions as F
+
+            row = df.agg(*[F.min(F.col(c)).alias(c) for c in str_cols]).collect()[0]
+            samples = {c: row[c] for c in str_cols if row[c] is not None}
     return {
         f.name: lattice_type_of(f.dataType, samples.get(f.name))
         for f in df.schema.fields
