@@ -598,3 +598,122 @@ def test_expire_reclaims_success_marker_dirs(spark, tmp_path):
         )
     ]
     assert leftovers == [], f"orphan marker-only commit dirs survive expiry: {leftovers}"
+
+
+# -- round-4 session-2 review findings (matchers / codecs / asof) ------------
+
+def test_jpeg_zero_sampling_factor_is_valueerror():
+    """A SOF sampling factor of 0 (malformed per T.81 B.2.2) must raise
+    ValueError, not ZeroDivisionError — decode_media's dirty-payload
+    fallthrough catches only (ValueError, struct.error, IndexError)."""
+    import numpy as np
+    import pytest
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90, subsampling="444"))
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    data[sof + 11] = 0x00  # first component's h/v sampling nibbles -> 0/0
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_sos_unknown_component_is_valueerror():
+    """An SOS naming a component id the SOF never declared must raise
+    ValueError, not StopIteration/RuntimeError (PEP 479)."""
+    import numpy as np
+    import pytest
+
+    from valentine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 200, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90, subsampling="444"))
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    data[sos + 5] = 0x77  # first scan component selector -> undeclared id
+    with pytest.raises(ValueError, match="not in SOF"):
+        decode_jpeg(bytes(data))
+
+
+def test_probe_mp4_audio_trak_first_reports_video_metadata():
+    """An MP4 whose audio trak precedes the video trak (legal, common) must
+    report the VIDEO track's frame count / codec / dims — not the audio
+    track's AAC packet count as n_frames and 'mp4a' as codec."""
+    import struct
+
+    from valentine_spark.functions.video_meta import probe_video
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def trak(handler, w, h, codec, n_samples):
+        tkhd = box(b"tkhd", b"\0\0\0\0" + b"\0" * 72
+                   + struct.pack(">II", w << 16, h << 16))
+        hdlr = box(b"hdlr", b"\0\0\0\0" + b"\0\0\0\0" + handler + b"\0" * 12)
+        stsd = box(b"stsd", b"\0\0\0\0" + struct.pack(">I", 1)
+                   + box(codec, b"\0" * 16))
+        stsz = box(b"stsz", b"\0\0\0\0" + struct.pack(">II", 0, n_samples))
+        stbl = box(b"stbl", stsd + stsz)
+        return box(b"trak", tkhd + box(b"mdia", hdlr + box(b"minf", stbl)))
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", b"\0\0\0\0" + struct.pack(">III", 0, 0, 1000)
+               + struct.pack(">I", 5000) + b"\0" * 80)
+    audio = trak(b"soun", 0, 0, b"mp4a", 43000)
+    video = trak(b"vide", 1280, 720, b"avc1", 150)
+    meta = probe_video(ftyp + box(b"moov", mvhd + audio + video))
+    assert meta == {
+        "container": "mp4", "width": 1280, "height": 720,
+        "duration_ms": 5000, "n_frames": 150, "fps": 30.0, "codec": "avc1",
+    }
+
+
+def test_asof_join_date_column_nearest_and_tolerance(spark):
+    """asof_join on a DATE-typed timestamp column must support nearest /
+    tolerance_seconds (DATE refuses a double cast; distances go through
+    unix_date)."""
+    import datetime as dt
+
+    from valentine_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10)), (1, dt.date(2024, 3, 1))],
+        "k int, d date",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 8), 100.0), (1, dt.date(2024, 1, 12), 200.0)],
+        "k int, d date, v double",
+    )
+    near = {
+        r["d"]: r["v_m"]
+        for r in asof_join(left, right, on=["k"], left_on="d",
+                           direction="nearest", suffix="_m").collect()
+    }
+    # Jan 10: backward match Jan 8 (dist 2d) == forward Jan 12 (dist 2d)
+    # -> tie prefers backward (pandas); Mar 1: nearest is Jan 12
+    assert near == {dt.date(2024, 1, 10): 100.0, dt.date(2024, 3, 1): 200.0}
+
+    tol = {
+        r["d"]: r["v_m"]
+        for r in asof_join(left, right, on=["k"], left_on="d",
+                           tolerance_seconds=5 * 86400, suffix="_m").collect()
+    }
+    # Mar 1's backward match (Jan 12) is 49 days away -> nulled by tolerance
+    assert tol == {dt.date(2024, 1, 10): 100.0, dt.date(2024, 3, 1): None}
+
+
+def test_jaccard_unattainable_threshold_returns_empty(spark):
+    """threshold_dist > 1.0: no string pair can reach the similarity bar
+    (reference jaccard_distance.py:184-188 — normalized sim <= 1.0), so the
+    matcher must return {} rather than silently falling back to exact
+    equality counting."""
+    import valentine_spark as V
+
+    src = spark.createDataFrame([("alpha",), ("beta",)], "name string")
+    tgt = spark.createDataFrame([("alpha",), ("gamma",)], "title string")
+    res = V.JaccardDistanceMatcher(
+        distance_fun=V.StringDistanceFunction.Levenshtein, threshold_dist=1.2
+    ).get_matches(src, tgt, "s", "t")
+    assert res == {}

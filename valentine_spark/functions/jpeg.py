@@ -450,6 +450,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                # a zero sampling factor is malformed (T.81 §B.2.2: 1..4) and
+                # would divide-by-zero in the MCU grid math below — keep the
+                # ValueError-only contract decode_media relies on
+                if not (1 <= hv >> 4 <= 4) or not (1 <= hv & 0x0F <= 4):
+                    raise ValueError(f"jpeg: invalid sampling factor 0x{hv:02x}")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
@@ -475,7 +480,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for s in range(ns):
                 cs, tds = body[1 + 2 * s : 3 + 2 * s]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                # next() without a default would leak StopIteration (PEP 479:
+                # RuntimeError inside generators) past the ValueError contract
+                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"jpeg: SOS component id {cs} not in SOF")
                 scan.append({"comp": comp, "dc": tds >> 4, "ac": tds & 0x0F})
             pos = pos + 2 + seglen
             if frame["progressive"]:

@@ -142,6 +142,25 @@ def jaro_winkler_udf(left: pd.Series, right: pd.Series) -> pd.Series:
     return _pairwise(_jaro_winkler)(left, right)
 
 
+def levenshtein_scalar(a: str, b: str) -> int:
+    """Plain Levenshtein for DRIVER-side use (Cupid / Similarity Flooding
+    compare column NAMES — dozens of strings, not data rows; the data-plane
+    path is Spark's built-in ``F.levenshtein``).  Two-row DP, O(len(a)*len(b))."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def normalized_similarity_expr(distance_col, left_col, right_col):
     """sim = 1 - dist / max(len(a), len(b), 1)  (reference utils.py:25-41),
     as a pure column expression (stays in codegen)."""

@@ -114,6 +114,42 @@ def _probe_mp4(raw: bytes) -> dict:
         "duration_ms": None, "n_frames": None, "fps": None, "codec": None,
     }
 
+    def scan_trak(lo: int, hi: int, depth: int, trak: dict) -> None:
+        """Collect one trak's tkhd dims, hdlr type, stsd codec and stsz count
+        into ``trak`` — promotion to ``meta`` happens per-trak in walk(), so
+        an audio trak appearing FIRST in file order (legal and common) cannot
+        donate its sample count / codec to the video metadata."""
+        if depth > _MAX_DEPTH:
+            raise VideoMetaError("MP4 box nesting exceeds sane depth")
+        pos = lo
+        while True:
+            box = _read_box(raw, pos, hi)
+            if box is None:
+                return
+            btype, body, end = box
+            if btype in (b"mdia", b"minf", b"stbl"):
+                scan_trak(body, end, depth + 1, trak)
+            elif btype == b"tkhd":
+                version = raw[body]
+                # after the 4 version/flags bytes: v0 = 20 (times/id/rsv/dur)
+                # + 8 reserved + 8 layer/alt/volume/rsv + 36 matrix = 72;
+                # v1's 64-bit times/duration add 12 -> width at +76 / +88
+                off = body + (88 if version == 1 else 76)
+                if off + 8 <= end:
+                    w, h = struct.unpack_from(">II", raw, off)
+                    if w and h:  # 16.16 fixed point; audio tracks carry 0x0
+                        trak["width"], trak["height"] = w >> 16, h >> 16
+            elif btype == b"hdlr" and end - body >= 12:
+                trak["handler"] = raw[body + 8:body + 12]
+            elif btype == b"stsd" and trak.get("codec") is None:
+                entry = _read_box(raw, body + 8, end)  # version/flags + count
+                if entry is not None:
+                    trak["codec"] = entry[0].decode("ascii", "replace").strip()
+            elif btype == b"stsz" and trak.get("n_frames") is None:
+                (count,) = struct.unpack_from(">I", raw, body + 8)
+                trak["n_frames"] = count
+            pos = end
+
     def walk(lo: int, hi: int, depth: int = 0) -> None:
         if depth > _MAX_DEPTH:
             raise VideoMetaError("MP4 box nesting exceeds sane depth")
@@ -123,8 +159,22 @@ def _probe_mp4(raw: bytes) -> dict:
             if box is None:
                 return
             btype, body, end = box
-            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            if btype == b"moov":
                 walk(body, end, depth + 1)
+            elif btype == b"trak":
+                trak: dict = {}
+                scan_trak(body, end, depth + 1, trak)
+                # a video trak declares hdlr 'vide'; nonzero tkhd dims are the
+                # fallback signal for writers that omit/garble hdlr
+                is_video = trak.get("handler") == b"vide" or (
+                    trak.get("handler") is None and trak.get("width")
+                )
+                if is_video and meta["width"] is None and trak.get("width"):
+                    meta["width"], meta["height"] = trak["width"], trak["height"]
+                if is_video and meta["codec"] is None:
+                    meta["codec"] = trak.get("codec")
+                if is_video and meta["n_frames"] is None:
+                    meta["n_frames"] = trak.get("n_frames")
             elif btype == b"mvhd" and meta["duration_ms"] is None:
                 version = raw[body]
                 if version == 1:
@@ -133,23 +183,6 @@ def _probe_mp4(raw: bytes) -> dict:
                     ts, dur = struct.unpack_from(">II", raw, body + 12)
                 if ts:
                     meta["duration_ms"] = int(dur * 1000 / ts)
-            elif btype == b"tkhd" and meta["width"] is None:
-                version = raw[body]
-                # after the 4 version/flags bytes: v0 = 20 (times/id/rsv/dur)
-                # + 8 reserved + 8 layer/alt/volume/rsv + 36 matrix = 72;
-                # v1's 64-bit times/duration add 12 -> width at +76 / +88
-                off = body + (88 if version == 1 else 76)
-                if off + 8 <= end:
-                    w, h = struct.unpack_from(">II", raw, off)
-                    if w and h:  # 16.16 fixed point; audio tracks carry 0x0
-                        meta["width"], meta["height"] = w >> 16, h >> 16
-            elif btype == b"stsd" and meta["codec"] is None:
-                entry = _read_box(raw, body + 8, end)  # version/flags + count
-                if entry is not None:
-                    meta["codec"] = entry[0].decode("ascii", "replace").strip()
-            elif btype == b"stsz" and meta["n_frames"] is None:
-                (count,) = struct.unpack_from(">I", raw, body + 8)
-                meta["n_frames"] = count
             pos = end
 
     walk(0, len(raw))

@@ -41,6 +41,7 @@ from typing import Dict, List, Tuple
 
 from pyspark.sql import DataFrame
 
+from ..functions.string_distance import levenshtein_scalar as _levenshtein
 from ..results import Match, MatchKey
 from ..types import lattice_types
 
@@ -119,20 +120,6 @@ def tokenize(text: str) -> List[_Token]:
     return out
 
 
-def _levenshtein(a: str, b: str) -> int:
-    if a == b:
-        return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
 
 
 def _token_sim(a: str, b: str) -> float:

@@ -289,9 +289,11 @@ class DistributionBased(BaseMatcher):
                         emd = quantile_emd_kernel(
                             a["min"], a["bb"], a["hist"], b["size"], b["values"], b["counts"]
                         )
-                    out.append((row.pair_id, float(emd) if emd != math.inf else float("inf")))
+                    out.append((row.pair_id, float(emd)))
                 yield pd.DataFrame(out, columns=["pair_id", "emd"])
 
         result = joined.mapInPandas(compute, "pair_id long, emd double")
         emds = {r["pair_id"]: r["emd"] for r in result.collect()}
-        return {pairs[i]: emds.get(i, math.inf) for i in range(len(pairs)) if i in emds}
+        # pairs pruned upstream (empty columns etc.) are DROPPED, not
+        # defaulted — downstream ranks only the pairs present here
+        return {pairs[i]: emds[i] for i in range(len(pairs)) if i in emds}

@@ -36,6 +36,7 @@ from ..functions.string_distance import (
     hamming_udf,
     jaro_udf,
     jaro_winkler_udf,
+    normalized_similarity_expr,
 )
 from ..results import Match, MatchKey
 from ..sources.profiles import profile_table
@@ -100,7 +101,14 @@ class JaccardDistanceMatcher(BaseMatcher):
             sizes_src = {r["column_name"]: r["n"] for r in d_src.groupBy("column_name").agg(F.count("*").alias("n")).collect()}
             sizes_tgt = {r["column_name"]: r["n"] for r in d_tgt.groupBy("column_name").agg(F.count("*").alias("n")).collect()}
 
-            if self.distance_fun == StringDistanceFunction.Exact or threshold >= 1.0:
+            if threshold > 1.0:
+                # every distance function's (normalized) similarity is <= 1.0,
+                # so the reference's `sim >= threshold` test never fires
+                # (jaccard_distance.py:184-188): all intersections are empty
+                # and the zero-sim filter yields {} — do not fall into the
+                # exact-equality path, which would silently return matches
+                inter = {}
+            elif self.distance_fun == StringDistanceFunction.Exact or threshold == 1.0:
                 inter = self._exact_intersections(d_src, d_tgt)
             else:
                 inter = self._fuzzy_intersections(
@@ -227,7 +235,7 @@ class JaccardDistanceMatcher(BaseMatcher):
             raise ValueError(self.distance_fun)
 
         if self.distance_fun in _NORMALIZED:
-            sim = 1.0 - dist / F.greatest(F.length("pv"), F.length("bv"), F.lit(1))
+            sim = normalized_similarity_expr(dist, "pv", "bv")
 
         hits = (
             cand.withColumn("hit", (sim >= F.lit(threshold)).cast("int"))

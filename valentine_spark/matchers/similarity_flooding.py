@@ -28,6 +28,7 @@ from typing import Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame
 
+from ..functions.string_distance import levenshtein_scalar
 from ..results import Match, MatchKey
 from ..types import lattice_types
 from ..utils.graphs import DiGraph
@@ -49,24 +50,8 @@ class _Node:
 _Pair = Tuple[_Node, _Node]
 
 
-def _levenshtein(a: str, b: str) -> int:
-    if a == b:
-        return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
-
-
 def _name_sim(a: str, b: str) -> float:
-    return 1.0 - _levenshtein(a, b) / max(max(len(a), len(b)), 1)
+    return 1.0 - levenshtein_scalar(a, b) / max(max(len(a), len(b)), 1)
 
 
 def _build_schema_graph(table_name: str, guid: str, columns: Dict[str, str]) -> DiGraph:

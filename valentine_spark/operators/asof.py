@@ -147,6 +147,10 @@ def asof_join(
             return F.unix_micros(F.to_utc_timestamp(col, "UTC")) / F.lit(1e6)
         if ts_type == "timestamp":
             return F.unix_micros(col) / F.lit(1e6)
+        if ts_type == "date":
+            # DATE refuses a double cast; tolerance stays in seconds so a
+            # daily-snapshot as-of can pass tolerance_seconds=86400*n
+            return F.unix_date(col).cast("double") * F.lit(86400.0)
         return col.cast("double")
 
     def _gate(payload, signed_dist):
