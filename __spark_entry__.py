@@ -28,7 +28,10 @@ from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 
-def _wal_stream(ev: DataFrame) -> DataFrame:
+_WAL_STREAM_CACHE: dict = {}
+
+
+def _wal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one WAL-ordered change stream every cdc_* query and its SQL
     oracle share (lsn = row_number over (ts, event_id) — the real-binlog
     invariant that LSN order and commit-timestamp order agree; the key
@@ -38,17 +41,24 @@ def _wal_stream(ev: DataFrame) -> DataFrame:
     event_id) is a total key, so the values are deterministic and equal
     to the oracles' ``row_number() OVER (ORDER BY ts, event_id)``.
 
-    The result is PERSISTED: a replay consumes the stream ~3 jobs per
-    micro-batch across dozens of batches, and a production tail reads its
-    log once from disk — re-running the rank per job would time fixture
-    synthesis (40-75x), not the lake machinery under test (measured 3.8
-    vs 0.7 s/batch at sf0.1)."""
+    The result is PERSISTED and MEMOIZED per (session, sf_dir): a replay
+    consumes the stream ~3 jobs per micro-batch across dozens of batches,
+    and a production tail reads its log once from disk — re-running the
+    rank per job would time fixture synthesis (40-75x), not the lake
+    machinery under test (measured 3.8 vs 0.7 s/batch at sf0.1).  The
+    memo (vs persist-per-call) keeps a driver/bench run over ~19 cdc_*
+    queries at ONE cached copy instead of leaking one per query."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _WAL_STREAM_CACHE.get(key)
+    if cached is not None:
+        return cached
     from pyspark import StorageLevel
 
     from valentine_spark.utils.ranking import distributed_row_number
 
+    ev = _t(spark, sf_dir, "events")
     ranked = distributed_row_number(ev, ["ts", "event_id"], rank_col="lsn")
-    return ranked.select(
+    stream = ranked.select(
         F.col("lsn").cast("long").alias("lsn"),
         F.col("ts").alias("op_ts"),
         F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
@@ -58,6 +68,8 @@ def _wal_stream(ev: DataFrame) -> DataFrame:
         F.col("event_type").alias("lang"),
         F.col("props").alias("content"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _WAL_STREAM_CACHE[key] = stream
+    return stream
 
 
 def _batch_lsns(n: int, target_batches: int = 6) -> int:
@@ -935,7 +947,7 @@ def _langid_oracle_sql() -> str:
         for lang, words in LANG_MARKERS.items()
     }
     best = f"greatest({score_exprs['en']}, {score_exprs['de']}, {score_exprs['fr']}, {score_exprs['es']})"
-    pred = f"""CASE WHEN {best} <= 0 THEN 'unknown'
+    pred = f"""CASE WHEN text IS NULL OR {best} <= 0 THEN 'unknown'
         WHEN {score_exprs['en']} = {best} THEN 'en'
         WHEN {score_exprs['de']} = {best} THEN 'de'
         WHEN {score_exprs['fr']} = {best} THEN 'fr'
@@ -1588,7 +1600,7 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
@@ -1615,7 +1627,7 @@ def cdc_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     n_writers = 3
     root = tempfile.mkdtemp(prefix="entry_lake_conc_")
     path = os.path.join(root, "t")
@@ -1657,7 +1669,7 @@ def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as cdc_replay_state."""
     from valentine_spark.cdc import LakeTable, replay
 
-    stream = _wal_stream(_t(spark, sf_dir, "events"))
+    stream = _wal_stream(spark, sf_dir)
     mid = stream.agg(F.max("lsn")).collect()[0][0] // 2
     root = tempfile.mkdtemp(prefix="entry_lake_rb_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
@@ -1701,7 +1713,7 @@ def cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_mor_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8, write_mode="mor")
@@ -1722,7 +1734,7 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_tt_")
@@ -1764,7 +1776,7 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_pl_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
@@ -1812,7 +1824,7 @@ def cdc_follow_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, mirror_changes
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     n = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_follow_")
     src = LakeTable.create(os.path.join(root, "src"), spark, n_buckets=8)
@@ -1845,7 +1857,7 @@ def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     half = ev.count() // 2
     root = tempfile.mkdtemp(prefix="entry_lake_drift_")
     lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
@@ -1874,7 +1886,7 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_chg_")
@@ -1903,7 +1915,7 @@ def cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.streaming.lake_source import register_lake_changes
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_chgstream_")
@@ -2000,7 +2012,7 @@ def cdc_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_scan_")
     lake = LakeTable.create(
@@ -2052,7 +2064,7 @@ def cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_z_")
     # small target_file_rows: the clustering demo needs several files per
@@ -2106,7 +2118,7 @@ def cdc_mutate_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_mut_")
     lake = LakeTable.create(
@@ -2169,7 +2181,7 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, replay
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     root = tempfile.mkdtemp(prefix="entry_lake_mi_")
     lake = LakeTable.create(
@@ -2274,7 +2286,7 @@ def cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_ren_")
@@ -2333,7 +2345,7 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.cdc import LakeTable, apply_batch
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_wap_")
@@ -2484,7 +2496,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    stream = _wal_stream(ev)
+    stream = _wal_stream(spark, sf_dir)
     total = ev.count()
     half = total // 2
     root = tempfile.mkdtemp(prefix="entry_lake_ivm_")

@@ -265,12 +265,25 @@ def test_max_versions_per_batch_offset_protocol(spark, tmp_path):
         _source_schema(lake),
         {"path": lake.root, "startingversion": "0", "maxversionsperbatch": "2"},
     )
+    # FRESH query: initialOffset seeds the cap, so even the first backfill
+    # is metered — never one (start, head] batch over a deep history
     assert reader.initialOffset() == {"version": 0}
-    # first call after start: safe uncapped catch-up base
-    first = reader.latestOffset()["version"]
-    assert first == head
+    seen0 = [0]
+    while seen0[-1] < head:
+        nxt = reader.latestOffset()["version"]
+        assert 0 < nxt - seen0[-1] <= 2
+        seen0.append(nxt)
+    assert seen0[-1] == head
     # no new commits: offset must hold at head, not wander
     assert reader.latestOffset()["version"] == head
+
+    # RESTART (no initialOffset call): the committed position is not
+    # observable, so the first call is the safe uncapped catch-up base
+    restarted = LakeChangesStreamReader(
+        _source_schema(lake),
+        {"path": lake.root, "startingversion": "0", "maxversionsperbatch": "2"},
+    )
+    assert restarted.latestOffset()["version"] == head
 
     # new commits land; the cap meters them out 2 versions per call
     stream2 = synth_change_stream(spark, 1_200, 300, seed=132).cache()

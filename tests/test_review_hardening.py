@@ -717,3 +717,69 @@ def test_jaccard_unattainable_threshold_returns_empty(spark):
         distance_fun=V.StringDistanceFunction.Levenshtein, threshold_dist=1.2
     ).get_matches(src, tgt, "s", "t")
     assert res == {}
+
+
+def test_repo_stats_path_cap_floor_semantics():
+    """_update_repo_stats: once the distinct-path set hits PATH_SET_CAP,
+    n_paths becomes a floor and n_paths_exact flips false — state stays
+    O(cap) regardless of per-repo path cardinality."""
+    import pandas as pd
+
+    from valentine_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    big = pd.DataFrame({
+        "op": ["insert"] * (S.PATH_SET_CAP + 50),
+        "lsn": range(S.PATH_SET_CAP + 50),
+        "path": [f"p{i}" for i in range(S.PATH_SET_CAP + 50)],
+    })
+    (out,) = list(S._update_repo_stats(("r1",), [big], st))
+    assert int(out["n_paths"][0]) == S.PATH_SET_CAP
+    assert bool(out["n_paths_exact"][0]) is False
+    assert len(st.get[-1]) == S.PATH_SET_CAP  # state array capped
+
+    # under the cap stays exact and accumulates across batches
+    st2 = FakeState()
+    a = pd.DataFrame({"op": ["insert", "update"], "lsn": [1, 2], "path": ["x", "y"]})
+    b = pd.DataFrame({"op": ["delete"], "lsn": [3], "path": ["y"]})
+    list(S._update_repo_stats(("r2",), [a], st2))
+    (out2,) = list(S._update_repo_stats(("r2",), [b], st2))
+    assert int(out2["n_paths"][0]) == 2 and bool(out2["n_paths_exact"][0]) is True
+
+
+def test_language_id_null_text_is_unknown(spark):
+    """language_id on a NULL text row must emit pred_lang='unknown' (the
+    oracle's CASE chain and the Spark when-chain agree explicitly; the
+    Spark side previously fell through to NULL while the oracle's ELSE
+    arm emitted 'es')."""
+    from valentine_spark.operators import language_id
+
+    df = spark.createDataFrame(
+        [(1, "the and of water house"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "unknown"
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, "
+                "'the and of water house' AS text UNION ALL SELECT 2, NULL")
+    orows = {r[0]: r[-1] for r in con.execute(E._langid_oracle_sql()).fetchall()}
+    assert orows == {1: "en", 2: "unknown"}

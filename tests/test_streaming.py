@@ -83,14 +83,17 @@ def test_stateful_repo_stats(spark, tmp_path, drop_zone):
             F.sum((F.col("op") == "update").cast("long")).alias("n_updates"),
             F.sum((F.col("op") == "delete").cast("long")).alias("n_deletes"),
             F.max("lsn").alias("max_lsn"),
+            F.countDistinct("path").alias("n_paths"),
         )
         .collect()
     }
     assert set(latest) == set(expected)
     for repo, exp in expected.items():
         got = latest[repo]
-        for k in ("n_events", "n_inserts", "n_updates", "n_deletes", "max_lsn"):
+        for k in ("n_events", "n_inserts", "n_updates", "n_deletes", "max_lsn",
+                  "n_paths"):
             assert got[k] == exp[k], (repo, k, got[k], exp[k])
+        assert got["n_paths_exact"] is True  # fixture is far below the cap
 
 
 def test_windowed_counts_with_watermark(spark, tmp_path, drop_zone):

@@ -100,7 +100,10 @@ def _langid_exprs(text_col: str) -> dict:
         for lang, words in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
-    pred = F.when(best <= 0, F.lit("unknown"))
+    # NULL text propagates NULL scores (consistent with the SQL oracle); the
+    # prediction must be explicit about it — without this branch the when-
+    # chain falls through to NULL while the oracle's ELSE arm emits 'es'
+    pred = F.when(F.col(text_col).isNull() | (best <= 0), F.lit("unknown"))
     for lang in ("en", "de", "fr", "es"):
         pred = pred.when(scores[lang] == best, F.lit(lang))
     out = {f"score_{lang}": F.round(scores[lang], 6) for lang in ("en", "de", "fr", "es")}

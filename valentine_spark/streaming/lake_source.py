@@ -56,11 +56,12 @@ versions each.  The cap is MONOTONE — computed relative to the last offset
 this reader emitted (or learned from a replayed ``partitions`` call), never
 from scratch — because a from-scratch cap could regress behind Spark's
 committed offset and the resulting inverted window would commit an empty
-batch over data that then re-delivers.  The one window the cap cannot
-bound is the FIRST batch after a (re)start with no pending batch to replay:
-the committed offset is not observable from ``latestOffset``, so the first
-call returns the lake head (a single safe catch-up batch) and capping
-begins from there.
+batch over data that then re-delivers.  A FRESH query's start offset IS
+observable (``initialOffset`` seeds the cap), so even the initial backfill
+is metered.  The one window the cap cannot bound is the first batch after
+a RESTART with no pending batch to replay: the committed offset is not
+observable from ``latestOffset``, so that call returns the lake head (a
+single safe catch-up batch) and capping resumes from there.
 
 No reference counterpart; new construction (SURVEY.md §2.8).
 """
@@ -173,6 +174,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
     # -- offsets -----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # a FRESH query's start offset IS observable here (unlike a restart,
+        # where Spark replays the checkpoint without calling initialOffset):
+        # seed the admission cap so maxVersionsPerBatch bounds the very first
+        # backfill batch too, instead of diffing (start, head] in one shot
+        # over an arbitrarily deep history
+        if self._max_versions > 0:
+            self._last_end = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -180,7 +188,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         if self._max_versions <= 0:
             return {"version": cur}
         if self._last_end is None:
-            # first call after (re)start: the committed offset is not
+            # first call after a RESTART: the committed offset is not
             # observable here, and emitting anything below it would invert
             # the next window — one uncapped catch-up batch is the safe base
             self._last_end = cur
@@ -255,7 +263,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         log = meta.get("schema_log")
         if not log or len(log) <= 1:
             return entries
-        from valentine_spark.cdc.lake import _era_names
+        from valentine_spark.cdc.lake import _era_colmap
 
         out = []
         for e in entries:
@@ -266,9 +274,10 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             if seq is None:
                 m = _VER_RE.search("/" + e["path"])
                 seq = int(m.group(1)) if m else 0
-            era = _era_names(log, int(seq))
-            cm = {name: era.get(str(i)) for name, i in self._fids.items()}
-            out.append(e if all(p == n for n, p in cm.items()) else {**e, "_colmap": cm})
+            # era resolution is lake.py's rule — one implementation; None
+            # means identity (no _colmap needed)
+            cm = _era_colmap(self._fids, log, int(seq))
+            out.append(e if cm is None else {**e, "_colmap": cm})
         return out
 
     # -- execution (executor; no SparkSession, vectorized pyarrow/pandas) ----

@@ -4,8 +4,9 @@ SURVEY.md §2.8; this is the per-partition lineage/metrics surface of the
 north rule, maintained incrementally instead of recomputed).
 
 State per repo: total events seen, per-op counts, max lsn, distinct-path
-estimate (small exact set capped -> cardinality floor).  Each micro-batch
-emits the UPDATED rows only (output mode 'update')."""
+estimate (exact path set up to ``PATH_SET_CAP``; once capped, ``n_paths``
+is a cardinality floor and ``n_paths_exact`` flips false).  Each
+micro-batch emits the UPDATED rows only (output mode 'update')."""
 
 from __future__ import annotations
 
@@ -15,11 +16,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+# distinct-path state cap: below it the set is exact; at it, new paths stop
+# being recorded and ``n_paths`` becomes a floor (``n_paths_exact=false``) —
+# per-key state stays O(cap), never O(paths-per-repo)
+PATH_SET_CAP = 4096
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -29,6 +37,8 @@ OUTPUT_SCHEMA = StructType(
         StructField("n_updates", LongType()),
         StructField("n_deletes", LongType()),
         StructField("max_lsn", LongType()),
+        StructField("n_paths", LongType()),
+        StructField("n_paths_exact", BooleanType()),
     ]
 )
 
@@ -39,6 +49,7 @@ STATE_SCHEMA = StructType(
         StructField("n_updates", LongType()),
         StructField("n_deletes", LongType()),
         StructField("max_lsn", LongType()),
+        StructField("paths", ArrayType(StringType())),
     ]
 )
 
@@ -47,10 +58,12 @@ def _update_repo_stats(
     key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        n_events, n_ins, n_upd, n_del, max_lsn = state.get
+        n_events, n_ins, n_upd, n_del, max_lsn, paths = state.get
+        path_set = set(paths or ())
     else:
         n_events = n_ins = n_upd = n_del = 0
         max_lsn = -1
+        path_set = set()
     for pdf in pdfs:
         n_events += len(pdf)
         ops = pdf["op"].value_counts()
@@ -59,7 +72,13 @@ def _update_repo_stats(
         n_del += int(ops.get("delete", 0))
         if len(pdf):
             max_lsn = max(max_lsn, int(pdf["lsn"].max()))
-    state.update((n_events, n_ins, n_upd, n_del, max_lsn))
+            if len(path_set) < PATH_SET_CAP:
+                for p in pdf["path"].dropna().unique():
+                    path_set.add(str(p))
+                    if len(path_set) >= PATH_SET_CAP:
+                        break
+    exact = len(path_set) < PATH_SET_CAP
+    state.update((n_events, n_ins, n_upd, n_del, max_lsn, sorted(path_set)))
     yield pd.DataFrame(
         {
             "repo": [key[0]],
@@ -68,6 +87,8 @@ def _update_repo_stats(
             "n_updates": [n_upd],
             "n_deletes": [n_del],
             "max_lsn": [max_lsn],
+            "n_paths": [len(path_set)],
+            "n_paths_exact": [exact],
         }
     )
 
