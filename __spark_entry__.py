@@ -2528,6 +2528,79 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max IVM end-to-end (selective group rescan — ``cdc/ivm.py``):
+    bootstrap per-language (files, min/max content length) from the
+    half-replayed lake, then roll through two changelog windows.  Unlike
+    count/sum, a retracted extreme is not delta-expressible: groups whose
+    stored min/max was retracted re-aggregate from the post-window base —
+    and the result must still equal the oracle's from-scratch GROUP BY
+    over the final LWW image."""
+    from valentine_spark.cdc import (
+        LakeTable, apply_batch, init_aggregate, maintain_aggregate, replay,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(spark, sf_dir)
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_ivmm_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=_batch_lsns(half), max_lsn=half)
+
+    measures = {
+        "files": ("count", None),
+        "min_bytes": ("min", "clen"),
+        "max_bytes": ("max", "clen"),
+    }
+
+    def prep(df):
+        out = df.withColumn("clen", F.length(F.coalesce(F.col("content"), F.lit(""))))
+        if "_before_content" in df.columns:
+            out = out.withColumn(
+                "_before_clen", F.length(F.coalesce(F.col("_before_content"), F.lit("")))
+            )
+        return out
+
+    agg = init_aggregate(prep(lake.read()), ["lang"], measures).cache()
+    agg.count()
+    mid = half + (total - half) // 2
+    for name, lo, hi in (("tail-1", half, mid), ("tail-2", mid, total)):
+        v_prev = lake.version
+        apply_batch(lake, stream.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)), name)
+        chg = prep(lake.changes(v_prev, include_before=True))
+        agg = maintain_aggregate(
+            agg, chg, ["lang"], measures, base=prep(lake.read())
+        ).cache()
+        agg.count()
+    return agg.select(
+        "lang", F.col("files").cast("long").alias("files"),
+        F.col("min_bytes").cast("long").alias("min_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+    )
+
+
+_CDC_IVM_MINMAX_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+), state AS (
+  SELECT lang, content FROM winners WHERE rn = 1 AND op <> 'delete'
+)
+SELECT lang, count(*) AS files,
+       CAST(min(length(coalesce(content, ''))) AS BIGINT) AS min_bytes,
+       CAST(max(length(coalesce(content, ''))) AS BIGINT) AS max_bytes
+FROM state GROUP BY lang
+"""
+
+
 _CDC_IVM_SQL = """
 WITH stream AS (
   SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
@@ -2763,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
         "cdc_incremental_agg": cdc_incremental_agg,
+        "cdc_incremental_minmax": cdc_incremental_minmax,
         "media_frame_features": media_frame_features,
         "matcher_distribution_based": matcher_distribution_based,
         "matcher_cupid": matcher_cupid,
@@ -2843,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,
         "cdc_incremental_agg": _CDC_IVM_SQL,
+        "cdc_incremental_minmax": _CDC_IVM_MINMAX_SQL,
         # Spark really decodes the MJPEG frames; SQL recomputes the expected
         # sampled-frame geometry (pixel values live in pytest round-trips)
         "media_frame_features": _MEDIA_FRAMES_SQL,

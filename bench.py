@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "cdc_changelog",
     "cdc_follow_mirror",
     "cdc_incremental_agg",
+    "cdc_incremental_minmax",
 ]
 
 

@@ -911,3 +911,73 @@ def test_restore_raises_on_expired_version(spark, tmp_path):
     lake.expire_snapshots(keep_last=1)
     with pytest.raises(FileNotFoundError):
         lake.restore(v1)
+
+
+def test_ivm_minmax_multi_window_equals_recompute(spark, tmp_path):
+    """min/max maintenance (selective group rescan): roll the view across
+    windows with inserts, updates, and deletes — including retractions of
+    the stored extremes — and the result equals a from-scratch recompute
+    over the final table."""
+    from valentine_spark.cdc import init_aggregate, maintain_aggregate
+
+    stream = synth_change_stream(spark, 4_000, 600, seed=53).cache()
+    lake = LakeTable.create(str(tmp_path / "ivmm"), spark, n_buckets=4)
+    measures = {
+        "rows": ("count", None),
+        "min_len": ("min", "clen"),
+        "max_len": ("max", "clen"),
+    }
+
+    def prep(df):
+        out = df.withColumn("clen", F.length(F.coalesce(F.col("content"), F.lit(""))))
+        if "_before_content" in df.columns:
+            out = out.withColumn(
+                "_before_clen",
+                F.length(F.coalesce(F.col("_before_content"), F.lit(""))),
+            )
+        return out
+
+    replay(lake, stream.where(F.col("lsn") < 1_000), batch_lsns=1_000, max_lsn=999)
+    agg = init_aggregate(prep(lake.read()), ["lang"], measures).cache()
+    agg.count()
+    for lo in (1_000, 2_000, 3_000):
+        v_prev = lake.version
+        batch = stream.where((F.col("lsn") >= lo) & (F.col("lsn") < lo + 1_000))
+        apply_batch(lake, batch, f"w-{lo}", watermark_lsn=lo + 999)
+        chg = prep(lake.changes(v_prev, include_before=True))
+        agg = maintain_aggregate(
+            agg, chg, ["lang"], measures, base=prep(lake.read())
+        ).cache()
+        agg.count()
+    got = {r["lang"]: (r["rows"], r["min_len"], r["max_len"]) for r in agg.collect()}
+    fresh = init_aggregate(prep(lake.read()), ["lang"], measures)
+    want = {r["lang"]: (r["rows"], r["min_len"], r["max_len"]) for r in fresh.collect()}
+    assert got == want
+    stream.unpersist()
+
+
+def test_ivm_minmax_contract_errors(spark, tmp_path):
+    """min/max measures demand base= (rescan source) in maintain_aggregate
+    and are rejected by the pure-delta aggregate_delta."""
+    import pytest
+
+    from valentine_spark.cdc import apply_batch, init_aggregate, maintain_aggregate
+    from valentine_spark.cdc.ivm import aggregate_delta
+
+    stream = synth_change_stream(spark, 400, 80, seed=54).cache()
+    lake = LakeTable.create(str(tmp_path / "ivme"), spark, n_buckets=2)
+    apply_batch(lake, stream.where(F.col("lsn") < 200), "b0")
+    measures = {"mx": ("max", "lang")}
+    agg = init_aggregate(lake.read(), ["repo"], measures)
+    v = lake.version
+    apply_batch(lake, stream.where(F.col("lsn") >= 200), "b1")
+    chg = lake.changes(v, include_before=True)
+    with pytest.raises(ValueError, match="base="):
+        maintain_aggregate(agg, chg, ["repo"], measures)
+    with pytest.raises(ValueError, match="min/max"):
+        aggregate_delta(chg, ["repo"], measures)
+    # and the full call with base succeeds + matches recompute
+    rolled = maintain_aggregate(agg, chg, ["repo"], measures, base=lake.read())
+    fresh = init_aggregate(lake.read(), ["repo"], measures)
+    assert {tuple(r) for r in rolled.collect()} == {tuple(r) for r in fresh.collect()}
+    stream.unpersist()

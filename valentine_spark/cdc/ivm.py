@@ -19,9 +19,17 @@ the old group and add to the new one.
 
 Supported measures: ``count`` and ``sum`` — the self-maintainable
 aggregates (each is a group homomorphism, so deltas compose); ``avg``
-derives as sum/count at read.  min/max are NOT self-maintainable under
-deletes (a retracted max needs a rescan of the group) and are deliberately
-absent.
+derives as sum/count at read.  ``min``/``max`` are NOT self-maintainable
+under deletes (a retracted extreme needs a rescan of its group), so they
+are maintained by the standard selective-rescan technique (Materialize /
+Flink retractable-extreme style): inserts merge monotonically
+(``least``/``greatest``), and ONLY groups where a retracted value ties the
+stored extreme are re-aggregated from the post-window base state —
+``maintain_aggregate(..., base=...)``.  Cost scales with the churned
+groups' row count, never the table; the adversarial worst case (every
+window deletes every group's current extreme) degrades to a rescan of all
+touched groups, which is still the from-scratch cost only for those
+groups.
 
 Numeric caveat: float sums maintained incrementally accumulate the usual
 reassociation error relative to a from-scratch recompute; integer/decimal
@@ -62,14 +70,35 @@ def _sum_type(df: DataFrame, col: str):
     return T.DoubleType()
 
 
-def _measure_exprs(measures: Dict[str, Tuple[str, Optional[str]]]):
+def _split_measures(measures: Dict[str, Tuple[str, Optional[str]]]):
+    """(count/sum measures, min/max measures) — with validation."""
+    cs: Dict[str, Tuple[str, Optional[str]]] = {}
+    mm: Dict[str, Tuple[str, str]] = {}
     for out, (agg, col) in measures.items():
-        if agg not in ("count", "sum"):
+        if agg in ("count", "sum"):
+            if agg == "sum" and not col:
+                raise ValueError(f"measure {out!r}: sum needs a source column")
+            cs[out] = (agg, col)
+        elif agg in ("min", "max"):
+            if not col:
+                raise ValueError(f"measure {out!r}: {agg} needs a source column")
+            mm[out] = (agg, col)
+        else:
             raise ValueError(
-                f"measure {out!r}: only count/sum are self-maintainable, got {agg!r}"
+                f"measure {out!r}: supported aggregates are count/sum/min/max, got {agg!r}"
             )
-        if agg == "sum" and not col:
-            raise ValueError(f"measure {out!r}: sum needs a source column")
+    return cs, mm
+
+
+def _measure_exprs(measures: Dict[str, Tuple[str, Optional[str]]]):
+    cs, mm = _split_measures(measures)
+    if mm:
+        raise ValueError(
+            f"measures {sorted(mm)} are min/max — not expressible as a pure "
+            "delta; use maintain_aggregate(..., base=...) which handles them "
+            "via selective group rescan"
+        )
+    for out, (agg, col) in cs.items():
         yield out, agg, col
 
 
@@ -147,8 +176,9 @@ def init_aggregate(
 ) -> DataFrame:
     """Materialize the view from a full table state (the bootstrap scan;
     thereafter ``maintain_aggregate`` keeps it current from changelogs)."""
+    cs, mm = _split_measures(measures)
     aggs = [F.count(F.lit(1)).alias(_GROUP_N)]
-    for out, agg, col in _measure_exprs(measures):
+    for out, (agg, col) in cs.items():
         if agg == "count":
             aggs.append(F.count(F.lit(1)).alias(out))
         else:
@@ -158,6 +188,8 @@ def init_aggregate(
                 .cast(t)
                 .alias(out)
             )
+    for out, (agg, col) in mm.items():
+        aggs.append((F.min(col) if agg == "min" else F.max(col)).alias(out))
     return state.groupBy(*group_cols).agg(*aggs)
 
 
@@ -166,6 +198,7 @@ def maintain_aggregate(
     changes: DataFrame,
     group_cols: list,
     measures: Dict[str, Tuple[str, Optional[str]]],
+    base: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Roll a materialized aggregate forward by one changelog window:
     ``prev`` (from ``init_aggregate`` or a prior maintain) + the window's
@@ -173,12 +206,24 @@ def maintain_aggregate(
     whose row count reaches zero are dropped (never emitted as zero rows,
     matching a from-scratch recompute).  Idempotent per window — apply each
     changelog window exactly once, in version order.
+
+    ``min``/``max`` measures additionally require ``base``: the table state
+    AFTER the window (e.g. ``lake.read()`` at the window's to-version).
+    Inserts merge monotonically; only groups where a retracted before-image
+    value TIES the stored extreme are re-aggregated from ``base`` — one
+    semi-join pruned to those groups, cost O(churned groups' rows).
     """
-    delta = aggregate_delta(changes, group_cols, measures)
+    cs, mm = _split_measures(measures)
+    if mm and base is None:
+        raise ValueError(
+            f"min/max measures {sorted(mm)} need base= (the post-window "
+            "table state) for selective group rescans"
+        )
+    delta = aggregate_delta(changes, group_cols, cs)
     d = delta.select(
         *[F.col(c).alias(f"_d_key_{c}") for c in group_cols],
         F.col(_GROUP_N).alias("_d_n"),
-        *[F.col(out).alias(f"_d_{out}") for out in measures],
+        *[F.col(out).alias(f"_d_{out}") for out in cs],
     )
     # null-SAFE key equality: groupBy treats NULL as one group, so the
     # merge join must too — a plain equi-join would split a NULL-keyed
@@ -195,8 +240,142 @@ def maintain_aggregate(
     out_cols.append(
         (F.coalesce(F.col(_GROUP_N), zero) + F.coalesce(F.col("_d_n"), zero)).alias(_GROUP_N)
     )
-    for out, _, _ in _measure_exprs(measures):
+    for out in cs:
         out_cols.append(
-            (F.coalesce(F.col(out), zero) + F.coalesce(F.col(f"_d_{out}"), zero)).alias(out)
+            (F.coalesce(prev[out], zero) + F.coalesce(F.col(f"_d_{out}"), zero)).alias(out)
         )
-    return merged.select(*out_cols).where(F.col(_GROUP_N) > 0)
+    # previous extremes ride through the merge; resolved below
+    out_cols += [prev[out].alias(f"_prev_{out}") for out in mm]
+    rolled = merged.select(*out_cols)
+    if not mm:
+        return rolled.where(F.col(_GROUP_N) > 0)
+    return _resolve_minmax(rolled, prev, changes, base, group_cols, mm).where(
+        F.col(_GROUP_N) > 0
+    )
+
+
+def _nullsafe_on(left: DataFrame, right: DataFrame, lcols: list, rcols: list):
+    cond = None
+    for lc, rc in zip(lcols, rcols):
+        eq = left[lc].eqNullSafe(right[rc])
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
+def _resolve_minmax(
+    rolled: DataFrame,
+    prev: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    group_cols: list,
+    mm: Dict[str, Tuple[str, str]],
+) -> DataFrame:
+    """Attach final min/max columns to the rolled count/sum merge.
+
+    * adds side (NEW images): per-group min/max of inserted values — merges
+      into the previous extreme with ``least``/``greatest`` (both skip
+      NULLs, matching min/max-over-group semantics);
+    * retraction side (BEFORE images): a retracted value can only disturb
+      the stored extreme by TYING it (nothing below a true min ever existed
+      in the group), so groups where per-window retracted min/max reaches
+      the stored extreme are re-aggregated exactly from ``base``;
+    * a rescanned group's extremes come WHOLLY from the rescan (``base`` is
+      post-window, so the window's own inserts are already in it)."""
+    before = {c: (f"_before_{c}" if c not in KEY_COLS else c) for c in group_cols}
+    for out, (_agg, col) in mm.items():
+        b = f"_before_{col}" if col not in KEY_COLS else col
+        if b not in changes.columns:
+            raise ValueError(
+                f"changelog lacks {b!r} — min/max maintenance needs "
+                "changes(include_before=True)"
+            )
+    for c in group_cols:
+        if c not in KEY_COLS and before[c] not in changes.columns:
+            raise ValueError(
+                f"changelog lacks {before[c]!r} — call changes(include_before=True)"
+            )
+
+    adds = (
+        changes.where(F.col("change_op") != "delete")
+        .groupBy(*group_cols)
+        .agg(*[
+            (F.min(col) if agg == "min" else F.max(col)).alias(f"_add_{out}")
+            for out, (agg, col) in mm.items()
+        ])
+        .select(
+            *[F.col(c).alias(f"_a_key_{c}") for c in group_cols],
+            *[f"_add_{out}" for out in mm],
+        )
+    )
+    rets = (
+        changes.where(F.col("change_op") != "insert")
+        .groupBy(*[F.col(before[c]).alias(c) for c in group_cols])
+        .agg(*[
+            (F.min if agg == "min" else F.max)(
+                F.col(f"_before_{col}" if col not in KEY_COLS else col)
+            ).alias(f"_ret_{out}")
+            for out, (agg, col) in mm.items()
+        ])
+    )
+    # groups whose stored extreme was (possibly) retracted this window
+    hit = None
+    for out, (agg, _col) in mm.items():
+        cmp = (
+            rets[f"_ret_{out}"] <= prev[out]
+            if agg == "min"
+            else rets[f"_ret_{out}"] >= prev[out]
+        )
+        hit = cmp if hit is None else (hit | cmp)
+    triggered = (
+        prev.join(rets, _nullsafe_on(prev, rets, group_cols, group_cols), "inner")
+        .where(hit)
+        .select(*[prev[c].alias(f"_t_key_{c}") for c in group_cols])
+        .distinct()
+    )
+    rescan = (
+        base.join(
+            triggered,
+            _nullsafe_on(base, triggered, group_cols,
+                         [f"_t_key_{c}" for c in group_cols]),
+            "left_semi",
+        )
+        .groupBy(*group_cols)
+        .agg(*[
+            (F.min(col) if agg == "min" else F.max(col)).alias(f"_rs_{out}")
+            for out, (agg, col) in mm.items()
+        ])
+        .select(
+            *[F.col(c).alias(f"_r_key_{c}") for c in group_cols],
+            F.lit(True).alias("_rescanned"),
+            *[f"_rs_{out}" for out in mm],
+        )
+    )
+    # emptied-but-triggered groups have no rescan row AND _n == 0 — dropped
+    # by the caller's liveness filter either way.  NOTE: a triggered group
+    # whose rescan finds only NULL measure values keeps its row with a NULL
+    # extreme, exactly like a from-scratch recompute.
+    joined = rolled.join(
+        adds,
+        _nullsafe_on(rolled, adds, group_cols, [f"_a_key_{c}" for c in group_cols]),
+        "left",
+    ).join(
+        rescan,
+        _nullsafe_on(rolled, rescan, group_cols, [f"_r_key_{c}" for c in group_cols]),
+        "left",
+    )
+    final = [rolled[c] for c in group_cols] + [rolled[_GROUP_N]]
+    keep = [
+        c for c in rolled.columns
+        if c not in group_cols and c != _GROUP_N and not c.startswith("_prev_")
+    ]
+    final += [rolled[c] for c in keep]
+    for out, (agg, _col) in mm.items():
+        merge = (F.least if agg == "min" else F.greatest)(
+            F.col(f"_prev_{out}"), F.col(f"_add_{out}")
+        )
+        final.append(
+            F.when(F.coalesce(F.col("_rescanned"), F.lit(False)), F.col(f"_rs_{out}"))
+            .otherwise(merge)
+            .alias(out)
+        )
+    return joined.select(*final)
