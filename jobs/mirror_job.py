@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 
 
@@ -47,10 +46,7 @@ def main() -> None:
     from valentine_spark.cdc import ChangelogFollower, LakeTable, apply_delivery
 
     source = LakeTable(args.source, spark)
-    if os.path.exists(os.path.join(args.target, "metadata", "CURRENT")):
-        target = LakeTable(args.target, spark)
-    else:
-        target = LakeTable.create(args.target, spark, n_buckets=args.n_buckets)
+    target = LakeTable.open_or_create(args.target, spark, n_buckets=args.n_buckets)
 
     follower = ChangelogFollower(
         source, args.checkpoint, consumer_id=args.consumer_id

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 
 
@@ -40,10 +39,7 @@ def main() -> None:
 
     from valentine_spark.cdc import LakeTable, replay, resume_replay, synth_change_stream
 
-    if os.path.exists(os.path.join(args.lake, "metadata", "CURRENT")):
-        lake = LakeTable(args.lake, spark)
-    else:
-        lake = LakeTable.create(args.lake, spark, n_buckets=args.n_buckets)
+    lake = LakeTable.open_or_create(args.lake, spark, n_buckets=args.n_buckets)
 
     if args.stream_path:
         stream = spark.read.parquet(args.stream_path)
@@ -51,6 +47,10 @@ def main() -> None:
         stream = synth_change_stream(
             spark, args.events, args.n_keys or max(args.events // 10, 1), seed=args.seed
         )
+    # throughput must reflect the ACTUAL stream, not the --events default:
+    # --stream-path replaces the synthetic stream entirely, and the count
+    # is one cheap job next to the replay it measures
+    n_events = stream.count()
 
     t0 = time.time()
     runner = resume_replay if args.resume else replay
@@ -64,7 +64,8 @@ def main() -> None:
                 "commits": len([c for c in commits if not c.get("skipped")]),
                 "skipped": len([c for c in commits if c.get("skipped")]),
                 "wall_seconds": round(wall, 2),
-                "events_per_sec": round(args.events / wall, 1) if wall > 0 else None,
+                "events_total": n_events,
+                "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
                 "rows": state["rows"],
                 "checksum": str(state["checksum"]),
                 "version": lake.version,

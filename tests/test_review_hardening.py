@@ -783,3 +783,145 @@ def test_language_id_null_text_is_unknown(spark):
                 "'the and of water house' AS text UNION ALL SELECT 2, NULL")
     orows = {r[0]: r[-1] for r in con.execute(E._langid_oracle_sql()).fetchall()}
     assert orows == {1: "en", 2: "unknown"}
+
+
+def test_ivm_minmax_intra_window_extreme_retraction(spark, tmp_path):
+    """A group created AND churned within one window: insert two values,
+    delete the extreme — the retraction must trigger a rescan even though
+    the group is absent from prev (the trigger compares against the merged
+    candidate via outer joins, not prev via an inner join)."""
+    from valentine_spark.cdc import (
+        LakeTable, apply_batch, init_aggregate, maintain_aggregate,
+        synth_change_stream,
+    )
+
+    lake = LakeTable.create(str(tmp_path / "mmw"), spark, n_buckets=2)
+    # bootstrap: ONE unrelated group so prev is non-empty but lacks 'g'
+    apply_batch(lake, spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "upsert", "other", "p0", "c", "x", "zz")],
+        "lsn long, op_ts string, op string, repo string, path string, "
+        "`commit` string, lang string, content string",
+    ).withColumn("op_ts", F.col("op_ts").cast("timestamp")), "b0")
+    measures = {"mn": ("min", "clen"), "mx": ("max", "clen")}
+
+    def prep(df):
+        out = df.withColumn("clen", F.length(F.coalesce(F.col("content"), F.lit(""))))
+        if "_before_content" in df.columns:
+            out = out.withColumn(
+                "_before_clen", F.length(F.coalesce(F.col("_before_content"), F.lit("")))
+            )
+        return out
+
+    agg = init_aggregate(prep(lake.read()), ["repo"], measures)
+    v = lake.version
+    # window: group 'g' gets len-1 (k1) and len-3 (k2); then k1 (the min,
+    # len 1) is deleted — correct final min is 3, not 1
+    w = spark.createDataFrame(
+        [
+            (10, "2024-01-02 00:00:00", "upsert", "g", "k1", "c", "x", "a"),
+            (11, "2024-01-02 00:00:01", "upsert", "g", "k2", "c", "x", "abc"),
+            (12, "2024-01-02 00:00:02", "delete", "g", "k1", "c", "x", None),
+        ],
+        "lsn long, op_ts string, op string, repo string, path string, "
+        "`commit` string, lang string, content string",
+    ).withColumn("op_ts", F.col("op_ts").cast("timestamp"))
+    apply_batch(lake, w, "b1")
+    chg = prep(lake.changes(v, include_before=True))
+    rolled = maintain_aggregate(agg, chg, ["repo"], measures, base=prep(lake.read()))
+    got = {r["repo"]: (r["mn"], r["mx"]) for r in rolled.collect()}
+    assert got["g"] == (3, 3), got
+    assert got["other"] == (2, 2)
+
+
+def test_ivm_count_col_counts_non_null_only(spark, tmp_path):
+    """('count', col) follows SQL count(col): NULL values don't count, in
+    both the bootstrap aggregate and the delta rules."""
+    from valentine_spark.cdc import (
+        LakeTable, apply_batch, init_aggregate, maintain_aggregate,
+    )
+
+    def ev(lsn, op, path, content):
+        return (lsn, "2024-01-01 00:00:00", op, "r", path, "c", "x", content)
+
+    schema = ("lsn long, op_ts string, op string, repo string, path string, "
+              "`commit` string, lang string, content string")
+    lake = LakeTable.create(str(tmp_path / "cnt"), spark, n_buckets=2)
+    apply_batch(lake, spark.createDataFrame(
+        [ev(1, "upsert", "p1", "abc"), ev(2, "upsert", "p2", None)], schema
+    ).withColumn("op_ts", F.col("op_ts").cast("timestamp")), "b0")
+    measures = {"n_docs": ("count", None), "n_content": ("count", "content")}
+    agg = init_aggregate(lake.read(), ["repo"], measures)
+    r0 = agg.collect()[0]
+    assert (r0["n_docs"], r0["n_content"]) == (2, 1)
+    v = lake.version
+    # delta: add a NULL-content row, update p1's content away (non-null ->
+    # non-null, net 0), delete the NULL-content p2 (net 0 for n_content)
+    apply_batch(lake, spark.createDataFrame(
+        [ev(3, "upsert", "p3", None), ev(4, "upsert", "p1", "xy"),
+         ev(5, "delete", "p2", None)], schema
+    ).withColumn("op_ts", F.col("op_ts").cast("timestamp")), "b1")
+    chg = lake.changes(v, include_before=True)
+    rolled = maintain_aggregate(agg, chg, ["repo"], measures)
+    r1 = rolled.collect()[0]
+    fresh = init_aggregate(lake.read(), ["repo"], measures).collect()[0]
+    assert (r1["n_docs"], r1["n_content"]) == (fresh["n_docs"], fresh["n_content"]) == (2, 1)
+
+
+def test_merge_into_rejects_null_keys_even_assume_unique(spark, tmp_path):
+    """assume_unique=True skips only the uniqueness aggregation — a NULL
+    key still raises (the file-prune confirm join is a plain equi-join, so
+    a NULL-keyed row would insert a duplicate on every replay)."""
+    import pytest
+
+    from valentine_spark.cdc import LakeTable
+    from valentine_spark.cdc.merge_into import MergeCardinalityError
+
+    lake = LakeTable.create(str(tmp_path / "mnull"), spark, n_buckets=2)
+    src = spark.createDataFrame(
+        [("r", None, "c", "x", "body")],
+        "repo string, path string, `commit` string, lang string, content string",
+    )
+    with pytest.raises(MergeCardinalityError, match="NULL key"):
+        (lake.merge_into(src).when_not_matched_insert()
+             .execute(assume_unique=True))
+
+
+def test_zorder_nonfinite_double_does_not_collapse_dimension(spark):
+    """One NaN/inf in a clustered double column must not flatten the
+    dimension: finite rows keep distinct keys, NaN keys to the top, ±inf
+    clamp to the bounds."""
+    from valentine_spark.cdc.clustering import zorder_column
+
+    df = spark.createDataFrame(
+        [(0.0, 1), (100.0, 1), (float("nan"), 1), (float("inf"), 1),
+         (float("-inf"), 1), (50.0, 1)],
+        "score double, k int",
+    )
+    z = df.select(F.col("score"), zorder_column(df, ["score", "k"], df.schema).alias("z"))
+    rows = {r["score"]: r["z"] for r in z.collect()}
+    finite = [rows[0.0], rows[50.0], rows[100.0]]
+    assert len(set(finite)) == 3, f"finite keys collapsed: {rows}"
+    assert finite == sorted(finite)
+    import math
+    nan_key = [v for k, v in rows.items() if isinstance(k, float) and math.isnan(k)][0]
+    assert nan_key == rows[100.0]  # NaN sorts greatest -> top bound
+    assert rows[float("inf")] == rows[100.0]
+    assert rows[float("-inf")] == rows[0.0]
+
+
+def test_open_or_create_recovers_crashed_create(spark, tmp_path):
+    """open_or_create: opens an existing table even when create() crashed
+    before writing CURRENT (any snapshot json = a table), creates fresh
+    otherwise, and never re-creates over data."""
+    import os
+
+    from valentine_spark.cdc import LakeTable, apply_batch, synth_change_stream
+
+    root = str(tmp_path / "oc")
+    t1 = LakeTable.open_or_create(root, spark, n_buckets=2)
+    apply_batch(t1, synth_change_stream(spark, 100, 30, seed=7), "b0")
+    v = t1.version
+    # simulate a create() crash artifact: CURRENT missing but v*.json present
+    os.remove(os.path.join(root, "metadata", "CURRENT"))
+    t2 = LakeTable.open_or_create(root, spark, n_buckets=2)
+    assert t2.version == v  # opened + pointer recovered, not re-created

@@ -181,10 +181,15 @@ def apply_batch(
         n_buckets = lake.metadata()["n_buckets"]
         changed, wms = _bucket_hints(n_buckets)
 
-        schema_cols = [f.name for f in lake.schema.fields]
+        # ONE snapshot read for both the column list and the types: per-
+        # column dict_of_types(lake) calls would re-parse the snapshot JSON
+        # N times AND could observe a different snapshot than the column
+        # list (a concurrent rename landing between reads -> KeyError)
+        target_fields = lake.schema.fields
+        types = {f.name: f.dataType for f in target_fields}
         upsert_cols = [
-            F.col(c) if c in winners.columns else F.lit(None).cast(dict_of_types(lake)[c]).alias(c)
-            for c in schema_cols
+            F.col(c) if c in winners.columns else F.lit(None).cast(types[c]).alias(c)
+            for c in (f.name for f in target_fields)
         ]
         upserts = winners.where(F.col("op") != "delete").select(*upsert_cols)
         deletes = winners.where(F.col("op") == "delete").select(*KEY_COLS)

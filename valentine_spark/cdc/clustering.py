@@ -91,7 +91,16 @@ def _key16(
         mn, mx = bounds[col]
         if mx <= mn:  # constant column: every row keys to 0
             return F.lit(0)
-        scaled = (_as_numeric(col, dtype) - F.lit(float(mn))) / F.lit(float(mx - mn))
+        num = _as_numeric(col, dtype)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            # non-finite rows would poison the scale math (NaN propagates;
+            # ANSI cast of NaN/inf to long raises): NaN sorts greatest in
+            # Spark -> key to the top bound; ±inf clamp to the finite
+            # calibration bounds
+            num = F.when(F.isnan(num), F.lit(float(mx))).otherwise(
+                F.greatest(F.lit(float(mn)), F.least(num, F.lit(float(mx))))
+            )
+        scaled = (num - F.lit(float(mn))) / F.lit(float(mx - mn))
         # NULLs must key to 0 BEFORE the clamp: Spark's least/greatest skip
         # nulls, so least(NULL, top) = top — a trailing coalesce never
         # fires and every null row would key to the far corner instead of
@@ -133,10 +142,18 @@ def zorder_column(df: DataFrame, cols: List[str], schema: T.StructType) -> Colum
     strings = [c for c in cols if isinstance(schema[c].dataType, T.StringType)]
     bounds: Dict[str, Tuple[float, float]] = {}
     str_skip: Dict[str, int] = {}
+    def _calib(c: str) -> Column:
+        # calibrate on FINITE values only: one NaN (sorts greatest) or inf
+        # as the max would collapse every row's key for this dimension
+        e = _as_numeric(c, schema[c].dataType)
+        if isinstance(schema[c].dataType, (T.FloatType, T.DoubleType)):
+            e = F.when((e > F.lit(float("-inf"))) & (e < F.lit(float("inf"))), e)
+        return e
+
     if numeric or strings:
         row = df.agg(
-            *[F.min(_as_numeric(c, schema[c].dataType)).alias(f"mn_{c}") for c in numeric],
-            *[F.max(_as_numeric(c, schema[c].dataType)).alias(f"mx_{c}") for c in numeric],
+            *[F.min(_calib(c)).alias(f"mn_{c}") for c in numeric],
+            *[F.max(_calib(c)).alias(f"mx_{c}") for c in numeric],
             *[F.min(F.col(c)).alias(f"smn_{c}") for c in strings],
             *[F.max(F.col(c)).alias(f"smx_{c}") for c in strings],
         ).collect()[0]

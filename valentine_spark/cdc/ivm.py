@@ -132,7 +132,14 @@ def _side_contrib(
     cols.append(F.lit(sign).cast("long").alias(_GROUP_N))
     for out, agg, col in _measure_exprs(measures):
         if agg == "count":
-            cols.append(F.lit(sign).cast("long").alias(out))
+            # SQL count semantics: count(col) weighs only non-NULL values,
+            # count(*) (col=None) weighs every row
+            w = (
+                F.lit(sign).cast("long")
+                if col is None
+                else F.lit(sign) * _src(col).isNotNull().cast("long")
+            )
+            cols.append(w.cast("long").alias(out))
         else:
             t = _sum_type(changes, col)
             cols.append(
@@ -151,7 +158,9 @@ def aggregate_delta(
     """Per-group NET delta of a changelog window: one union + one hash
     aggregation (map-side partial) over the window's rows only.
 
-    ``measures`` maps output column -> ("count", None) | ("sum", src_col).
+    ``measures`` maps output column -> ("count", None) for ``count(*)``,
+    ("count", src_col) for SQL ``count(col)`` (non-NULL only), or
+    ("sum", src_col).
     The result carries the hidden ``_n`` group-cardinality delta used by
     ``maintain_aggregate`` to drop emptied groups.
 
@@ -180,7 +189,8 @@ def init_aggregate(
     aggs = [F.count(F.lit(1)).alias(_GROUP_N)]
     for out, (agg, col) in cs.items():
         if agg == "count":
-            aggs.append(F.count(F.lit(1)).alias(out))
+            # count(col) = non-NULL values only; count(*) when col is None
+            aggs.append(F.count(F.lit(1) if col is None else F.col(col)).alias(out))
         else:
             t = _sum_type(state, col)
             aggs.append(
@@ -275,10 +285,16 @@ def _resolve_minmax(
     * adds side (NEW images): per-group min/max of inserted values — merges
       into the previous extreme with ``least``/``greatest`` (both skip
       NULLs, matching min/max-over-group semantics);
-    * retraction side (BEFORE images): a retracted value can only disturb
-      the stored extreme by TYING it (nothing below a true min ever existed
-      in the group), so groups where per-window retracted min/max reaches
-      the stored extreme are re-aggregated exactly from ``base``;
+    * retraction side (BEFORE images): a retraction matters only when it
+      reaches the MERGED candidate extreme — ``least/greatest(prev, adds)``,
+      not ``prev`` alone: an intra-window insert-then-delete of a brand-new
+      group's extreme never touches ``prev`` (and a group whose stored
+      extreme is NULL compares UNKNOWN), so comparing against ``prev`` via
+      an inner join would silently keep the retracted value.  Groups whose
+      per-window retracted min/max ties-or-beats the candidate are
+      re-aggregated exactly from ``base``; a retraction strictly worse than
+      the candidate cannot change the extreme (the candidate value is
+      either still present or itself retracted — in which case IT triggers);
     * a rescanned group's extremes come WHOLLY from the rescan (``base`` is
       post-window, so the window's own inserts are already in it)."""
     before = {c: (f"_before_{c}" if c not in KEY_COLS else c) for c in group_cols}
@@ -317,19 +333,36 @@ def _resolve_minmax(
             for out, (agg, col) in mm.items()
         ])
     )
-    # groups whose stored extreme was (possibly) retracted this window
+    # groups whose (possibly) retracted extreme reaches the merged
+    # candidate — LEFT joins from the retraction side, so groups absent
+    # from prev (created and churned within one window) still trigger
+    p = prev.select(
+        *[F.col(c).alias(f"_p_key_{c}") for c in group_cols],
+        *[F.col(out).alias(f"_p_{out}") for out in mm],
+    )
+    trig = rets.join(
+        p, _nullsafe_on(rets, p, group_cols, [f"_p_key_{c}" for c in group_cols]),
+        "left",
+    ).join(
+        adds,
+        _nullsafe_on(rets, adds, group_cols, [f"_a_key_{c}" for c in group_cols]),
+        "left",
+    )
     hit = None
     for out, (agg, _col) in mm.items():
-        cmp = (
-            rets[f"_ret_{out}"] <= prev[out]
-            if agg == "min"
-            else rets[f"_ret_{out}"] >= prev[out]
+        cand = (F.least if agg == "min" else F.greatest)(
+            F.col(f"_p_{out}"), F.col(f"_add_{out}")
+        )
+        ret = F.col(f"_ret_{out}")
+        # candidate NULL with a non-null retraction cannot arise from a
+        # consistent prev, but rescanning is always safe — trigger anyway
+        cmp = ret.isNotNull() & (
+            cand.isNull() | ((ret <= cand) if agg == "min" else (ret >= cand))
         )
         hit = cmp if hit is None else (hit | cmp)
     triggered = (
-        prev.join(rets, _nullsafe_on(prev, rets, group_cols, group_cols), "inner")
-        .where(hit)
-        .select(*[prev[c].alias(f"_t_key_{c}") for c in group_cols])
+        trig.where(hit)
+        .select(*[rets[c].alias(f"_t_key_{c}") for c in group_cols])
         .distinct()
     )
     rescan = (

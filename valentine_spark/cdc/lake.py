@@ -447,6 +447,27 @@ class LakeTable:
             raise FileExistsError(f"lake table already exists at {root!r}")
         return table
 
+    @classmethod
+    def open_or_create(
+        cls, root: str, spark: SparkSession, **create_kw
+    ) -> "LakeTable":
+        """Open the table at ``root`` if one exists, else ``create`` it with
+        ``create_kw``.  Existence = ANY snapshot json in the metadata dir,
+        not the CURRENT pointer: a create() that crashed between publishing
+        v0.json and writing CURRENT left a valid, recoverable table
+        (``_latest_version`` rebuilds the pointer), and re-creating over it
+        would be wrong.  This is the one existence probe spark-submit jobs
+        should use instead of peeking at the on-disk layout."""
+        meta_dir = os.path.join(root, "metadata")
+        try:
+            exists = any(
+                f.startswith("v") and f.endswith(".json")
+                for f in os.listdir(meta_dir)
+            )
+        except FileNotFoundError:
+            exists = False
+        return cls(root, spark) if exists else cls.create(root, spark, **create_kw)
+
     def _meta_dir(self) -> str:
         if self.ref == "main":
             return os.path.join(self.root, "metadata")

@@ -178,19 +178,29 @@ class MergeIntoBuilder:
             return {
                 "batch_id": batch_id, "skipped": True, "version": lake.version
             }
-        if not assume_unique:
-            # one job checks BOTH source invariants: key uniqueness and
-            # key non-nullness.  NULL keys must be rejected up front: the
-            # clause cascade matches with eqNullSafe but the file-pruning
-            # confirm join is a plain equi-join (NULL != NULL), so a
-            # NULL-keyed row would be range-hit yet never confirmed —
-            # silently classified not-matched (duplicate insert / lost
-            # update) instead of erroring.
-            from functools import reduce
+        # NULL keys must be rejected UNCONDITIONALLY (assume_unique skips
+        # only the uniqueness aggregation): the clause cascade matches with
+        # eqNullSafe but the file-pruning confirm join is a plain equi-join
+        # (NULL != NULL), so a NULL-keyed row would be range-hit yet never
+        # confirmed — silently classified not-matched (duplicate insert /
+        # lost update on every replay) instead of erroring.
+        from functools import reduce
 
-            null_key = reduce(
-                lambda a, b: a | b, [F.col(k).isNull() for k in KEY_COLS]
-            )
+        null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in KEY_COLS]
+        )
+        if assume_unique:
+            # cheap standalone check: filter + take(1) short-circuits on the
+            # first offending row, no shuffle
+            if self._source.where(null_key).take(1):
+                raise MergeCardinalityError(
+                    "merge source holds NULL key columns — the key "
+                    f"({', '.join(KEY_COLS)}) identifies a row and must be "
+                    "non-null in every source row"
+                )
+        else:
+            # one job checks BOTH source invariants: key uniqueness and
+            # key non-nullness
             chk = (
                 self._source.groupBy(*KEY_COLS)
                 .count()
