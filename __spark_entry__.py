@@ -2568,11 +2568,14 @@ def cdc_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, lo, hi in (("tail-1", half, mid), ("tail-2", mid, total)):
         v_prev = lake.version
         apply_batch(lake, stream.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)), name)
-        chg = prep(lake.changes(v_prev, include_before=True))
+        # min/max maintenance consults the changelog diff three times
+        # (delta + adds + retractions): persist it for the window
+        chg = prep(lake.changes(v_prev, include_before=True)).persist()
         agg = maintain_aggregate(
             agg, chg, ["lang"], measures, base=prep(lake.read())
         ).cache()
         agg.count()
+        chg.unpersist()
     return agg.select(
         "lang", F.col("files").cast("long").alias("files"),
         F.col("min_bytes").cast("long").alias("min_bytes"),

@@ -25,17 +25,14 @@ print("matches:")
 for pair, sim in matches.one_to_one().items():
     print(f"  {pair} -> {sim:.3f}")
 
-# every customer column has a correct correspondence (two renamed, six
-# identity) — an incomplete list would make the metrics report false
-# positives for a perfect matcher
+# every column of the 5-column testdata customer table has a correct
+# correspondence (two renamed, three identity) — the list is COMPLETE, so
+# a perfect matcher scores precision = recall = 1.0
 ground_truth = [
     ("c_custkey", "c_custkey"),
     ("c_name", "customer_name"),
-    ("c_address", "c_address"),
     ("c_nationkey", "c_nationkey"),
-    ("c_phone", "c_phone"),
     ("c_acctbal", "account_balance"),
     ("c_mktsegment", "c_mktsegment"),
-    ("c_comment", "c_comment"),
 ]
 print("metrics:", matches.get_metrics(ground_truth))

@@ -220,8 +220,13 @@ def maintain_aggregate(
     ``min``/``max`` measures additionally require ``base``: the table state
     AFTER the window (e.g. ``lake.read()`` at the window's to-version).
     Inserts merge monotonically; only groups where a retracted before-image
-    value TIES the stored extreme are re-aggregated from ``base`` — one
-    semi-join pruned to those groups, cost O(churned groups' rows).
+    value reaches the candidate extreme are re-aggregated from ``base`` —
+    one semi-join pruned to those groups, cost O(churned groups' rows).
+
+    Cost note: with min/max measures the ``changes`` plan is consulted three
+    times (delta, adds, retractions).  When ``changes`` is itself an
+    expensive diff (``LakeTable.changes`` is a key-partitioned full-outer
+    join), ``.persist()`` it around this call so the diff executes once.
     """
     cs, mm = _split_measures(measures)
     if mm and base is None:
