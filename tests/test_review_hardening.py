@@ -786,10 +786,12 @@ def test_language_id_null_text_is_unknown(spark):
 
 
 def test_ivm_minmax_intra_window_extreme_retraction(spark, tmp_path):
-    """A group created AND churned within one window: insert two values,
-    delete the extreme — the retraction must trigger a rescan even though
-    the group is absent from prev (the trigger compares against the merged
-    candidate via outer joins, not prev via an inner join)."""
+    """A group created AND churned within one window nets out correctly.
+    NOTE: the lake's changelog is an ENDPOINT diff, so a key inserted and
+    deleted inside one window contributes no change row at all — this test
+    pins that netting; the trigger-against-merged-candidate logic is
+    exercised directly (with a multi-op changelog the endpoint diff cannot
+    produce) in test_ivm_minmax_multiop_changelog_trigger below."""
     from valentine_spark.cdc import (
         LakeTable, apply_batch, init_aggregate, maintain_aggregate,
         synth_change_stream,
@@ -831,6 +833,38 @@ def test_ivm_minmax_intra_window_extreme_retraction(spark, tmp_path):
     got = {r["repo"]: (r["mn"], r["mx"]) for r in rolled.collect()}
     assert got["g"] == (3, 3), got
     assert got["other"] == (2, 2)
+
+
+def test_ivm_minmax_multiop_changelog_trigger(spark):
+    """The rescan trigger must compare retractions against the MERGED
+    candidate (prev ⊕ window inserts) via OUTER joins: with a multi-op
+    changelog (insert 5, insert 7, delete-the-5 for a group ABSENT from
+    prev), an inner join with prev never fires and least(NULL, adds)=5
+    would keep the deleted value.  maintain_aggregate accepts any
+    changelog-shaped frame, so non-endpoint streams (raw WAL retraction
+    streams, stacked windows) hit this path for real."""
+    from valentine_spark.cdc.ivm import maintain_aggregate
+
+    prev = spark.createDataFrame(
+        [("other", 1, 9, 9)], "g string, _n long, mn int, mx int"
+    )
+    chg = spark.createDataFrame(
+        [
+            ("insert", "g", 5, None, None),
+            ("insert", "g", 7, None, None),
+            ("delete", "g", None, 5, "g"),
+        ],
+        "change_op string, g string, v int, _before_v int, _before_g string",
+    )
+    base = spark.createDataFrame(
+        [("g", 7), ("other", 9)], "g string, v int"
+    )
+    rolled = maintain_aggregate(
+        prev, chg, ["g"], {"mn": ("min", "v"), "mx": ("max", "v")}, base=base
+    )
+    got = {r["g"]: (r["mn"], r["mx"]) for r in rolled.collect()}
+    assert got["g"] == (7, 7), got  # the deleted 5 must NOT survive
+    assert got["other"] == (9, 9)
 
 
 def test_ivm_count_col_counts_non_null_only(spark, tmp_path):
