@@ -959,3 +959,75 @@ def test_open_or_create_recovers_crashed_create(spark, tmp_path):
     os.remove(os.path.join(root, "metadata", "CURRENT"))
     t2 = LakeTable.open_or_create(root, spark, n_buckets=2)
     assert t2.version == v  # opened + pointer recovered, not re-created
+
+
+def test_zorder_null_double_keys_to_origin(spark):
+    """NULL float/double rows must key to the origin (coalesce-to-0), not
+    get turned into the max by the non-finite clamp (least/greatest skip
+    NULLs, so an unguarded clamp yields mx for NULL input)."""
+    from valentine_spark.cdc.clustering import zorder_column
+
+    df = spark.createDataFrame(
+        [(0.0, 1), (100.0, 1), (None, 1), (50.0, 1)], "score double, k int"
+    )
+    z = df.select("score", zorder_column(df, ["score", "k"], df.schema).alias("z"))
+    rows = {r["score"]: r["z"] for r in z.collect()}
+    assert rows[None] == rows[0.0], rows  # origin, with the min-bound rows
+    assert rows[None] != rows[100.0]
+
+
+def test_probe_mp4_quicktime_data_handler_does_not_clobber_vide():
+    """QuickTime layout: mdia/hdlr says 'vide', then minf carries a DATA
+    handler hdlr ('alis') at the same byte offset — first hdlr must win or
+    the video trak is misclassified and all metadata dropped."""
+    import struct
+
+    from valentine_spark.functions.video_meta import probe_video
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    tkhd = box(b"tkhd", b"\0\0\0\0" + b"\0" * 72
+               + struct.pack(">II", 640 << 16, 480 << 16))
+    hdlr_media = box(b"hdlr", b"\0\0\0\0" + b"\0\0\0\0" + b"vide" + b"\0" * 12)
+    hdlr_data = box(b"hdlr", b"\0\0\0\0" + b"\0\0\0\0" + b"alis" + b"\0" * 12)
+    stsd = box(b"stsd", b"\0\0\0\0" + struct.pack(">I", 1) + box(b"avc1", b"\0" * 16))
+    stsz = box(b"stsz", b"\0\0\0\0" + struct.pack(">II", 0, 240))
+    minf = box(b"minf", hdlr_data + box(b"stbl", stsd + stsz))
+    trak = box(b"trak", tkhd + box(b"mdia", hdlr_media + minf))
+    mvhd = box(b"mvhd", b"\0\0\0\0" + struct.pack(">III", 0, 0, 1000)
+               + struct.pack(">I", 8000) + b"\0" * 80)
+    ftyp = box(b"ftyp", b"qt  " + struct.pack(">I", 512) + b"qt  ")
+    meta = probe_video(ftyp + box(b"moov", mvhd + trak))
+    assert (meta["width"], meta["height"], meta["codec"], meta["n_frames"]) == (
+        640, 480, "avc1", 240
+    )
+
+
+def test_repo_stats_accepts_pre_paths_checkpoint_state():
+    """A 5-field state tuple (checkpoint written before the paths field)
+    must be adopted, not crash with a tuple-unpack error: counters carry
+    over and the path set restarts empty (documented migration floor)."""
+    import pandas as pd
+
+    from valentine_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self, v):
+            self._v = v
+            self.exists = v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState((10, 4, 3, 3, 99))  # legacy 5-field state
+    pdf = pd.DataFrame({"op": ["insert"], "lsn": [100], "path": ["pX"]})
+    (out,) = list(S._update_repo_stats(("r",), [pdf], st))
+    assert int(out["n_events"][0]) == 11 and int(out["max_lsn"][0]) == 100
+    assert int(out["n_paths"][0]) == 1  # floor restarts from post-upgrade paths
+    assert len(st.get) == 6  # state re-written in the new shape

@@ -242,10 +242,6 @@ def apply_batch(
             events.unpersist()
 
 
-def dict_of_types(lake: LakeTable):
-    return {f.name: f.dataType for f in lake.schema.fields}
-
-
 def replay(
     lake: LakeTable,
     stream: DataFrame,

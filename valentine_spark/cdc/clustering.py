@@ -96,9 +96,13 @@ def _key16(
             # non-finite rows would poison the scale math (NaN propagates;
             # ANSI cast of NaN/inf to long raises): NaN sorts greatest in
             # Spark -> key to the top bound; ±inf clamp to the finite
-            # calibration bounds
-            num = F.when(F.isnan(num), F.lit(float(mx))).otherwise(
-                F.greatest(F.lit(float(mn)), F.least(num, F.lit(float(mx))))
+            # calibration bounds.  NULL must stay NULL through the clamp
+            # (least/greatest SKIP nulls, so an unguarded clamp would turn
+            # NULL into mx) — the coalesce below keys nulls to 0
+            num = (
+                F.when(num.isNull(), F.lit(None).cast("double"))
+                .when(F.isnan(num), F.lit(float(mx)))
+                .otherwise(F.greatest(F.lit(float(mn)), F.least(num, F.lit(float(mx)))))
             )
         scaled = (num - F.lit(float(mn))) / F.lit(float(mx - mn))
         # NULLs must key to 0 BEFORE the clamp: Spark's least/greatest skip

@@ -140,7 +140,11 @@ def _probe_mp4(raw: bytes) -> dict:
                     if w and h:  # 16.16 fixed point; audio tracks carry 0x0
                         trak["width"], trak["height"] = w >> 16, h >> 16
             elif btype == b"hdlr" and end - body >= 12:
-                trak["handler"] = raw[body + 8:body + 12]
+                # FIRST hdlr wins: the mdia-level media handler ('vide' /
+                # 'soun') precedes minf, whose QuickTime DATA-handler hdlr
+                # ('alis'/'url ') sits at the same offset and would
+                # otherwise clobber the classification
+                trak.setdefault("handler", raw[body + 8:body + 12])
             elif btype == b"stsd" and trak.get("codec") is None:
                 entry = _read_box(raw, body + 8, end)  # version/flags + count
                 if entry is not None:

@@ -35,7 +35,6 @@ pair phase bounded by Σ distinct ranks per column, not raw rows.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Iterator, List, Tuple
 
 import numpy as np

@@ -58,8 +58,16 @@ def _update_repo_stats(
     key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        n_events, n_ins, n_upd, n_del, max_lsn, paths = state.get
-        path_set = set(paths or ())
+        vals = state.get
+        if len(vals) == 5:
+            # checkpoint written before the paths field existed: adopt the
+            # old counters and start the path set empty (n_paths becomes a
+            # floor over post-upgrade paths only — documented migration)
+            n_events, n_ins, n_upd, n_del, max_lsn = vals
+            path_set = set()
+        else:
+            n_events, n_ins, n_upd, n_del, max_lsn, paths = vals
+            path_set = set(paths or ())
     else:
         n_events = n_ins = n_upd = n_del = 0
         max_lsn = -1
