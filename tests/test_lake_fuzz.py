@@ -224,3 +224,79 @@ def test_changes_reconstructs_model_deltas(spark, tmp_path, seed):
             else:
                 replayed[k] = (r[pay1[0]], r[pay1[1]])
         assert replayed == m1, f"changelog window v{v0}->v{v1} diverged (seed {seed})"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_ivm_minmax_equals_recompute_under_random_ops(spark, tmp_path, seed):
+    """IVM composition fuzz: a seeded random schedule of inserts, updates
+    (including group-moving and NULL-valued payloads), and deletes —
+    deliberately biased to retract group extremes — rolls a (count, sum,
+    min, max) view forward window by window; after EVERY window the
+    maintained view must equal the from-scratch recompute.  Covers the
+    interleavings the single-scenario tests cannot: extreme retraction +
+    group move in one window, a group emptying and reappearing, NULL-only
+    groups gaining values, ties on the extreme."""
+    from valentine_spark.cdc import (
+        apply_batch, init_aggregate, maintain_aggregate,
+    )
+
+    rng = random.Random(seed)
+    lake = LakeTable.create(str(tmp_path / "ivmf"), spark, n_buckets=4)
+    keys = [("r0", f"p{i}", "c") for i in range(40)]
+    live = {}  # key -> (lang, content)
+    lsn = [0]
+
+    def window(n_ops):
+        rows = []
+        for _ in range(n_ops):
+            lsn[0] += 1
+            k = rng.choice(keys)
+            if k in live and rng.random() < 0.4:
+                rows.append((lsn[0], "delete", *k, None, None))
+                live.pop(k, None)
+            else:
+                lang = rng.choice(LANGS)
+                # bias content lengths to collide at the extremes (0 and 12)
+                # and include NULLs, so retractions frequently hit the
+                # stored min/max and NULL groups occur
+                content = rng.choice(
+                    [None, "", "x" * 12, "x" * 12, "y" * rng.randint(1, 11)]
+                )
+                rows.append((lsn[0], "upsert", *k, lang, content))
+                live[k] = (lang, content)
+        df = spark.createDataFrame(
+            rows,
+            "lsn long, op string, repo string, path string, "
+            "`commit` string, lang string, content string",
+        ).withColumn("op_ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+        return df
+
+    measures = {
+        "files": ("count", None),
+        "n_content": ("count", "content"),
+        "bytes": ("sum", "clen"),
+        "min_len": ("min", "clen"),
+        "max_len": ("max", "clen"),
+    }
+
+    def prep(df):
+        out = df.withColumn("clen", F.length(F.col("content")))
+        if "_before_content" in df.columns:
+            out = out.withColumn("_before_clen", F.length(F.col("_before_content")))
+        return out
+
+    apply_batch(lake, window(60), "w0")
+    view = init_aggregate(prep(lake.read()), ["lang"], measures).cache()
+    view.count()
+    for i in range(1, 6):
+        v = lake.version
+        apply_batch(lake, window(50), f"w{i}")
+        chg = prep(lake.changes(v, include_before=True)).persist()
+        view = maintain_aggregate(
+            view, chg, ["lang"], measures, base=prep(lake.read())
+        ).cache()
+        view.count()
+        chg.unpersist()
+        got = sorted(map(tuple, view.collect()))
+        want = sorted(map(tuple, init_aggregate(prep(lake.read()), ["lang"], measures).collect()))
+        assert got == want, f"seed={seed} window={i}"
