@@ -24,6 +24,7 @@ import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
@@ -1875,6 +1876,65 @@ def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream TYPE drift end-to-end: the first half of the WAL ships a
+    ``size_bytes`` payload column as INT (length(content)); the tail ships
+    the SAME column as BIGINT with values beyond int32 (length + 2^40 —
+    the upstream ran ALTER COLUMN TYPE).  The drift resolver auto-widens
+    the lake schema (``LakeTable.widen_column`` — a metadata-only type-log
+    commit, zero files rewritten), era-mapped reads scan the old int32
+    files under their physical type and cast up, and the final LWW state
+    equals the SQL image that computes every value as BIGINT from the
+    start.  The second half also UPDATES first-half keys, so the final
+    state interleaves int-era and long-era files within the same buckets."""
+    from valentine_spark.cdc import LakeTable, apply_batch, replay
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(spark, sf_dir)
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_widen_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    size_int = F.length(F.coalesce("content", F.lit(""))).cast("int")
+    replay(
+        lake, stream.where(F.col("lsn") <= half).withColumn("size_bytes", size_int),
+        batch_lsns=_batch_lsns(half), max_lsn=half,
+    )
+    assert lake.schema["size_bytes"].dataType == T.IntegerType()
+    size_long = F.length(F.coalesce("content", F.lit(""))).cast("long") + F.lit(2**40)
+    apply_batch(
+        lake, stream.where(F.col("lsn") > half).withColumn("size_bytes", size_long),
+        "widened-tail",
+    )
+    assert lake.schema["size_bytes"].dataType == T.LongType()
+    return lake.read().select(
+        "repo", "path", "commit", "size_bytes",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_WIDEN_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit",
+       CASE WHEN lsn <= (SELECT count(*) // 2 FROM events)
+            THEN CAST(length(coalesce(content, '')) AS BIGINT)
+            ELSE CAST(length(coalesce(content, '')) AS BIGINT) + 1099511627776
+       END AS size_bytes,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changelog scan (the Iceberg changelog / Delta CDF
     analogue): replay the first half of the WAL-ordered stream into the
@@ -2829,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_follow_mirror": cdc_follow_mirror,
         "cdc_drift_automap": cdc_drift_automap,
+        "cdc_type_widening": cdc_type_widening,
         "cdc_wal_decode": cdc_wal_decode,
         "cdc_stats_scan": cdc_stats_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -2908,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         # the drifted replay must land in the SAME final state as the
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
+        "cdc_type_widening": _CDC_WIDEN_SQL,
         "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
         "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
         "cdc_zorder_scan": _CDC_ZORDER_SQL,

@@ -110,6 +110,26 @@ def match_drifted_columns(
     return mapping, stages
 
 
+def _widen_drifted_types(events: DataFrame, lake) -> Dict[str, T.DataType]:
+    """Type drift: when a batch column (renamed or same-named) arrives WIDER
+    than the target in a lossless promotion (upstream ALTER COLUMN TYPE,
+    e.g. stars int -> bigint), widen the lake schema — downcasting the
+    batch would overflow at ingest.  Metadata-only; reads cast old files
+    up by type-log era (``LakeTable.widen_column``).  Returns the lake's
+    post-widen name->type map."""
+    from .lake import _is_widening
+
+    lake_types = {f.name: f.dataType for f in lake.schema.fields}
+    for c in events.columns:
+        if c not in lake_types:
+            continue
+        b_type = events.schema[c].dataType
+        if b_type != lake_types[c] and _is_widening(lake_types[c], b_type):
+            lake.widen_column(c, b_type, note="auto-widened from drifted batch type")
+            lake_types[c] = b_type
+    return lake_types
+
+
 def resolve_drift(
     events: DataFrame,
     lake,
@@ -124,6 +144,7 @@ def resolve_drift(
     known = set(META_COLS) | set(KEY_COLS) | set(target_payload_cols)
     extra = [c for c in events.columns if c not in known]
     if not extra:
+        _widen_drifted_types(events, lake)
         return events, {}, {}
 
     missing = [c for c in target_payload_cols if c not in events.columns]
@@ -143,9 +164,9 @@ def resolve_drift(
             )
 
     renamed = events
-    lake_types = {f.name: f.dataType for f in lake.schema.fields}
     for src_col, tgt_col in mapping.items():
         renamed = renamed.withColumnRenamed(src_col, tgt_col)
+    lake_types = _widen_drifted_types(renamed, lake)
     # an accepted rename maps the batch column onto the TARGET's type
     # contract: the merge path writes payload columns uncast, so a
     # wrong-typed drifted column (lang_code:int -> language:string) would

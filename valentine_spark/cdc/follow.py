@@ -494,6 +494,18 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
             [T.StructField(c, by_name[c].dataType) for c in new_cols],
             note=f"mirrored from delivery {delivery.token}",
         )
+    # type widening next: delivery rows arrive in the source's TO-version
+    # schema, so a source widen_column() shows up as a wider delivery
+    # payload type — replay it on the mirror as the same metadata-only op
+    # (idempotent: an equal type skips; anything NON-widening is left for
+    # merge's own loud alignment error rather than guessed at here)
+    from .lake import _is_widening
+
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    for f_ in delivery.df.schema.fields:
+        cur = t_types.get(f_.name)
+        if cur is not None and cur != f_.dataType and _is_widening(cur, f_.dataType):
+            target.widen_column(f_.name, f_.dataType, note=note)
     target_schema = target.schema
     cols = [f.name for f in target_schema.fields]
     df = delivery.df.persist(StorageLevel.MEMORY_AND_DISK)

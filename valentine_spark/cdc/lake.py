@@ -292,6 +292,92 @@ def _era_colmap(
     return m
 
 
+def _era_index(log: List[list], seq: int) -> int:
+    """Index of the era a file committed at ``seq`` falls in."""
+    idx = 0
+    for i, (v, _) in enumerate(log):
+        if v <= seq:
+            idx = i
+    return idx
+
+
+def _parse_dt(type_json: str) -> T.DataType:
+    """Inverse of ``DataType.json()`` via the public StructType parser
+    (handles primitive strings, decimal(p,s), and nested json objects)."""
+    return T.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "x",
+                    "type": json.loads(type_json),
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        }
+    ).fields[0].dataType
+
+
+def _era_typemap(
+    fids: Dict[str, int],
+    tlog: Optional[List[list]],
+    seq: int,
+    schema: T.StructType,
+) -> Optional[Dict[str, T.DataType]]:
+    """CURRENT name -> the PHYSICAL type files committed at ``seq`` were
+    written under, for fields whose physical type differs from the current
+    schema type (i.e. the column was later ``widen_column``-ed).  None =
+    identity (no widen history, or the file postdates every widen).  A
+    field id absent from the era's map did not exist then — those files
+    serve NULL for it via the schema-log colmap, so the type is moot."""
+    if not tlog or len(tlog) <= 1:
+        return None
+    era = tlog[_era_index(tlog, seq)][1]
+    out: Dict[str, T.DataType] = {}
+    for f in schema.fields:
+        tj = era.get(str(fids.get(f.name, -1)))
+        if tj is None:
+            continue
+        dt = _parse_dt(tj)
+        if dt != f.dataType:
+            out[f.name] = dt
+    return out or None
+
+
+def _int_rank(dt: T.DataType) -> Optional[int]:
+    for cls, r in (
+        (T.ByteType, 0),
+        (T.ShortType, 1),
+        (T.IntegerType, 2),
+        (T.LongType, 3),
+    ):
+        if isinstance(dt, cls):
+            return r
+    return None
+
+
+def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+    """Lossless type promotions (the Iceberg/Delta type-widening set):
+    the integral ladder byte->short->int->long; float->double; integrals
+    up to int -> double (an IEEE-754 double holds every int32 exactly;
+    long->double is LOSSY above 2^53 and rejected); decimal growth that
+    cannot truncate (integer digits and scale both non-decreasing)."""
+    if old == new:
+        return False
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return (
+            new.scale >= old.scale
+            and new.precision - new.scale >= old.precision - old.scale
+        )
+    ro, rn = _int_rank(old), _int_rank(new)
+    if ro is not None and rn is not None:
+        return rn > ro
+    if isinstance(new, T.DoubleType):
+        return isinstance(old, T.FloatType) or (ro is not None and ro <= 2)
+    return False
+
+
 def _bloom_opts(meta: dict) -> Dict[str, str]:
     """Parquet bloom-filter write options for the table's ``bloom_cols``
     (set at ``create``): every data write emits a per-row-group bloom for
@@ -743,24 +829,25 @@ class LakeTable:
         # behavior.
         pairs = [(p, None) if isinstance(p, str) else (p[0], p[1]) for p in paths]
         log = (meta or {}).get("schema_log")
-        if log and len(log) > 1:
+        tlog = (meta or {}).get("type_log")
+        if (log and len(log) > 1) or (tlog and len(tlog) > 1):
             fids, log = _field_meta(meta)
-            groups: Dict[int, Tuple[Optional[dict], List[str]]] = {}
+            groups: Dict[tuple, list] = {}
             for p, s in pairs:
                 seq = int(s) if s is not None else meta["version"]
-                era_idx = 0
-                for i, (v, _) in enumerate(log):
-                    if v <= seq:
-                        era_idx = i
-                if era_idx not in groups:
-                    groups[era_idx] = (
-                        _era_colmap(fids, log, log[era_idx][0]),
+                ni = _era_index(log, seq)
+                ti = _era_index(tlog, seq) if tlog else 0
+                g = groups.get((ni, ti))
+                if g is None:
+                    g = groups[(ni, ti)] = [
+                        _era_colmap(fids, log, log[ni][0]),
+                        _era_typemap(fids, tlog, seq, schema),
                         [],
-                    )
-                groups[era_idx][1].append(p)
+                    ]
+                g[2].append(p)
             parts = [
-                self._read_files_era(ps, schema, n_buckets, colmap)
-                for _, (colmap, ps) in sorted(groups.items())
+                self._read_files_era(ps, schema, n_buckets, colmap, typemap)
+                for _, (colmap, typemap, ps) in sorted(groups.items())
             ]
             from functools import reduce
 
@@ -773,27 +860,40 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int,
         colmap: Optional[Dict[str, Optional[str]]],
+        typemap: Optional[Dict[str, T.DataType]] = None,
     ) -> DataFrame:
-        """One-era scan: read under the era's physical names, project to
-        the current schema (``colmap``: current -> physical | None-for-NULL;
-        None colmap = identity)."""
-        if colmap is None:
+        """One-era scan: read under the era's physical names AND physical
+        types, project to the current schema (``colmap``: current ->
+        physical name | None-for-NULL, None colmap = identity; ``typemap``:
+        current name -> physical type for columns later widened by
+        ``widen_column`` — the projection casts them up, losslessly by the
+        promotion rules)."""
+        if colmap is None and typemap is None:
             read_fields = list(schema.fields)
             proj = [F.col(f.name) for f in schema.fields]
         else:
+            phys = {
+                f.name: (colmap[f.name] if colmap is not None else f.name)
+                for f in schema.fields
+            }
+            ptype = {
+                f.name: (typemap or {}).get(f.name, f.dataType)
+                for f in schema.fields
+            }
             read_fields = [
-                T.StructField(colmap[f.name], f.dataType)
+                T.StructField(phys[f.name], ptype[f.name])
                 for f in schema.fields
-                if colmap[f.name] is not None
+                if phys[f.name] is not None
             ]
-            proj = [
-                (
-                    F.col(colmap[f.name])
-                    if colmap[f.name] is not None
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in schema.fields
-            ]
+            proj = []
+            for f in schema.fields:
+                pn = phys[f.name]
+                if pn is None:
+                    proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif ptype[f.name] != f.dataType:
+                    proj.append(F.col(pn).cast(f.dataType).alias(f.name))
+                else:
+                    proj.append(F.col(pn).alias(f.name))
         read_schema = T.StructType(read_fields + [T.StructField(KHASH_COL, T.LongType())])
         df = self.spark.read.schema(read_schema).option(
             "recursiveFileLookup", "true"
@@ -1296,9 +1396,12 @@ class LakeTable:
             raise ValueError(f"unknown merge mode {mode!r} (use 'cow' or 'mor')")
 
         n_buckets = meta["n_buckets"]
-        schema_cols = [
-            f.name for f in T.StructType.fromJson(json.loads(meta["schema"])).fields
-        ]
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        schema_cols = [f.name for f in schema.fields]
+        # narrower-typed source columns upcast to the table schema here,
+        # BEFORE bucketing, so both COW and MoR write paths land physical
+        # data matching the schema; cross-typed sources raise
+        upserts = self._align_source(upserts, schema)
 
         # upserts/deletes are re-read by the pruning join, the touched-key
         # anti-join and the final write; no explicit persist — the upstream
@@ -1771,6 +1874,16 @@ class LakeTable:
                     [new_version, {str(i): n for n, i in fids.items()}]
                 ]
                 new_meta["last_field_id"] = next_id - 1
+                # a table with widen history records every era's physical
+                # types: the added columns join the type log NOW so a
+                # LATER widen of one of them still reads the files written
+                # between this add and that widen under the narrow type
+                if base.get("type_log"):
+                    tmap = {
+                        str(fids[f.name]): f.dataType.json()
+                        for f in list(schema.fields) + added
+                    }
+                    new_meta["type_log"] = base["type_log"] + [[new_version, tmap]]
             return new_meta, segments, entry
 
         self._commit_loop(self.metadata(), build)
@@ -1876,6 +1989,119 @@ class LakeTable:
             return new_meta, segments, entry
 
         return self._commit_loop(self.metadata(), build)
+
+    def widen_column(
+        self, name: str, new_type: T.DataType, note: Optional[str] = None
+    ) -> dict:
+        """Widen a column's type WITHOUT rewriting any data file (the
+        Iceberg type-promotion / Delta type-widening analogue): a
+        metadata-only commit updates the schema and appends a TYPE-LOG era
+        recording the physical type every live field was written under up
+        to this version; era-mapped reads (``_read_files``) scan each file
+        under its era's physical type and cast up to the current type —
+        lossless by the promotion rules (``_is_widening``: integral ladder,
+        float->double, <=int->double, non-truncating decimal growth).
+
+        Manifest min/max bounds recorded under the old width keep pruning
+        (numeric comparison is width-agnostic), and ``merge`` upcasts
+        narrower-typed source batches automatically — the upstream can
+        start shipping the wider type before or after the table widens.
+        Key columns are part of the engine-wide khash/bucket vocabulary
+        and cannot change type."""
+        if name in KEY_COLS:
+            raise ValueError(f"key columns {KEY_COLS} cannot be widened")
+
+        def build(base: dict):
+            schema = T.StructType.fromJson(json.loads(base["schema"]))
+            by_name = {f.name: f for f in schema.fields}
+            if name not in by_name:
+                raise KeyError(
+                    f"column {name!r} not in table schema "
+                    f"{[f.name for f in schema.fields]}"
+                )
+            old = by_name[name].dataType
+            if old == new_type:
+                raise _SkipCommit(None)
+            if not _is_widening(old, new_type):
+                raise ValueError(
+                    f"{old.simpleString()} -> {new_type.simpleString()} is "
+                    "not a lossless widening (allowed: byte<short<int<long, "
+                    "float->double, byte/short/int->double, decimal growth "
+                    "with non-decreasing scale and integer digits)"
+                )
+            fids, log = _field_meta(base)
+            new_version = base["version"] + 1
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        new_type if f.name == name else f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            entry = {
+                "widen_column": [name, old.simpleString(), new_type.simpleString()],
+                "note": note,
+                "version": new_version,
+            }
+            segments: List[Tuple[str, dict]] = []
+            new_meta = self._advance_meta(
+                base, new_version, entry, dict(base["buckets"]), segments,
+                None, None, dirty=base.get("dirty", {}),
+            )
+            new_meta["schema"] = new_schema.json()
+            # era 0 of a fresh type log = the PRE-widen current schema (the
+            # physical types of every file written so far, including columns
+            # added after create — a column's physical type never changes
+            # except through this method)
+            tlog = base.get("type_log") or [
+                [0, {str(fids[f.name]): f.dataType.json() for f in schema.fields}]
+            ]
+            new_meta["type_log"] = tlog + [
+                [
+                    new_version,
+                    {str(fids[f.name]): f.dataType.json() for f in new_schema.fields},
+                ]
+            ]
+            # materialize field ids so later rename/drop/add eras key the
+            # SAME ids the type log uses (idempotent for already-evolved
+            # tables; positional for legacy ones — consistent either way)
+            new_meta["field_ids"] = fids
+            new_meta["schema_log"] = log
+            new_meta["last_field_id"] = max(
+                int(base.get("last_field_id", -1)), *fids.values()
+            )
+            return new_meta, segments, entry
+
+        return self._commit_loop(self.metadata(), build)
+
+    def _align_source(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Cast source payload columns whose types differ from the table
+        schema: a NARROWER source type upcasts losslessly (an int batch
+        into a ``widen_column``-ed bigint column); anything else is a loud
+        error at ingest — the merge write path writes payload columns
+        uncast, so a wider- or cross-typed source would land physical data
+        contradicting the schema and break every later explicit-schema
+        scan at read time instead."""
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        casts = []
+        for f in schema.fields:
+            src = by_name.get(f.name)
+            if src is None or src == f.dataType:
+                continue
+            if not _is_widening(src, f.dataType):
+                raise TypeError(
+                    f"source column {f.name!r} is {src.simpleString()} but "
+                    f"the table schema says {f.dataType.simpleString()}; if "
+                    "the upstream type widened, run widen_column() first "
+                    "(lossless promotions only)"
+                )
+            casts.append(f)
+        for f in casts:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        return df
 
     # -- maintenance ------------------------------------------------------
 
@@ -2914,6 +3140,24 @@ class LakeTable:
             "removed_bytes": removed_bytes,
         }
 
+    def remove_orphan_files(self, min_age_seconds: float = 3600.0) -> dict:
+        """Delete crash debris — data/manifest files NO snapshot of ANY ref
+        references (a write whose commit lost the install race or died
+        before installing, leftover committer markers) — WITHOUT expiring
+        any snapshot: the Iceberg ``remove_orphan_files`` analogue, for
+        tables whose time-travel history must stay whole.
+
+        Implemented as ``expire_snapshots`` with every snapshot retained:
+        its keep-set already spans all refs' heads, every tag, and every
+        retained version's manifests, so the only deletions left are true
+        orphans.  ``min_age_seconds`` (default 1 h) is the concurrency
+        guard — an IN-FLIGHT commit's staged files are unreferenced until
+        its snapshot installs, so the threshold must exceed the longest
+        commit duration (same contract as Iceberg's ``older_than``)."""
+        return self.expire_snapshots(
+            keep_last=self.version + 1, min_age_seconds=min_age_seconds
+        )
+
     def changed_buckets_between(
         self, from_version: int, to_version: Optional[int] = None
     ) -> List[int]:
@@ -2992,13 +3236,16 @@ class LakeTable:
             sel = []
             for f in schema.fields:
                 src = by_id.get(fids_to[f.name])
-                sel.append(
-                    (
-                        F.col(src)
-                        if src is not None and src in df.columns
-                        else F.lit(None).cast(f.dataType)
-                    ).alias(f.name)
-                )
+                if src is not None and src in df.columns:
+                    c = F.col(src)
+                    # a widen_column inside the window leaves the from-side
+                    # narrower-typed; cast up so change rows (and _before_
+                    # images) carry one consistent schema
+                    if df.schema[src].dataType != f.dataType:
+                        c = c.cast(f.dataType)
+                else:
+                    c = F.lit(None).cast(f.dataType)
+                sel.append(c.alias(f.name))
             return df.select(*sel)
 
         old = _aligned(meta_from)
