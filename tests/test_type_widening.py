@@ -325,6 +325,9 @@ def test_restore_across_widen_reopens_narrow_type(spark, tmp_path):
     lake.merge(spark.createDataFrame(big, SCH_LONG), _empty_keys(spark), "b2")
     lake.restore(v_narrow)
     assert lake.schema["stars"].dataType == T.IntegerType()
+    # the abandoned widen's type log must NOT survive the restore: it
+    # would stamp post-restore narrow files with the wide physical type
+    assert lake.metadata().get("type_log") is None
     assert lake.read().count() == 40
     lake.merge(
         spark.createDataFrame(_rows(5, commit="c3", prefix="z"), SCH_INT),
@@ -332,3 +335,16 @@ def test_restore_across_widen_reopens_narrow_type(spark, tmp_path):
     )
     assert lake.read().count() == 45
     assert lake.read().schema["stars"].dataType == T.IntegerType()
+    # widening AGAIN after the restore starts a fresh, correct type log:
+    # all live files (pre-restore and post-restore) really are int32
+    lake.widen_column("stars", T.LongType())
+    lake.merge(
+        spark.createDataFrame(
+            _rows(5, commit="c4", prefix="y", base=2**40), SCH_LONG
+        ),
+        _empty_keys(spark), "b4",
+    )
+    got = _state(lake)
+    assert got[("r0", "z0", "c3")] == (0, "x0")
+    assert got[("r0", "y0", "c4")] == (2**40, "x0")
+    assert len(got) == 50

@@ -2707,7 +2707,13 @@ class LakeTable:
             # post-restore evolve_schema can never re-issue an id consumed
             # by an abandoned later era (stale same-named bytes would
             # otherwise resurrect through _era_colmap).
-            for k in ("field_ids", "schema_log", "stats_cols", "bloom_cols"):
+            # type_log rides along for the same reason: keeping the HEAD's
+            # log would stamp post-restore writes (seq above an abandoned
+            # widen era) with the WIDE physical type while the restored
+            # schema writes them narrow — reads would depend on the parquet
+            # reader's promotion support instead of the era map being right
+            for k in ("field_ids", "schema_log", "type_log", "stats_cols",
+                      "bloom_cols"):
                 if target.get(k) is not None:
                     new_meta[k] = target[k]
                 else:
