@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "cdc_follow_mirror",
     "cdc_incremental_agg",
     "cdc_incremental_minmax",
+    "cdc_type_widening",
 ]
 
 
