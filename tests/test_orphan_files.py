@@ -103,3 +103,33 @@ def test_branch_only_files_survive(spark, tmp_path):
     lake.remove_orphan_files(min_age_seconds=0)
     assert br.read().count() == want  # branch head files untouched
     assert lake.read().count() == 40
+
+
+def test_branch_intermediate_history_survives(spark, tmp_path):
+    """A file referenced ONLY by a branch's intermediate snapshot (its
+    head's rewrite superseded it) must survive a main-handle sweep —
+    remove_orphan_files pins every ref's FULL chain, unlike expiry's
+    heads-only retention."""
+    lake = _mk(spark, tmp_path / "o4")
+    br = lake.create_branch("audit")
+    br.merge(
+        spark.createDataFrame(_rows(8, commit="c3", prefix="z"), SCH),
+        _empty_keys(spark), "b3",
+    )
+    v_mid = br.version
+    mid_count = br.read(version=v_mid).count()
+    # second COW merge updates the same keys: the first merge's files are
+    # now referenced only by the branch's INTERMEDIATE snapshot
+    br.merge(
+        spark.createDataFrame(_rows(8, commit="c3", prefix="z"), SCH),
+        _empty_keys(spark), "b4",
+    )
+    res = lake.remove_orphan_files(min_age_seconds=0)
+    assert res["removed_snapshots"] == 0
+    assert br.read(version=v_mid).count() == mid_count  # time travel whole
+    assert br.read().count() == mid_count
+    # and the reverse direction: a branch handle must pin main's history
+    v_main_mid = 1
+    main_mid = lake.read(version=v_main_mid).count()
+    br.remove_orphan_files(min_age_seconds=0)
+    assert lake.read(version=v_main_mid).count() == main_mid

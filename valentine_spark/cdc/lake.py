@@ -357,6 +357,23 @@ def _int_rank(dt: T.DataType) -> Optional[int]:
     return None
 
 
+def _nn(dt: T.DataType) -> T.DataType:
+    """Normalize nullability flags recursively: expression-built nested
+    values (F.struct / F.array / F.create_map) carry nullable=False /
+    containsNull=False where the table schema says True — same physical
+    type, different flags.  Type comparisons for alignment must ignore
+    them (parquet stores the data identically either way)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _nn(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nn(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_nn(dt.keyType), _nn(dt.valueType), True)
+    return dt
+
+
 def _is_widening(old: T.DataType, new: T.DataType) -> bool:
     """Lossless type promotions (the Iceberg/Delta type-widening set):
     the integral ladder byte->short->int->long; float->double; integrals
@@ -2089,7 +2106,10 @@ class LakeTable:
         casts = []
         for f in schema.fields:
             src = by_name.get(f.name)
-            if src is None or src == f.dataType:
+            # nullability-insensitive: a nested column built from
+            # expressions differs from the schema only in its
+            # nullable/containsNull flags — identical on disk, no cast
+            if src is None or _nn(src) == _nn(f.dataType):
                 continue
             if not _is_widening(src, f.dataType):
                 raise TypeError(
@@ -3014,7 +3034,12 @@ class LakeTable:
             published += 1
         return {"branch": name, "published_commits": published, "version": self.version}
 
-    def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        min_age_seconds: float = 0.0,
+        _all_ref_history: bool = False,
+    ) -> dict:
         """Retain the last ``keep_last`` snapshots; delete older snapshot
         JSONs and every data/manifest file no retained snapshot references —
         including crash orphans (files written by a commit whose snapshot
@@ -3072,8 +3097,21 @@ class LakeTable:
         if self.ref != "main":
             other_refs.append("main")
         for r in other_refs:
+            handle = LakeTable(self.root, self.spark, ref=r)
+            if _all_ref_history:
+                # orphan-removal mode: EVERY retained snapshot of every
+                # ref pins its files — another ref's intermediate history
+                # must stay time-travelable (the head-only policy below is
+                # expiry's documented trade, wrong for a pure-GC sweep)
+                for p in _glob.glob(os.path.join(handle._meta_dir(), "v*.json")):
+                    try:
+                        with open(p) as fh:
+                            _retain(json.load(fh))
+                    except (FileNotFoundError, json.JSONDecodeError):
+                        continue
+                continue
             try:
-                _retain(LakeTable(self.root, self.spark, ref=r).metadata())
+                _retain(handle.metadata())
             except FileNotFoundError:
                 continue
         for t in cross_ref_tags:
@@ -3153,15 +3191,18 @@ class LakeTable:
         any snapshot: the Iceberg ``remove_orphan_files`` analogue, for
         tables whose time-travel history must stay whole.
 
-        Implemented as ``expire_snapshots`` with every snapshot retained:
-        its keep-set already spans all refs' heads, every tag, and every
-        retained version's manifests, so the only deletions left are true
+        Implemented as ``expire_snapshots`` with every snapshot retained
+        and — unlike expiry's documented heads-only trade — EVERY ref's
+        FULL snapshot chain pinned, so another branch's intermediate
+        history stays time-travelable; the only deletions left are true
         orphans.  ``min_age_seconds`` (default 1 h) is the concurrency
         guard — an IN-FLIGHT commit's staged files are unreferenced until
         its snapshot installs, so the threshold must exceed the longest
         commit duration (same contract as Iceberg's ``older_than``)."""
         return self.expire_snapshots(
-            keep_last=self.version + 1, min_age_seconds=min_age_seconds
+            keep_last=self.version + 1,
+            min_age_seconds=min_age_seconds,
+            _all_ref_history=True,
         )
 
     def changed_buckets_between(
