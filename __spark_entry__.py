@@ -1935,6 +1935,63 @@ FROM winners WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial/write column defaults end-to-end (the Iceberg v3 default
+    analogue): replay the first half of the WAL, evolve the schema with a
+    ``size_class`` column whose default is 'unclassified' (metadata-only —
+    nothing rewritten or backfilled), then replay the tail which SHIPS the
+    column computed from content length.  Keys whose LWW winner is in the
+    first half read the default through the era projection; tail winners
+    carry their computed class — exactly the CASE image the DuckDB oracle
+    computes over an all-columns-present replay."""
+    from valentine_spark.cdc import LakeTable, apply_batch, replay
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(spark, sf_dir)
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_dflt_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=_batch_lsns(half), max_lsn=half)
+    lake.evolve_schema(
+        [T.StructField("size_class", T.StringType())],
+        "classify docs",
+        defaults={"size_class": "unclassified"},
+    )
+    tail = stream.where(F.col("lsn") > half).withColumn(
+        "size_class",
+        F.when(
+            F.length(F.coalesce("content", F.lit(""))) > 40, F.lit("long")
+        ).otherwise(F.lit("short")),
+    )
+    apply_batch(lake, tail, "classified-tail")
+    return lake.read().select(
+        "repo", "path", "commit", "size_class",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+_CDC_DEFAULTS_SQL = """
+WITH stream AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'r' || (user_id % 13) AS repo, 'p' || user_id AS path, 'head' AS "commit",
+         event_type AS lang, props AS content
+  FROM events
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM stream
+)
+SELECT repo, path, "commit",
+       CASE WHEN lsn <= (SELECT count(*) // 2 FROM events) THEN 'unclassified'
+            WHEN length(coalesce(content, '')) > 40 THEN 'long'
+            ELSE 'short' END AS size_class,
+       sha256(coalesce(content, '')) AS content_sha
+FROM winners WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changelog scan (the Iceberg changelog / Delta CDF
     analogue): replay the first half of the WAL-ordered stream into the
@@ -2890,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_follow_mirror": cdc_follow_mirror,
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_type_widening": cdc_type_widening,
+        "cdc_column_defaults": cdc_column_defaults,
         "cdc_wal_decode": cdc_wal_decode,
         "cdc_stats_scan": cdc_stats_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -2970,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         # un-drifted one — same oracle by design
         "cdc_drift_automap": _CDC_REPLAY_SQL,
         "cdc_type_widening": _CDC_WIDEN_SQL,
+        "cdc_column_defaults": _CDC_DEFAULTS_SQL,
         "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
         "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
         "cdc_zorder_scan": _CDC_ZORDER_SQL,

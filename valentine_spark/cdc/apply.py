@@ -23,10 +23,12 @@ three paths are asserted bit-identical in tests.
 
 from __future__ import annotations
 
+import json
 import math
 from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .drift import resolve_drift
@@ -181,14 +183,21 @@ def apply_batch(
         n_buckets = lake.metadata()["n_buckets"]
         changed, wms = _bucket_hints(n_buckets)
 
-        # ONE snapshot read for both the column list and the types: per-
-        # column dict_of_types(lake) calls would re-parse the snapshot JSON
-        # N times AND could observe a different snapshot than the column
-        # list (a concurrent rename landing between reads -> KeyError)
-        target_fields = lake.schema.fields
+        # ONE snapshot read for the column list, the types AND the
+        # defaults: per-column dict_of_types(lake) calls would re-parse the
+        # snapshot JSON N times AND could observe a different snapshot than
+        # the column list (a concurrent rename landing between reads ->
+        # KeyError)
+        snap = lake.metadata()
+        target_fields = T.StructType.fromJson(json.loads(snap["schema"])).fields
         types = {f.name: f.dataType for f in target_fields}
+        # write defaults: a batch that omits an evolved column fills with
+        # the column's default (evolve_schema(defaults=...)), NULL otherwise
+        dflts = lake.column_defaults(snap)
         upsert_cols = [
-            F.col(c) if c in winners.columns else F.lit(None).cast(types[c]).alias(c)
+            F.col(c)
+            if c in winners.columns
+            else F.lit(dflts.get(c)).cast(types[c]).alias(c)
             for c in (f.name for f in target_fields)
         ]
         upserts = winners.where(F.col("op") != "delete").select(*upsert_cols)

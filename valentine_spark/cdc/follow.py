@@ -101,6 +101,12 @@ class Delivery:
     # column) would select absent columns and crash in the one path meant
     # to recover it.
     source_field_ids: Optional[dict] = field(default=None, compare=False)
+    # the source's column defaults at to_version, keyed by TO-schema name
+    # (evolve_schema(defaults=...)).  A mirror sink passes them to its own
+    # additive evolution so pre-add files on BOTH sides read the same
+    # initial default — without them the mirror would serve NULL where the
+    # source serves the default and the states diverge on untouched rows.
+    column_defaults: Optional[dict] = field(default=None, compare=False)
 
     @property
     def token(self) -> str:
@@ -296,6 +302,7 @@ class ChangelogFollower:
             ),
             source_n_buckets=to_n,
             schema_changes=changes,
+            column_defaults=self.lake.column_defaults(meta_to) or None,
         )
 
     def _resync_delivery(self, current: int) -> Delivery:
@@ -321,6 +328,7 @@ class ChangelogFollower:
         return Delivery(
             df, None, current, self.consumer_id, resync=True,
             source_field_ids=dict(_field_meta(meta)[0]),
+            column_defaults=self.lake.column_defaults(meta) or None,
         )
 
     def commit(self, delivery: Delivery) -> None:
@@ -490,9 +498,14 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
         if c not in have and c != "change_op" and not c.startswith("_before_")
     ]
     if new_cols:
+        # the source's initial defaults ride along: the mirror's own
+        # pre-add files must read the same value the source's do, or the
+        # two states diverge on every row the window didn't touch
+        src_dflts = delivery.column_defaults or {}
         target.evolve_schema(
             [T.StructField(c, by_name[c].dataType) for c in new_cols],
             note=f"mirrored from delivery {delivery.token}",
+            defaults={c: src_dflts[c] for c in new_cols if c in src_dflts},
         )
     # type widening next: delivery rows arrive in the source's TO-version
     # schema, so a source widen_column() shows up as a wider delivery

@@ -849,6 +849,7 @@ class LakeTable:
         tlog = (meta or {}).get("type_log")
         if (log and len(log) > 1) or (tlog and len(tlog) > 1):
             fids, log = _field_meta(meta)
+            defaults = self.column_defaults(meta)
             groups: Dict[tuple, list] = {}
             for p, s in pairs:
                 seq = int(s) if s is not None else meta["version"]
@@ -863,7 +864,9 @@ class LakeTable:
                     ]
                 g[2].append(p)
             parts = [
-                self._read_files_era(ps, schema, n_buckets, colmap, typemap)
+                self._read_files_era(
+                    ps, schema, n_buckets, colmap, typemap, defaults
+                )
                 for _, (colmap, typemap, ps) in sorted(groups.items())
             ]
             from functools import reduce
@@ -878,13 +881,16 @@ class LakeTable:
         n_buckets: int,
         colmap: Optional[Dict[str, Optional[str]]],
         typemap: Optional[Dict[str, T.DataType]] = None,
+        defaults: Optional[Dict[str, object]] = None,
     ) -> DataFrame:
         """One-era scan: read under the era's physical names AND physical
         types, project to the current schema (``colmap``: current ->
         physical name | None-for-NULL, None colmap = identity; ``typemap``:
         current name -> physical type for columns later widened by
         ``widen_column`` — the projection casts them up, losslessly by the
-        promotion rules)."""
+        promotion rules; ``defaults``: current name -> initial default
+        served INSTEAD of NULL when the field id predates the file's era —
+        files written after the add keep their physical values)."""
         if colmap is None and typemap is None:
             read_fields = list(schema.fields)
             proj = [F.col(f.name) for f in schema.fields]
@@ -906,7 +912,8 @@ class LakeTable:
             for f in schema.fields:
                 pn = phys[f.name]
                 if pn is None:
-                    proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+                    dflt = (defaults or {}).get(f.name)
+                    proj.append(F.lit(dflt).cast(f.dataType).alias(f.name))
                 elif ptype[f.name] != f.dataType:
                     proj.append(F.col(pn).cast(f.dataType).alias(f.name))
                 else:
@@ -1842,11 +1849,36 @@ class LakeTable:
             MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
         return result
 
-    def evolve_schema(self, new_fields: List[T.StructField], note: str) -> None:
+    def evolve_schema(
+        self,
+        new_fields: List[T.StructField],
+        note: str,
+        defaults: Optional[Dict[str, object]] = None,
+    ) -> None:
         """Additive schema evolution: append columns; existing data serves
         nulls for them (projection handled at read).  Commutes with every
         data commit, so a lost install race just recomputes the column
-        union against the winner's snapshot."""
+        union against the winner's snapshot.
+
+        ``defaults``: optional {added_name: value} (the Iceberg v3
+        initial-default / write-default analogue, one value serving both
+        roles).  Files written BEFORE the add read the default instead of
+        NULL (metadata-only — nothing is rewritten or backfilled), and
+        ingest paths fill a batch that omits the column with it; files
+        written after the add keep their physical values, including
+        explicit NULLs.  Stored against the column's FIELD ID, so it
+        follows renames and dies with a drop.  Values must be plain
+        JSON-encodable literals castable to the column type."""
+        defaults = dict(defaults or {})
+        unknown = [c for c in defaults if c not in {f.name for f in new_fields}]
+        if unknown:
+            raise KeyError(
+                f"defaults name columns not being added: {unknown} "
+                "(initial defaults attach at add time)"
+            )
+        for f in new_fields:
+            if f.name in defaults:
+                json.dumps(defaults[f.name])  # loud on non-JSON values
 
         def build(base: dict):
             schema = T.StructType.fromJson(json.loads(base["schema"]))
@@ -1860,6 +1892,10 @@ class LakeTable:
                 "note": note,
                 "version": new_version,
             }
+            if defaults:
+                entry["defaults"] = {
+                    f.name: defaults[f.name] for f in added if f.name in defaults
+                }
             segments: List[Tuple[str, dict]] = []
             new_meta = self._advance_meta(
                 base, new_version, entry, dict(base["buckets"]), segments,
@@ -1871,8 +1907,13 @@ class LakeTable:
             # same-named physical data — see _era_colmap); only materialized
             # when a rename/drop already happened (legacy additive tables
             # keep the synthesized positional ids, which stay consistent
-            # because adds append)
-            if base.get("field_ids") is not None:
+            # because adds append).  A default REQUIRES materialization:
+            # the pre-add files must take the era-grouped read path, whose
+            # colmap knows the field id did not exist yet — the single-era
+            # fast path would serve NULL for the missing physical column.
+            if base.get("field_ids") is not None or any(
+                f.name in defaults for f in added
+            ):
                 fids, log = _field_meta(base)
                 # never-reused means never-reused across the table's WHOLE
                 # history, not just the current schema: after drop_column
@@ -1901,6 +1942,12 @@ class LakeTable:
                         for f in list(schema.fields) + added
                     }
                     new_meta["type_log"] = base["type_log"] + [[new_version, tmap]]
+                if defaults:
+                    dmap = dict(base.get("column_defaults") or {})
+                    for f in added:
+                        if f.name in defaults:
+                            dmap[str(fids[f.name])] = defaults[f.name]
+                    new_meta["column_defaults"] = dmap
             return new_meta, segments, entry
 
         self._commit_loop(self.metadata(), build)
@@ -2003,9 +2050,28 @@ class LakeTable:
                 new_meta["stats_cols"] = [c for c in base["stats_cols"] if c != name]
             if base.get("bloom_cols"):
                 new_meta["bloom_cols"] = [c for c in base["bloom_cols"] if c != name]
+            if base.get("column_defaults"):
+                # the default dies with the column (a later same-named
+                # re-add gets a fresh id and starts clean)
+                dropped_id = str(_field_meta(base)[0][name])
+                new_meta["column_defaults"] = {
+                    i: v
+                    for i, v in base["column_defaults"].items()
+                    if i != dropped_id
+                }
             return new_meta, segments, entry
 
         return self._commit_loop(self.metadata(), build)
+
+    def column_defaults(self, meta: Optional[dict] = None) -> Dict[str, object]:
+        """Current-name-keyed column defaults (see ``evolve_schema``):
+        {column_name: literal} for every live column that has one."""
+        meta = meta or self.metadata()
+        dmap = meta.get("column_defaults") or {}
+        if not dmap:
+            return {}
+        fids, _ = _field_meta(meta)
+        return {n: dmap[str(i)] for n, i in fids.items() if str(i) in dmap}
 
     def widen_column(
         self, name: str, new_type: T.DataType, note: Optional[str] = None
@@ -2732,8 +2798,8 @@ class LakeTable:
             # widen era) with the WIDE physical type while the restored
             # schema writes them narrow — reads would depend on the parquet
             # reader's promotion support instead of the era map being right
-            for k in ("field_ids", "schema_log", "type_log", "stats_cols",
-                      "bloom_cols"):
+            for k in ("field_ids", "schema_log", "type_log", "column_defaults",
+                      "stats_cols", "bloom_cols"):
                 if target.get(k) is not None:
                     new_meta[k] = target[k]
                 else:
@@ -3271,6 +3337,7 @@ class LakeTable:
         nonkey = [f.name for f in schema.fields if f.name not in KEY_COLS]
 
         fids_to, _ = _field_meta(meta_to)
+        to_defaults = self.column_defaults(meta_to)
 
         def _aligned(meta_v: dict) -> DataFrame:
             # field-id alignment: a column RENAMED inside the window maps
@@ -3291,7 +3358,11 @@ class LakeTable:
                     if df.schema[src].dataType != f.dataType:
                         c = c.cast(f.dataType)
                 else:
-                    c = F.lit(None).cast(f.dataType)
+                    # a column ADDED inside the window: the from-side
+                    # serves its initial default (matching what the
+                    # to-side reads for pre-add files) so the metadata-only
+                    # add produces ZERO spurious update rows
+                    c = F.lit(to_defaults.get(f.name)).cast(f.dataType)
                 sel.append(c.alias(f.name))
             return df.select(*sel)
 

@@ -352,7 +352,8 @@ class MergeIntoBuilder:
             target = lake.spark.createDataFrame([], empty)
 
         out, obs, action_names = self._apply_clauses(
-            target, src, schema, schema_cols, n_buckets, bucket_expr, khash_expr
+            target, src, schema, schema_cols, n_buckets, bucket_expr, khash_expr,
+            defaults=lake.column_defaults(meta),
         )
 
         rel_dir = os.path.join("data", f"c-{_uid()}")
@@ -495,6 +496,7 @@ class MergeIntoBuilder:
         n_buckets: int,
         bucket_expr,
         khash_expr,
+        defaults: Optional[Dict[str, object]] = None,
     ):
         """Compile the clause cascade into one joined projection.  Returns
         (output rows of the rewritten buckets, Observation with per-action
@@ -544,11 +546,14 @@ class MergeIntoBuilder:
         action = action.otherwise(F.when(only_s, F.lit("drop")).otherwise(F.lit("keep")))
 
         def s_or_null(c: str) -> Column:
+            # ANSI INSERT semantics: an unspecified column takes the source
+            # value when present, else the table's column DEFAULT
+            # (evolve_schema(defaults=...)), else NULL
             f = schema[c]
             return (
                 F.col(f"s.{c}").cast(f.dataType)
                 if c in src_cols
-                else F.lit(None).cast(f.dataType)
+                else F.lit((defaults or {}).get(c)).cast(f.dataType)
             )
 
         proj = []

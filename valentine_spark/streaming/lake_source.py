@@ -167,9 +167,16 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         # CURRENT only when no stash exists (user-supplied schema path).
         from valentine_spark.cdc.lake import _field_meta
 
-        self._fids = _field_meta(
-            schema_meta if schema_meta is not None else _read_meta(self.root)
-        )[0]
+        _meta = schema_meta if schema_meta is not None else _read_meta(self.root)
+        self._fids = _field_meta(_meta)[0]
+        # query-start column defaults by stream name: files predating an
+        # evolve_schema(defaults=...) serve the default, matching
+        # lake.read()/changes() — resolved once on the driver, shipped in
+        # the pickled reader so executors stay metadata-free
+        _dmap = _meta.get("column_defaults") or {}
+        self._defaults = {
+            n: _dmap[str(i)] for n, i in self._fids.items() if str(i) in _dmap
+        }
 
     # -- offsets -----------------------------------------------------------
 
@@ -296,10 +303,11 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         ]
         nonkey = [c for c in cols if c not in _KEY_COLS]
 
+        defaults = getattr(self, "_defaults", None) or {}
         old = _bucket_state(partition.root, partition.old_entries,
-                            partition.old_dirty, cols, nonkey)
+                            partition.old_dirty, cols, nonkey, defaults)
         new = _bucket_state(partition.root, partition.new_entries,
-                            partition.new_dirty, cols, nonkey)
+                            partition.new_dirty, cols, nonkey, defaults)
         merged = new.merge(
             old, on=_KEY_COLS, how="outer", suffixes=("", "__old"), indicator=True
         )
@@ -332,7 +340,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
 
 def _bucket_state(root: str, entries: List[dict], dirty: bool,
-                  cols: List[str], nonkey: List[str]):
+                  cols: List[str], nonkey: List[str],
+                  defaults: Optional[dict] = None):
     """Executor-side snapshot of one bucket as a pandas frame (one live row
     per key) — the pyarrow mirror of ``LakeTable.read`` for a single bucket:
     clean buckets are scan-only (tombstone entries name never-present keys
@@ -374,7 +383,8 @@ def _bucket_state(root: str, entries: List[dict], dirty: bool,
         pdf["_live"] = 0 if kind == "tomb" else 1
         for c in cols:  # files predating a schema evolution lack new columns
             if c not in pdf.columns:
-                pdf[c] = None
+                # initial default, matching lake.read()'s era projection
+                pdf[c] = (defaults or {}).get(c)
         frames.append(pdf[_KEY_COLS + nonkey + ["_v", "_live"]])
     if not frames:
         return pd.DataFrame(columns=_KEY_COLS + nonkey)
