@@ -239,7 +239,76 @@ def test_defaults_validation(spark, tmp_path):
         lake.evolve_schema(
             [T.StructField("a", T.StringType())], "x", defaults={"b": 1}
         )
-    with pytest.raises(TypeError):
+    # non-scalar defaults would commit fine and then poison every read —
+    # rejected before the metadata commit
+    for bad in (object(), {"k": 1}, [1, 2], None):
+        with pytest.raises(TypeError, match="scalar literal"):
+            lake.evolve_schema(
+                [T.StructField("a", T.StringType())], "x", defaults={"a": bad}
+            )
+    # wrong-typed scalar: the ANSI castability probe raises at evolve
+    # time, not on the first read after the commit lands
+    with pytest.raises(Exception, match="(?i)cast|number"):
         lake.evolve_schema(
-            [T.StructField("a", T.StringType())], "x", defaults={"a": object()}
+            [T.StructField("n", T.IntegerType())], "x", defaults={"n": "seven"}
         )
+    assert "n" not in {f.name for f in lake.schema.fields}  # no commit landed
+
+
+def test_default_cannot_attach_retroactively_but_replay_skips(spark, tmp_path):
+    lake = _mk(spark, tmp_path / "d11")
+    lake.evolve_schema([T.StructField("license", T.StringType())], "add")
+    # the column exists without a default: attaching one later must FAIL
+    # loudly (old files would keep serving NULL), not silently no-op
+    with pytest.raises(ValueError, match="retroactively"):
+        lake.evolve_schema(
+            [T.StructField("license", T.StringType())], "again",
+            defaults={"license": "unknown"},
+        )
+    # idempotent crash-replay of the SAME defaulted evolution skips clean
+    lake.evolve_schema(
+        [T.StructField("stars", T.IntegerType())], "add", defaults={"stars": 7}
+    )
+    v = lake.version
+    lake.evolve_schema(
+        [T.StructField("stars", T.IntegerType())], "add", defaults={"stars": 7}
+    )
+    assert lake.version == v  # replay: no new commit, no error
+
+
+def test_streaming_drop_does_not_resurrect_default(spark, tmp_path):
+    """A column dropped mid-stream must NOT have its default fabricated
+    into post-drop files' change rows: defaults resolve per batch from the
+    window's end-version meta, where the drop already removed the id.
+    Models a LONG-RUNNING query by driving the reader directly with its
+    schema pinned to the pre-drop snapshot (a restart re-pins and drops
+    the column entirely — that path is trivially safe)."""
+    from valentine_spark.streaming.lake_source import LakeChangesStreamReader
+
+    lake = _mk(spark, tmp_path / "d12")
+    lake.evolve_schema(
+        [T.StructField("stars", T.IntegerType())], "add", defaults={"stars": 7}
+    )
+    pinned_meta = lake.metadata()
+    pinned_schema = T.StructType(
+        [T.StructField("change_op", T.StringType(), False)]
+        + list(lake.schema.fields)
+    )
+    reader = LakeChangesStreamReader(
+        pinned_schema, {"path": lake.root, "startingversion": "latest"},
+        schema_meta=pinned_meta,
+    )
+    v0 = lake.version
+    lake.drop_column("stars")
+    lake.merge(
+        spark.createDataFrame([("r9", "n0", "c1", "go", "post-drop")], SCH),
+        _empty_keys(spark), "b2",
+    )
+    parts = reader.partitions({"version": v0}, {"version": lake.version})
+    rows = pd.concat(
+        [b.to_pandas() for p in parts for b in reader.read(p)],
+        ignore_index=True,
+    )
+    row = rows[rows.path == "n0"]
+    assert len(row) == 1
+    assert pd.isna(row.stars.iloc[0])  # NOT the dead column's default 7

@@ -180,15 +180,16 @@ def apply_batch(
                 {int(r["_b"]): int(r["wm"]) for r in bucket_stats},
             )
 
-        n_buckets = lake.metadata()["n_buckets"]
+        # ONE snapshot read for the bucket count, the column list, the
+        # types AND the defaults: per-column dict_of_types(lake) calls
+        # would re-parse the snapshot JSON N times AND could observe a
+        # different snapshot than the column list (a concurrent rename
+        # landing between reads -> KeyError; a racing rebucket is caught by
+        # merge's own BucketLayoutChangedError path)
+        snap = lake.metadata()
+        n_buckets = snap["n_buckets"]
         changed, wms = _bucket_hints(n_buckets)
 
-        # ONE snapshot read for the column list, the types AND the
-        # defaults: per-column dict_of_types(lake) calls would re-parse the
-        # snapshot JSON N times AND could observe a different snapshot than
-        # the column list (a concurrent rename landing between reads ->
-        # KeyError)
-        snap = lake.metadata()
         target_fields = T.StructType.fromJson(json.loads(snap["schema"])).fields
         types = {f.name: f.dataType for f in target_fields}
         # write defaults: a batch that omits an evolved column fills with

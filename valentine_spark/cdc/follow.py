@@ -527,10 +527,13 @@ def apply_delivery(target: LakeTable, delivery: Delivery) -> dict:
             # last-resort shape safety: a legacy resync delivery (no
             # source_field_ids) against a drifted mirror can leave target
             # columns the delivery doesn't carry — resync is replace-all,
-            # so null-fill them rather than crash the recovery path
+            # so fill them (with the target's own write default when one
+            # exists, like every other ingest path) rather than crash the
+            # recovery path
+            t_dflts = target.column_defaults()
             sel = [
                 F.col(c) if c in df.columns
-                else F.lit(None).cast(target_schema[c].dataType).alias(c)
+                else F.lit(t_dflts.get(c)).cast(target_schema[c].dataType).alias(c)
                 for c in cols
             ]
         else:

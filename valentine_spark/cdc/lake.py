@@ -1877,13 +1877,52 @@ class LakeTable:
                 "(initial defaults attach at add time)"
             )
         for f in new_fields:
-            if f.name in defaults:
-                json.dumps(defaults[f.name])  # loud on non-JSON values
+            if f.name not in defaults:
+                continue
+            v = defaults[f.name]
+            # scalar literals only: a dict/list would json-roundtrip fine
+            # but poison every later read (F.lit rejects dicts; the
+            # streaming fill broadcasts lists row-wise) — reject BEFORE the
+            # metadata commits, not on the first read after it
+            if v is None or not isinstance(v, (bool, int, float, str)):
+                raise TypeError(
+                    f"default for {f.name!r} must be a scalar literal "
+                    f"(bool/int/float/str), got {type(v).__name__}"
+                )
+            # castability probe (ANSI: a wrong-typed scalar raises here,
+            # at evolve time, instead of on every subsequent read)
+            self.spark.range(1).select(
+                F.lit(v).cast(f.dataType)
+            ).collect()
 
         def build(base: dict):
             schema = T.StructType.fromJson(json.loads(base["schema"]))
             existing = {f.name for f in schema.fields}
             added = [f for f in new_fields if f.name not in existing]
+            # a default for a column that already exists must FAIL unless
+            # it already carries the SAME default (idempotent crash-replay
+            # of this very evolution) — silently dropping it would leave
+            # the caller believing old files serve the default while they
+            # serve NULL forever (caller error, or a concurrent add won
+            # the race without one)
+            cur_dflts = {}
+            if base.get("column_defaults"):
+                b_fids, _ = _field_meta(base)
+                cur_dflts = {
+                    n: base["column_defaults"][str(i)]
+                    for n, i in b_fids.items()
+                    if str(i) in base["column_defaults"]
+                }
+            conflicted = [
+                c for c in defaults
+                if c in existing and cur_dflts.get(c) != defaults[c]
+            ]
+            if conflicted:
+                raise ValueError(
+                    f"columns {conflicted} already exist; a default "
+                    "attaches only at add time (initial-default semantics) "
+                    "— it cannot be added or changed retroactively"
+                )
             if not added:
                 raise _SkipCommit(None)
             new_version = base["version"] + 1
@@ -3307,8 +3346,10 @@ class LakeTable:
         Returns the TO-version schema plus a leading ``change_op`` column
         (``insert`` / ``update`` / ``delete``); deletes carry the key columns
         with null payload.  Columns added by schema evolution inside the
-        window read as null on the FROM side, so a row whose only change is
-        a newly-populated evolved column classifies as ``update``.
+        window read as the column's initial default on the FROM side (NULL
+        when the add attached none), so the metadata-only add itself emits
+        zero rows and a row whose only change is a newly-POPULATED evolved
+        column classifies as ``update``.
 
         ``include_before=True`` additionally emits the FROM-side payload as
         ``_before_<col>`` for every non-key column (null on inserts) — the

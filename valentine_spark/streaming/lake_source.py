@@ -133,6 +133,11 @@ class BucketDiffPartition(InputPartition):
     new_entries: List[dict] = field(default_factory=list)
     old_dirty: bool = False
     new_dirty: bool = False
+    # stream-name-keyed initial defaults, resolved PER BATCH from the
+    # window's end-version meta (not pinned at query start): a column
+    # dropped mid-stream leaves that meta's column_defaults with the drop,
+    # so post-drop files fill NULL — the default never resurrects
+    defaults: dict = field(default_factory=dict)
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -169,14 +174,6 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
         _meta = schema_meta if schema_meta is not None else _read_meta(self.root)
         self._fids = _field_meta(_meta)[0]
-        # query-start column defaults by stream name: files predating an
-        # evolve_schema(defaults=...) serve the default, matching
-        # lake.read()/changes() — resolved once on the driver, shipped in
-        # the pickled reader so executors stay metadata-free
-        _dmap = _meta.get("column_defaults") or {}
-        self._defaults = {
-            n: _dmap[str(i)] for n, i in self._fids.items() if str(i) in _dmap
-        }
 
     # -- offsets -----------------------------------------------------------
 
@@ -230,6 +227,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         import math
 
         g = math.gcd(int(m0["n_buckets"]), int(m1["n_buckets"]))
+        # defaults by STREAM name, from the end-version meta's id-keyed
+        # map: ids the window's head dropped are gone from it, so their
+        # pre-drop default cannot be fabricated into post-drop files
+        dmap = m1.get("column_defaults") or {}
+        defaults = {
+            n: dmap[str(i)] for n, i in self._fids.items() if str(i) in dmap
+        }
         groups: dict = {}
         for b in set(m0["buckets"]) | set(m1["buckets"]):
             groups.setdefault(int(b) % g, []).append(b)
@@ -256,6 +260,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     new_entries=new_e,
                     old_dirty=od,
                     new_dirty=nd,
+                    defaults=defaults,
                 )
             )
         return parts
@@ -303,7 +308,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         ]
         nonkey = [c for c in cols if c not in _KEY_COLS]
 
-        defaults = getattr(self, "_defaults", None) or {}
+        defaults = partition.defaults or {}
         old = _bucket_state(partition.root, partition.old_entries,
                             partition.old_dirty, cols, nonkey, defaults)
         new = _bucket_state(partition.root, partition.new_entries,
