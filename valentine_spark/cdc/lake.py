@@ -2102,6 +2102,70 @@ class LakeTable:
 
         return self._commit_loop(self.metadata(), build)
 
+    def alter_properties(
+        self,
+        stats_cols: Optional[List[str]] = None,
+        bloom_cols: Optional[List[str]] = None,
+        target_file_rows: Optional[int] = None,
+        write_mode: Optional[str] = None,
+        note: Optional[str] = None,
+    ) -> dict:
+        """Change table write properties after create (the ALTER TABLE SET
+        TBLPROPERTIES analogue) as one metadata commit.  Only the passed
+        properties change; None leaves a property as-is.
+
+        ``stats_cols`` / ``bloom_cols``: apply to FUTURE writes — files
+        already on disk carry whatever stats/blooms they were written with
+        (a file without bounds for a new stats column is simply never
+        pruned — sound; a sorted ``compact()`` rewrites everything under
+        the new lists and makes pruning effective retroactively).
+        ``target_file_rows`` / ``write_mode``: future commits only.
+        Commutes with data commits; a lost install race recomputes against
+        the winner's snapshot."""
+        if write_mode is not None and write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        if target_file_rows is not None and int(target_file_rows) <= 0:
+            raise ValueError("target_file_rows must be positive")
+
+        def build(base: dict):
+            schema = T.StructType.fromJson(json.loads(base["schema"]))
+            known = {f.name for f in schema.fields}
+            changed: Dict[str, object] = {}
+            for key, val in (("stats_cols", stats_cols), ("bloom_cols", bloom_cols)):
+                if val is None:
+                    continue
+                for c in val:
+                    if c not in known:
+                        raise KeyError(
+                            f"{key} column {c!r} not in table schema {sorted(known)}"
+                        )
+                if list(val) != list(base.get(key) or []):
+                    changed[key] = list(val)
+            if (
+                target_file_rows is not None
+                and int(target_file_rows) != int(base.get("target_file_rows", 0))
+            ):
+                changed["target_file_rows"] = int(target_file_rows)
+            if write_mode is not None and write_mode != base.get("write_mode"):
+                changed["write_mode"] = write_mode
+            if not changed:
+                raise _SkipCommit(None)
+            new_version = base["version"] + 1
+            entry = {
+                "alter_properties": changed,
+                "note": note,
+                "version": new_version,
+            }
+            segments: List[Tuple[str, dict]] = []
+            new_meta = self._advance_meta(
+                base, new_version, entry, dict(base["buckets"]), segments,
+                None, None, dirty=base.get("dirty", {}),
+            )
+            new_meta.update(changed)
+            return new_meta, segments, entry
+
+        return self._commit_loop(self.metadata(), build)
+
     def column_defaults(self, meta: Optional[dict] = None) -> Dict[str, object]:
         """Current-name-keyed column defaults (see ``evolve_schema``):
         {column_name: literal} for every live column that has one."""
