@@ -1,7 +1,8 @@
 """Lake table-maintenance walkthrough (the round-4 surface): conditional
 MERGE INTO, GDPR-style predicate mutations, rename/drop schema evolution
-without rewrite, branches + write-audit-publish, tags, Z-order
-clustering with data skipping, and the metadata tables.
+without rewrite, type widening, column defaults, alter-properties,
+branches + write-audit-publish, tags, Z-order clustering with data
+skipping, orphan-file GC, and the metadata tables.
 
 Run: python examples/lake_maintenance_example.py
 """
@@ -68,6 +69,26 @@ print("published; main version:", lake.version)
 lake.compact(min_files=1, sort_cols=["language", "content"], zorder=True)
 pv = lake.prune_preview([("language", "=", "python")])
 print(f"scan plans {pv['kept_files']}/{pv['total_files']} files for language = 'python'")
+
+# -- type widening + column defaults (metadata-only schema evolution) -------
+from pyspark.sql import types as T
+
+lake.evolve_schema(
+    [T.StructField("stars", T.IntegerType())], "popularity",
+    defaults={"stars": 0},  # pre-add files read 0, not NULL
+)
+print("stars default on old rows:",
+      lake.read().agg(F.min("stars"), F.max("stars")).collect()[0])
+lake.widen_column("stars", T.LongType())  # int -> bigint, zero rewrite
+print("widened:", lake.schema["stars"].dataType, "— lineage:",
+      lake.lineage()[-1]["widen_column"])
+
+# -- alter write properties --------------------------------------------------
+lake.alter_properties(stats_cols=["language", "stars"], target_file_rows=1000)
+print("props:", {k: lake.metadata()[k] for k in ("stats_cols", "target_file_rows")})
+
+# -- orphan-file GC (keeps ALL snapshots, removes crash debris) --------------
+print("orphans:", lake.remove_orphan_files(min_age_seconds=0)["removed_files"])
 
 # -- metadata tables ---------------------------------------------------------
 lake.partitions().show(4)
