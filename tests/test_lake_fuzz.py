@@ -1,15 +1,16 @@
 """Model-based fuzz of the lake's mutation surface: a seeded random
 sequence of operations (MERGE upsert/delete, predicate UPDATE/DELETE,
 conditional MERGE INTO, compaction incl. Z-order, rename evolution,
-branch fork + write-audit-publish, rebucket, snapshot expiry) runs
-against BOTH the LakeTable and a plain Python-dict model; the table must
-equal the model at every checkpoint.
+defaulted column add, type widening, alter-properties, branch fork +
+write-audit-publish, rebucket, snapshot expiry) runs against BOTH the
+LakeTable and a plain Python-dict model; the table must equal the model
+at every checkpoint.
 
 This is the composition test the per-feature suites cannot give: every
 pairwise interleaving of features (mutate after rename, MERGE INTO over
-a z-ordered layout, publish after compact, expiry mid-sequence...) falls
-out of the random schedule.  Deterministic seeds — a failure replays
-exactly.
+a z-ordered layout, widen after rename after defaulted add, publish
+after compact, expiry mid-sequence...) falls out of the random schedule.
+Deterministic seeds — a failure replays exactly.
 """
 
 import random
@@ -36,30 +37,61 @@ LANGS = ["py", "go", "rs", "ts"]
 
 @pytest.mark.parametrize("seed", [11, 47])
 def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
+    from pyspark.sql import types as T
+
     rng = random.Random(seed)
     lake = LakeTable.create(
         str(tmp_path / f"f{seed}"), spark, n_buckets=4, target_file_rows=64,
         stats_cols=["lang"],
     )
-    model = {}  # (repo,path,commit) -> (lang, content)
+    model = {}  # (repo,path,commit) -> tuple aligned with `payload`
     payload = ["lang", "content"]  # current payload column names
+    # third payload column added mid-run by the evolve op: (added?, widened?)
+    stars_state = {"added": False, "widened": False, "name": None}
     batch_no = 0
+
+    def schema_str():
+        base = "repo string, path string, commit string, lang string, content string"
+        if stars_state["added"]:
+            base += ", stars " + ("bigint" if stars_state["widened"] else "int")
+        return base
+
+    def rand_payload():
+        v = (rng.choice(LANGS), f"c{rng.randrange(1000)}")
+        if stars_state["added"]:
+            v += (
+                2**40 + rng.randrange(100)
+                if stars_state["widened"]
+                else rng.randrange(100),
+            )
+        return v
+
+    def rows_df(mapping):
+        return spark.createDataFrame(
+            [(k + v) for k, v in mapping.items()], schema_str()
+        ).toDF("repo", "path", "commit", *payload)
 
     def new_key():
         return (f"r{rng.randrange(6)}", f"p{rng.randrange(400)}", "head")
 
     def check():
         got = {
-            tuple(r[:3]): (r[payload[0]], r[payload[1]])
+            tuple(r[:3]): tuple(r[c] for c in payload)
             for r in lake.read().collect()
         }
         assert got == model, f"divergence at op {i} (seed {seed})"
 
-    for i in range(28):
+    for i in range(30):
         op = rng.choice(
             ["merge", "merge", "merge", "mutate", "merge_into", "compact",
-             "rename", "branch", "rebucket", "expire"]
+             "rename", "branch", "rebucket", "expire", "alter_props"]
         )
+        # deterministic injection points so every seed exercises the
+        # evolution surface: defaulted add at op 9, widen at op 18
+        if i == 9:
+            op = "evolve_default"
+        elif i == 18:
+            op = "widen"
         if op == "merge":
             ups, dels = {}, set()
             for _ in range(rng.randrange(5, 40)):
@@ -68,14 +100,11 @@ def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
                     dels.add(k)
                     ups.pop(k, None)
                 else:
-                    ups[k] = (rng.choice(LANGS), f"c{rng.randrange(1000)}")
+                    ups[k] = rand_payload()
                     dels.discard(k)
             batch_no += 1
-            up_df = _spark_rows(spark, [(k + v) for k, v in ups.items()]).toDF(
-                "repo", "path", "commit", *payload
-            )
             lake.merge(
-                up_df, _key_rows(spark, sorted(dels)), f"b{batch_no}",
+                rows_df(ups), _key_rows(spark, sorted(dels)), f"b{batch_no}",
                 mode=rng.choice(["cow", "mor"]),
             )
             model.update(ups)
@@ -91,16 +120,15 @@ def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
                     [(payload[0], "=", lang)], {payload[1]: F.lit(f"u{i}")}
                 )
                 model = {
-                    k: ((v[0], f"u{i}") if v[0] == lang else v)
+                    k: ((v[0], f"u{i}") + v[2:] if v[0] == lang else v)
                     for k, v in model.items()
                 }
         elif op == "merge_into":
             touched = rng.sample(sorted(model), k=min(len(model), 20)) if model else []
             fresh = [new_key() for _ in range(5)]
             src_keys = list(dict.fromkeys(touched + fresh))
-            src = _spark_rows(
-                spark, [k + ("zz", f"m{i}") for k in src_keys]
-            ).toDF("repo", "path", "commit", *payload)
+            ins_payload = rand_payload()
+            src = rows_df({k: ("zz", f"m{i}") + ins_payload[2:] for k in src_keys})
             (
                 lake.merge_into(src)
                 .when_matched_delete(condition=F.col(f"t.{payload[0]}") == "rs")
@@ -113,27 +141,46 @@ def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
                     if model[k][0] == "rs":
                         del model[k]
                     else:
-                        model[k] = (model[k][0], f"m{i}")
+                        model[k] = (model[k][0], f"m{i}") + model[k][2:]
                 else:
-                    model[k] = ("zz", f"m{i}")
+                    model[k] = ("zz", f"m{i}") + ins_payload[2:]
         elif op == "compact":
             if rng.random() < 0.5:
-                lake.compact(min_files=1, sort_cols=payload, zorder=True)
+                lake.compact(min_files=1, sort_cols=payload[:2], zorder=True)
             else:
                 lake.compact(min_files=rng.choice([1, 2]))
         elif op == "rename":
-            which = rng.randrange(2)
+            which = rng.randrange(len(payload))
             new_name = f"{payload[which].rstrip('0123456789_x')}_x{i}"
             lake.rename_column(payload[which], new_name)
             payload[which] = new_name
+            if which == 2:
+                stars_state["name"] = new_name
+        elif op == "evolve_default":
+            if not stars_state["added"]:
+                lake.evolve_schema(
+                    [T.StructField("stars", T.IntegerType())], "fuzz add",
+                    defaults={"stars": 0},
+                )
+                stars_state["added"] = True
+                stars_state["name"] = "stars"
+                payload.append("stars")
+                # initial default: every pre-add row reads 0
+                model = {k: v + (0,) for k, v in model.items()}
+        elif op == "widen":
+            if stars_state["added"] and not stars_state["widened"]:
+                lake.widen_column(stars_state["name"], T.LongType())
+                stars_state["widened"] = True
+        elif op == "alter_props":
+            lake.alter_properties(
+                stats_cols=rng.choice([[payload[0]], payload[:2], []]),
+                target_file_rows=rng.choice([48, 64, 96]),
+            )
         elif op == "branch":
             b = lake.create_branch(f"wap{i}")
-            ups = {new_key(): ("br", f"w{i}") for _ in range(10)}
+            ups = {new_key(): ("br", f"w{i}") + rand_payload()[2:] for _ in range(10)}
             batch_no += 1
-            up_df = _spark_rows(spark, [(k + v) for k, v in ups.items()]).toDF(
-                "repo", "path", "commit", *payload
-            )
-            b.merge(up_df, _key_rows(spark, []), f"b{batch_no}")
+            b.merge(rows_df(ups), _key_rows(spark, []), f"b{batch_no}")
             lake.fast_forward(f"wap{i}")
             lake.delete_branch(f"wap{i}")
             model.update(ups)
@@ -144,6 +191,7 @@ def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
         if i % 5 == 4:
             check()
     check()
+    assert stars_state["added"] and stars_state["widened"]
     # final invariants: metadata tables agree with state; history is intact
     assert lake.files().where("kind = 'data'").agg(
         F.sum("rows")
