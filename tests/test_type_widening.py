@@ -297,6 +297,52 @@ def test_widen_interleaved_with_rename_and_add(spark, tmp_path):
     assert len(got) == 60
 
 
+def test_widen_races_concurrent_merges(spark, tmp_path):
+    """A widen committing between a merge's snapshot read and its install
+    must force the merge body to re-run against the widened schema (the
+    rebase path's schema guard) — never land int-physical files under a
+    bigint schema or lose a batch."""
+    import threading
+
+    lake = _mk(spark, tmp_path / "w14")
+    barrier = threading.Barrier(2)
+    errors: list = []
+
+    def writer():
+        try:
+            handle = LakeTable(lake.root, spark)
+            barrier.wait()
+            for j in range(3):
+                handle.merge(
+                    spark.createDataFrame(
+                        _rows(20, commit=f"w{j}", prefix=f"t{j}_"), SCH_INT
+                    ),
+                    _empty_keys(spark), f"race-{j}",
+                )
+        except Exception as e:  # noqa: BLE001 — re-raised on the driver
+            errors.append(e)
+
+    def widener():
+        try:
+            handle = LakeTable(lake.root, spark)
+            barrier.wait()
+            handle.widen_column("stars", T.LongType())
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=widener)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    df = lake.read()
+    assert df.schema["stars"].dataType == T.LongType()
+    assert df.count() == 40 + 60  # base rows + all three raced batches
+    # every row readable (no int-physical-under-long-schema corruption)
+    assert df.agg(F.sum("stars")).collect()[0][0] is not None
+
+
 def test_decimal_widening(spark, tmp_path):
     from decimal import Decimal
 
