@@ -6,6 +6,13 @@ exposes a ``LakeTable``'s changelog as a genuine Structured Streaming source:
           .option("startingVersion", "earliest")
           .load("/path/to/lake"))
 
+The same format also serves BATCH window reads (the Delta CDF batch-read /
+Iceberg incremental-read analogue) — see :class:`LakeChangesBatchReader`:
+
+    df = (spark.read.format("lake_changes")
+          .option("fromVersion", 3).option("toVersion", 9)
+          .load("/path/to/lake"))
+
 Offsets are lake snapshot VERSIONS (the natural log position of a
 snapshot-versioned table — the same choice Delta's streaming source makes),
 so Spark's own offset log in the streaming checkpoint carries the follower
@@ -78,6 +85,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -90,7 +98,12 @@ _VER_RE = re.compile(r"/data/v(\d+)/")
 
 # -- driver-side metadata helpers (pure json/os — no SparkSession) ----------
 
-def _read_meta(root: str, version: Optional[int] = None) -> dict:
+def _read_meta(root: str, version: Optional[int] = None, ref: str = "main") -> dict:
+    meta_dir = (
+        os.path.join(root, "metadata")
+        if ref == "main"
+        else os.path.join(root, "metadata", "refs", ref)
+    )
     if version is None:
         # CURRENT is a hint: a committer can crash (or lag) between
         # publishing v{N}.json and advancing the pointer — walk forward to
@@ -98,19 +111,19 @@ def _read_meta(root: str, version: Optional[int] = None) -> dict:
         # (including its bootstrap fallback: create() can die after
         # publishing v0.json but before the first CURRENT write)
         try:
-            with open(os.path.join(root, "metadata", "CURRENT")) as fh:
+            with open(os.path.join(meta_dir, "CURRENT")) as fh:
                 version = int(fh.read().strip())
         except FileNotFoundError:
-            if not os.path.exists(os.path.join(root, "metadata", "v0.json")):
+            if not os.path.exists(os.path.join(meta_dir, "v0.json")):
                 raise
             version = 0
-        while os.path.exists(os.path.join(root, "metadata", f"v{version + 1}.json")):
+        while os.path.exists(os.path.join(meta_dir, f"v{version + 1}.json")):
             version += 1
-    path = os.path.join(root, "metadata", f"v{version}.json")
+    path = os.path.join(meta_dir, f"v{version}.json")
     if not os.path.exists(path):
         raise RuntimeError(
-            f"lake snapshot v{version} not found under {root!r} (expired by "
-            f"retention?); restart the stream or set startingVersion"
+            f"lake snapshot v{version} (ref {ref!r}) not found under {root!r} "
+            f"(expired by retention?); restart the stream or set startingVersion"
         )
     with open(path) as fh:
         return json.load(fh)
@@ -213,135 +226,146 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if self._last_end is None or v1 > self._last_end:
             self._last_end = v1  # learn position from a replayed batch
-        if v1 <= v0:
-            return []
-        m0, m1 = _read_meta(self.root, v0), _read_meta(self.root, v1)
-        d0, d1 = m0.get("dirty", {}), m1.get("dirty", {})
-        # Buckets are paired by id mod gcd(n_buckets(v0), n_buckets(v1)).
-        # With equal layouts g == n and this is the plain per-bucket diff;
-        # across a rebucket() boundary the integer-factor invariant makes
-        # key_bucket mod g layout-INDEPENDENT, so grouping both layouts'
-        # buckets by id mod g pairs exactly the buckets that can hold the
-        # same keys — no key re-hashing, at the one-time cost of coarser
-        # (g-granular) boundary-batch partitions.
-        import math
-
-        g = math.gcd(int(m0["n_buckets"]), int(m1["n_buckets"]))
-        # defaults by STREAM name, from the end-version meta's id-keyed
-        # map: ids the window's head dropped are gone from it, so their
-        # pre-drop default cannot be fabricated into post-drop files
-        dmap = m1.get("column_defaults") or {}
-        defaults = {
-            n: dmap[str(i)] for n, i in self._fids.items() if str(i) in dmap
-        }
-        groups: dict = {}
-        for b in set(m0["buckets"]) | set(m1["buckets"]):
-            groups.setdefault(int(b) % g, []).append(b)
-        parts: List[InputPartition] = []
-        for c in sorted(groups):
-            members = sorted(groups[c], key=int)
-            if all(m0["buckets"].get(b) == m1["buckets"].get(b) for b in members):
-                continue  # every pointer unchanged => group state unchanged
-            old_e: List[dict] = []
-            new_e: List[dict] = []
-            od = nd = False
-            for b in members:
-                if b in m0["buckets"]:
-                    old_e.extend(self._with_colmaps(m0, _bucket_entries(self.root, m0, b)))
-                    od = od or b in d0
-                if b in m1["buckets"]:
-                    new_e.extend(self._with_colmaps(m1, _bucket_entries(self.root, m1, b)))
-                    nd = nd or b in d1
-            parts.append(
-                BucketDiffPartition(
-                    root=self.root,
-                    bucket=c,
-                    old_entries=old_e,
-                    new_entries=new_e,
-                    old_dirty=od,
-                    new_dirty=nd,
-                    defaults=defaults,
-                )
-            )
-        return parts
-
-    def _with_colmaps(self, meta: dict, entries: List[dict]) -> List[dict]:
-        """Inject a ``_colmap`` (stream name -> physical name | None) into
-        entries whose era's physical column names differ from the stream's
-        fixed query-start names — the driver resolves the schema log once
-        so executors stay metadata-free.  ``None`` forces NULL (the field
-        id did not exist in that era: a dropped-then-readded column's stale
-        same-named bytes must not resurrect)."""
-        log = meta.get("schema_log")
-        if not log or len(log) <= 1:
-            return entries
-        from valentine_spark.cdc.lake import _era_colmap
-
-        out = []
-        for e in entries:
-            if e.get("kind") == "tomb":
-                out.append(e)
-                continue
-            seq = e.get("seq")
-            if seq is None:
-                m = _VER_RE.search("/" + e["path"])
-                seq = int(m.group(1)) if m else 0
-            # era resolution is lake.py's rule — one implementation; None
-            # means identity (no _colmap needed)
-            cm = _era_colmap(self._fids, log, int(seq))
-            out.append(e if cm is None else {**e, "_colmap": cm})
-        return out
+        return _plan_window(self.root, self._fids, v0, v1)
 
     # -- execution (executor; no SparkSession, vectorized pyarrow/pandas) ----
 
     def read(self, partition: BucketDiffPartition) -> Iterator:
-        import pandas as pd
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+        return _read_diff(self.schema, partition)
 
-        before_cols = [
-            f.name for f in self.schema.fields if f.name.startswith("_before_")
-        ]
-        cols = [
-            f.name for f in self.schema.fields
-            if f.name != "change_op" and not f.name.startswith("_before_")
-        ]
-        nonkey = [c for c in cols if c not in _KEY_COLS]
 
-        defaults = partition.defaults or {}
-        old = _bucket_state(partition.root, partition.old_entries,
-                            partition.old_dirty, cols, nonkey, defaults)
-        new = _bucket_state(partition.root, partition.new_entries,
-                            partition.new_dirty, cols, nonkey, defaults)
-        merged = new.merge(
-            old, on=_KEY_COLS, how="outer", suffixes=("", "__old"), indicator=True
+def _with_colmaps(fids: dict, meta: dict, entries: List[dict]) -> List[dict]:
+    """Inject a ``_colmap`` (query name -> physical name | None) into
+    entries whose era's physical column names differ from the query's
+    fixed names — the driver resolves the schema log once so executors
+    stay metadata-free.  ``None`` forces NULL (the field id did not exist
+    in that era: a dropped-then-readded column's stale same-named bytes
+    must not resurrect)."""
+    log = meta.get("schema_log")
+    if not log or len(log) <= 1:
+        return entries
+    from valentine_spark.cdc.lake import _era_colmap
+
+    out = []
+    for e in entries:
+        if e.get("kind") == "tomb":
+            out.append(e)
+            continue
+        seq = e.get("seq")
+        if seq is None:
+            m = _VER_RE.search("/" + e["path"])
+            seq = int(m.group(1)) if m else 0
+        # era resolution is lake.py's rule — one implementation; None
+        # means identity (no _colmap needed)
+        cm = _era_colmap(fids, log, int(seq))
+        out.append(e if cm is None else {**e, "_colmap": cm})
+    return out
+
+
+def _plan_window(root: str, fids: dict, v0: int, v1: int) -> List[InputPartition]:
+    """Driver-side, metadata-only planning of the (v0, v1] change window —
+    shared by the streaming reader (one micro-batch) and the batch reader
+    (the whole requested window): one :class:`BucketDiffPartition` per
+    churned bucket group."""
+    if v1 <= v0:
+        return []
+    m0, m1 = _read_meta(root, v0), _read_meta(root, v1)
+    d0, d1 = m0.get("dirty", {}), m1.get("dirty", {})
+    # Buckets are paired by id mod gcd(n_buckets(v0), n_buckets(v1)).
+    # With equal layouts g == n and this is the plain per-bucket diff;
+    # across a rebucket() boundary the integer-factor invariant makes
+    # key_bucket mod g layout-INDEPENDENT, so grouping both layouts'
+    # buckets by id mod g pairs exactly the buckets that can hold the
+    # same keys — no key re-hashing, at the one-time cost of coarser
+    # (g-granular) boundary-batch partitions.
+    import math
+
+    g = math.gcd(int(m0["n_buckets"]), int(m1["n_buckets"]))
+    # defaults by QUERY name, from the end-version meta's id-keyed
+    # map: ids the window's head dropped are gone from it, so their
+    # pre-drop default cannot be fabricated into post-drop files
+    dmap = m1.get("column_defaults") or {}
+    defaults = {n: dmap[str(i)] for n, i in fids.items() if str(i) in dmap}
+    groups: dict = {}
+    for b in set(m0["buckets"]) | set(m1["buckets"]):
+        groups.setdefault(int(b) % g, []).append(b)
+    parts: List[InputPartition] = []
+    for c in sorted(groups):
+        members = sorted(groups[c], key=int)
+        if all(m0["buckets"].get(b) == m1["buckets"].get(b) for b in members):
+            continue  # every pointer unchanged => group state unchanged
+        old_e: List[dict] = []
+        new_e: List[dict] = []
+        od = nd = False
+        for b in members:
+            if b in m0["buckets"]:
+                old_e.extend(_with_colmaps(fids, m0, _bucket_entries(root, m0, b)))
+                od = od or b in d0
+            if b in m1["buckets"]:
+                new_e.extend(_with_colmaps(fids, m1, _bucket_entries(root, m1, b)))
+                nd = nd or b in d1
+        parts.append(
+            BucketDiffPartition(
+                root=root,
+                bucket=c,
+                old_entries=old_e,
+                new_entries=new_e,
+                old_dirty=od,
+                new_dirty=nd,
+                defaults=defaults,
+            )
         )
-        is_ins = merged["_merge"] == "left_only"
-        is_del = merged["_merge"] == "right_only"
-        same = pd.Series(True, index=merged.index)
-        for c in nonkey:
-            a, b = merged[c], merged[f"{c}__old"]
-            same &= (a == b) | (a.isna() & b.isna())
-        is_upd = (merged["_merge"] == "both") & ~same
-        out = merged[is_ins | is_del | is_upd].copy()
-        if len(out) == 0:
-            return iter(())
-        op = pd.Series("update", index=out.index)
-        op[is_ins[out.index]] = "insert"
-        op[is_del[out.index]] = "delete"
-        out["change_op"] = op
-        # deletes carry key cols with null payload (match changes() contract)
-        dmask = out["change_op"] == "delete"
-        for c in nonkey:
-            out.loc[dmask, c] = None
-        # before-images (includeBefore option): the FROM-side payload, null
-        # on inserts — same contract as changes(include_before=True)
-        for bc in before_cols:
-            out[bc] = out[f"{bc[len('_before_'):]}__old"]
-        out = out[["change_op"] + cols + before_cols]
-        yield pa.RecordBatch.from_pandas(
-            out, schema=to_arrow_schema(self.schema), preserve_index=False
-        )
+    return parts
+
+
+def _read_diff(schema: T.StructType, partition: BucketDiffPartition) -> Iterator:
+    """Executor-side two-version diff of one bucket group (no SparkSession;
+    vectorized pyarrow/pandas) — shared by the streaming and batch readers."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    before_cols = [f.name for f in schema.fields if f.name.startswith("_before_")]
+    cols = [
+        f.name for f in schema.fields
+        if f.name != "change_op" and not f.name.startswith("_before_")
+    ]
+    nonkey = [c for c in cols if c not in _KEY_COLS]
+
+    defaults = partition.defaults or {}
+    old = _bucket_state(partition.root, partition.old_entries,
+                        partition.old_dirty, cols, nonkey, defaults)
+    new = _bucket_state(partition.root, partition.new_entries,
+                        partition.new_dirty, cols, nonkey, defaults)
+    merged = new.merge(
+        old, on=_KEY_COLS, how="outer", suffixes=("", "__old"), indicator=True
+    )
+    is_ins = merged["_merge"] == "left_only"
+    is_del = merged["_merge"] == "right_only"
+    same = pd.Series(True, index=merged.index)
+    for c in nonkey:
+        a, b = merged[c], merged[f"{c}__old"]
+        same &= (a == b) | (a.isna() & b.isna())
+    is_upd = (merged["_merge"] == "both") & ~same
+    out = merged[is_ins | is_del | is_upd].copy()
+    if len(out) == 0:
+        return iter(())
+    op = pd.Series("update", index=out.index)
+    op[is_ins[out.index]] = "insert"
+    op[is_del[out.index]] = "delete"
+    out["change_op"] = op
+    # deletes carry key cols with null payload (match changes() contract)
+    dmask = out["change_op"] == "delete"
+    for c in nonkey:
+        out.loc[dmask, c] = None
+    # before-images (includeBefore option): the FROM-side payload, null
+    # on inserts — same contract as changes(include_before=True)
+    for bc in before_cols:
+        out[bc] = out[f"{bc[len('_before_'):]}__old"]
+    out = out[["change_op"] + cols + before_cols]
+    yield pa.RecordBatch.from_pandas(
+        out, schema=to_arrow_schema(schema), preserve_index=False
+    )
 
 
 def _bucket_state(root: str, entries: List[dict], dirty: bool,
@@ -404,10 +428,66 @@ def _bucket_state(root: str, entries: List[dict], dirty: bool,
     return u.drop(columns=["_v", "_live"]).reset_index(drop=True)
 
 
+class LakeChangesBatchReader(DataSourceReader):
+    """Batch changelog read — the Delta CDF ``spark.read.option(...)`` /
+    Iceberg incremental-read analogue over the same planning and diff
+    machinery as the stream:
+
+        spark.read.format("lake_changes")
+             .option("fromVersion", 3)      # exclusive base (required)
+             .option("toVersion", 9)        # inclusive head (default CURRENT)
+             .load(root)
+
+    Window semantics are exactly ``LakeTable.changes(from, to)``: the diff
+    of the two snapshot STATES, so interior back-and-forth churn nets out.
+    ``includeBefore`` adds ``_before_<col>`` images like the stream."""
+
+    def __init__(self, schema: T.StructType, options: dict,
+                 schema_meta: Optional[dict] = None):
+        options = {k.lower(): v for k, v in options.items()}
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("lake_changes requires .load(<lake root path>)")
+        self.schema = schema
+        if "fromversion" not in options:
+            raise ValueError(
+                "batch lake_changes requires .option('fromVersion', <exclusive "
+                "base version>); use version 0 for the full history"
+            )
+        self._v0 = int(options["fromversion"])
+        to = options.get("toversion")
+        if to is not None:
+            self._v1 = int(to)
+        elif schema_meta is not None:
+            # pin the default window head to the SAME snapshot schema()
+            # resolved — a commit racing between the two calls must not
+            # widen the window past the schema it will be served under
+            self._v1 = int(schema_meta["version"])
+        else:
+            self._v1 = _read_meta(self.root)["version"]
+        if self._v1 < self._v0:
+            raise ValueError(f"toVersion {self._v1} < fromVersion {self._v0}")
+        from valentine_spark.cdc.lake import _field_meta
+
+        # field ids resolved against the TO-version snapshot the schema came
+        # from (same stash contract as the stream reader)
+        _meta = schema_meta if schema_meta is not None else _read_meta(self.root, self._v1)
+        self._fids = _field_meta(_meta)[0]
+
+    def partitions(self) -> List[InputPartition]:
+        return _plan_window(self.root, self._fids, self._v0, self._v1)
+
+    def read(self, partition: BucketDiffPartition) -> Iterator:
+        return _read_diff(self.schema, partition)
+
+
 class LakeChangesDataSource(DataSource):
-    """``spark.readStream.format("lake_changes").load(root)`` — see module
-    docstring.  The source schema is ``change_op`` + the lake's CURRENT
-    schema at query start."""
+    """``spark.readStream.format("lake_changes").load(root)`` (streaming
+    tail) or ``spark.read.format("lake_changes").option("fromVersion", N)
+    .load(root)`` (batch window) — see module and
+    :class:`LakeChangesBatchReader` docstrings.  The source schema is
+    ``change_op`` + the lake's schema at the window head (CURRENT for the
+    stream; ``toVersion`` for a pinned batch window)."""
 
     @classmethod
     def name(cls) -> str:
@@ -417,7 +497,8 @@ class LakeChangesDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("lake_changes requires .load(<lake root path>)")
-        meta = _read_meta(root)
+        to = self.options.get("toversion")
+        meta = _read_meta(root, int(to) if to is not None else None)
         # stash for streamReader(): the reader's field-id map must be
         # resolved against THIS snapshot, not a fresh CURRENT read (a
         # rename committing in between would desynchronize ids and names)
@@ -439,6 +520,12 @@ class LakeChangesDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> LakeChangesStreamReader:
         return LakeChangesStreamReader(
+            schema, dict(self.options),
+            schema_meta=getattr(self, "_schema_meta", None),
+        )
+
+    def reader(self, schema: T.StructType) -> LakeChangesBatchReader:
+        return LakeChangesBatchReader(
             schema, dict(self.options),
             schema_meta=getattr(self, "_schema_meta", None),
         )
