@@ -2075,6 +2075,85 @@ def cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``lake`` BATCH Python Data Source (sources/lake_batch.py): replay
+    the full WAL into the lake, then read the snapshot back through
+    ``spark.read.format("lake")`` — planning one task per clean data file /
+    dirty bucket, executors pyarrow-reading with driver-resolved era maps.
+    Sharing ``_CDC_REPLAY_SQL`` as the oracle makes the driver hash-compare
+    the data-source-vs-LakeTable.read equivalence proof.  In-query assert:
+    with bounds tightened by a sorted compaction, the pushdown reader's
+    partition plan for an impossible predicate keeps ZERO file tasks —
+    manifest pruning is live, while the returned (unfiltered) result never
+    depends on it."""
+    from valentine_spark.cdc import LakeTable, replay
+    from valentine_spark.sources.lake_batch import (
+        LakeSnapshotPushdownReader,
+        register_lake,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(spark, sf_dir)
+    total = ev.count()
+    root = tempfile.mkdtemp(prefix="entry_lake_batchsrc_")
+    lake = LakeTable.create(
+        os.path.join(root, "t"), spark, n_buckets=8, stats_cols=["lang"]
+    )
+    replay(lake, stream, batch_lsns=_batch_lsns(total))
+    lake.compact(sort_cols=["lang"])
+
+    from pyspark.sql.datasource import EqualTo
+
+    probe = LakeSnapshotPushdownReader(
+        lake.schema, {"path": lake.root}, lake.metadata()
+    )
+    list(probe.pushFilters([EqualTo(("lang",), "￿-no-such-lang")]))
+    kept = [p for p in probe.partitions() if not p.dirty]
+    assert not kept, f"manifest pruning dead: {len(kept)} file tasks survived"
+
+    register_lake(spark)
+    state = spark.read.format("lake").load(lake.root)
+    return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
+def cdc_batch_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same changelog window as ``cdc_changelog``, consumed as a BATCH
+    window through ``spark.read.format("lake_changes")`` with
+    ``fromVersion`` — the Delta CDF batch-read / Iceberg incremental-read
+    analogue over the same planning + diff machinery as the stream.
+    Sharing ``_CDC_CHANGELOG_SQL`` closes the triple equivalence on the
+    driver board: ``LakeTable.changes`` == streaming source == batch
+    source."""
+    from valentine_spark.cdc import LakeTable, apply_batch, replay
+    from valentine_spark.streaming.lake_source import register_lake_changes
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(spark, sf_dir)
+    total = ev.count()
+    half = total // 2
+    root = tempfile.mkdtemp(prefix="entry_lake_chgbatch_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    replay(lake, stream.where(F.col("lsn") <= half), batch_lsns=_batch_lsns(half), max_lsn=half)
+    from_version = lake.version
+    mid = half + (total - half) // 2
+    apply_batch(lake, stream.where((F.col("lsn") > half) & (F.col("lsn") <= mid)), "tail-1")
+    apply_batch(lake, stream.where(F.col("lsn") > mid), "tail-2")
+
+    register_lake_changes(spark)
+    window = (
+        spark.read.format("lake_changes")
+        .option("fromVersion", str(from_version))
+        .load(lake.root)
+    )
+    return window.select(
+        "change_op", "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 _CDC_CHANGELOG_SQL = """
 WITH stream AS (
   SELECT row_number() OVER (ORDER BY ts, event_id) AS lsn, ts AS op_ts,
@@ -2957,6 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_stream": cdc_changelog_stream,
+        "cdc_batch_source_read": cdc_batch_source_read,
+        "cdc_batch_changes_read": cdc_batch_changes_read,
         "cdc_incremental_agg": cdc_incremental_agg,
         "cdc_incremental_minmax": cdc_incremental_minmax,
         "media_frame_features": media_frame_features,
@@ -3040,6 +3121,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog": _CDC_CHANGELOG_SQL,
         # the streaming source must deliver the identical window — same oracle
         "cdc_changelog_stream": _CDC_CHANGELOG_SQL,
+        # the batch `lake` data source must serve the identical snapshot /
+        # window — same oracles by design (see the query docstrings)
+        "cdc_batch_source_read": _CDC_REPLAY_SQL,
+        "cdc_batch_changes_read": _CDC_CHANGELOG_SQL,
         "cdc_incremental_agg": _CDC_IVM_SQL,
         "cdc_incremental_minmax": _CDC_IVM_MINMAX_SQL,
         # Spark really decodes the MJPEG frames; SQL recomputes the expected
