@@ -39,6 +39,9 @@ LANGS = ["py", "go", "rs", "ts"]
 def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
     from pyspark.sql import types as T
 
+    from valentine_spark.sources.lake_batch import register_lake
+
+    register_lake(spark)
     rng = random.Random(seed)
     lake = LakeTable.create(
         str(tmp_path / f"f{seed}"), spark, n_buckets=4, target_file_rows=64,
@@ -80,6 +83,14 @@ def test_lake_equals_model_under_random_ops(spark, tmp_path, seed):
             for r in lake.read().collect()
         }
         assert got == model, f"divergence at op {i} (seed {seed})"
+        # the batch `lake` data source must agree with the model through
+        # every random interleaving too (renames, widens, defaults, MoR
+        # dirt, rebuckets, expiry — the composition surface)
+        via_ds = {
+            tuple(r[:3]): tuple(r[c] for c in payload)
+            for r in spark.read.format("lake").load(lake.root).collect()
+        }
+        assert via_ds == model, f"data-source divergence at op {i} (seed {seed})"
 
     for i in range(30):
         op = rng.choice(
