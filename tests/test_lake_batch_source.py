@@ -179,6 +179,42 @@ def test_filter_pushdown_never_prunes_dirty_mor_buckets(spark, tmp_path):
     assert got.count() == 0
 
 
+def test_empty_partition_plans_return_empty_results(spark, tmp_path):
+    """Spark substitutes a single None partition when partitions() returns
+    an empty list — every zero-task plan must answer with zero ROWS, not a
+    worker crash: a freshly created lake, a pushdown filter that prunes
+    every clean file, and an empty changelog window (fromVersion == head)."""
+    register_lake(spark)
+    register_lake_changes(spark)
+
+    # 1. empty lake: no buckets committed yet
+    empty = LakeTable.create(str(tmp_path / "empty"), spark, n_buckets=2)
+    assert spark.read.format("lake").load(empty.root).count() == 0
+
+    # 2. all-clean compacted table + impossible predicate: pushdown prunes
+    #    every file through a REAL Spark query (not just unit partitions())
+    stream = synth_change_stream(spark, 2_000, 300, seed=251).cache()
+    lake = LakeTable.create(
+        str(tmp_path / "l"), spark, n_buckets=2, stats_cols=["lang"]
+    )
+    replay(lake, stream, batch_lsns=1_000, max_lsn=1_999)
+    lake.compact(sort_cols=["lang"])
+    assert not lake.metadata().get("dirty")
+    pruned = (
+        spark.read.format("lake").load(lake.root)
+        .where(F.col("lang") == "￿-no-such-lang")
+    )
+    assert pruned.count() == 0
+
+    # 3. empty change window: the canonical consumer poll with nothing new
+    head = lake.version
+    assert (
+        spark.read.format("lake_changes")
+        .option("fromVersion", head).option("toVersion", head)
+        .load(lake.root).count() == 0
+    )
+
+
 def test_batch_changes_window_equals_changes(spark, tmp_path):
     register_lake_changes(spark)
     stream = synth_change_stream(spark, 4_000, 600, seed=241, delete_fraction=0.2).cache()

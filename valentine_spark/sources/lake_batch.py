@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -65,7 +65,6 @@ from pyspark.sql.datasource import (
 
 from valentine_spark.streaming.lake_source import (
     _KEY_COLS,
-    _VER_RE,
     _bucket_entries,
     _bucket_state,
     _read_meta,
@@ -92,12 +91,6 @@ class LakeSnapshotPartition(InputPartition):
     defaults: dict = field(default_factory=dict)
 
 
-def _entry_seq(e: dict) -> int:
-    seq = e.get("seq")
-    if seq is not None:
-        return int(seq)
-    m = _VER_RE.search("/" + e["path"])
-    return int(m.group(1)) if m else 0
 
 
 class LakeSnapshotReader(DataSourceReader):
@@ -157,7 +150,7 @@ class LakeSnapshotReader(DataSourceReader):
         a current-name lookup could hit a stale same-named entry from a
         different field and mis-prune).  A column the era lacks, or without
         recorded bounds, never prunes — unbounded is always sound."""
-        from valentine_spark.cdc.lake import _era_names, _file_may_match
+        from valentine_spark.cdc.lake import _entry_seq, _era_names, _file_may_match
 
         era = _era_names(log, _entry_seq(entry))
         bounds = entry.get("cols")
@@ -177,10 +170,15 @@ class LakeSnapshotReader(DataSourceReader):
 
     # -- execution (executor; no SparkSession, vectorized pyarrow) --------
 
-    def read(self, partition: LakeSnapshotPartition) -> Iterator:
+    def read(self, partition: Optional[LakeSnapshotPartition]) -> Iterator:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if partition is None:
+            # Spark substitutes a single None partition when partitions()
+            # returns an empty list (empty lake, or pushdown pruned every
+            # file) — an empty plan means an empty result, not an error
+            return iter(())
         cols = [f.name for f in self.schema.fields]
         nonkey = [c for c in cols if c not in _KEY_COLS]
         state = _bucket_state(

@@ -318,12 +318,19 @@ def _plan_window(root: str, fids: dict, v0: int, v1: int) -> List[InputPartition
     return parts
 
 
-def _read_diff(schema: T.StructType, partition: BucketDiffPartition) -> Iterator:
+def _read_diff(schema: T.StructType, partition: Optional[BucketDiffPartition]) -> Iterator:
     """Executor-side two-version diff of one bucket group (no SparkSession;
     vectorized pyarrow/pandas) — shared by the streaming and batch readers."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
+
+    if partition is None:
+        # Spark's batch planner substitutes a single None partition when
+        # partitions() returns an empty list (an empty change window —
+        # fromVersion == head, or only metadata commits inside it); an
+        # empty plan means an empty changelog, not an error
+        return iter(())
 
     before_cols = [f.name for f in schema.fields if f.name.startswith("_before_")]
     cols = [
