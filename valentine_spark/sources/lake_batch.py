@@ -39,6 +39,15 @@ pyarrow-read only their entries with driver-resolved era column maps and
 initial defaults (rename/drop/widen/defaults evolution handled identically
 to ``LakeTable.read`` — the executors never touch lake metadata).
 
+When to use which (measured, BENCH/lake_ds_read.json at 190k rows):
+``format("lake")`` pays the Python-worker + Arrow hop every scan — 1.5-5x
+the native ``LakeTable.read`` JVM parquet path on this state (count 1.36 s
+vs 0.29 s; length-sum 1.06 s vs 0.70 s; selective pruned scan 0.73 s vs
+``scan()``'s 0.35 s).  Use the data source where composability is the
+point — SQL views, catalog-less joins, tooling that only speaks
+``spark.read`` — and ``LakeTable.read``/``scan`` for bulk analytics, where
+whole-stage codegen reads parquet without leaving the JVM.
+
 No reference counterpart; new construction (SURVEY.md §2.12).
 """
 
