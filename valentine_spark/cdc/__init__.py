@@ -20,6 +20,7 @@ from .follow import (
     apply_delivery,
     mirror_changes,
 )
+from .incremental_dedup import MinHashLshIndex
 from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
 from .lake import BucketLayoutChangedError, CommitConflictError, LakeTable, bucket_expr
@@ -56,6 +57,7 @@ __all__ = [
     "aggregate_delta",
     "init_aggregate",
     "maintain_aggregate",
+    "MinHashLshIndex",
     "synth_base_table",
     "synth_change_stream",
     "KEY_COLS",

@@ -1,0 +1,277 @@
+"""Incremental MinHash-LSH near-duplicate maintenance over the CDC stream.
+
+A 100 TB training-data pipeline cannot re-LSH the corpus on every ingest
+batch: ``operators/dedup.minhash_lsh_pairs`` is one full shingle pass over
+EVERY document (kilobytes of text per row exploded into shingles, hashed,
+aggregated, band-joined).  This module maintains the same pair set
+incrementally: per CDC delivery it re-signs only the CHANGED documents and
+derives exactly which candidate pairs appeared and disappeared.
+
+Design — the index is itself a :class:`~valentine_spark.cdc.lake.LakeTable`
+(key columns + one string column per LSH band), so index maintenance
+inherits the whole lake contract for free:
+
+* **exactly-once**: ``update()`` is a MERGE keyed by ``batch_id`` — a
+  crash-replayed delivery is a no-op on the index;
+* **time travel**: the index has versions, so pair extraction is a PURE
+  function of two index versions (``pair_delta(v0, v1)``), replayable
+  after any crash with identical output — the same determinism contract
+  as ``LakeTable.changes``;
+* **resumability**: a follower checkpoint on the SOURCE plus the index's
+  applied-batch manifest fully describe progress; no third state store.
+
+Delta semantics (exact, not approximate): the LSH candidate-pair set over
+a corpus state is ``{(a, b) : a < b, a and b share >= 1 band signature}``.
+Between index versions ``v0 -> v1`` only pairs touching a CHANGED key
+(insert/update/delete in the index changelog) can appear or disappear, so
+
+    before = pairs(changed keys' OLD bands  x  index@v0)
+    after  = pairs(changed keys' NEW bands  x  index@v1)
+    added, removed = after - before, before - after
+
+Both band joins broadcast the changed side (a delivery is small; the
+index side is scanned column-pruned to keys + bands).  Folding every
+delta from version 0 reproduces the batch recompute on the final state
+bit-for-bit (property-tested in ``tests/test_incremental_dedup.py``).
+
+Scale shape per delivery: one shingle pass over the CHANGED docs only
+(the O(corpus) stage is gone), one index MERGE (file-grain pruned like
+any lake merge), and for the delta two column-pruned index snapshot scans
+of ~(keys + bands) width — tens of bytes per row vs kilobytes of text, so
+the floor is a narrow scan, not a recompute.  The changed side is
+broadcast; there is no all-pairs stage.  (A band-bucketed secondary index
+would cut the two narrow scans to O(changed x bucket); documented
+non-goal here — the primary index's buckets are key-hash, which is what
+the MERGE needs.)
+
+No reference counterpart (the reference is a one-shot batch matcher);
+new construction for the task brief's dedup family at CDC scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import _MERSENNE_31
+from .generator import KEY_COLS
+from .lake import LakeTable
+
+__all__ = ["MinHashLshIndex", "PAIR_COLS"]
+
+# canonical pair column order: the lexicographically smaller key triple is
+# side "a" (matches ORDER BY (repo, path, commit) tuple comparison in SQL)
+PAIR_COLS = [f"{c}_a" for c in KEY_COLS] + [f"{c}_b" for c in KEY_COLS]
+
+
+def _sign(df: DataFrame, text_col: str, n: int, k: int, bands: int) -> DataFrame:
+    """KEY_COLS + band_0..band_{bands-1} for every input row — the exact
+    signature pipeline of ``operators/dedup.minhash_signatures`` +
+    ``minhash_lsh_pairs`` banding (same shingling incl. the short-text
+    single-shingle rule, same one-md5 Kirsch-Mitzenmacher double hashing,
+    same ``concat_ws`` band encoding) restated over the lake's composite
+    key, so an index fold and the batch operator produce identical pairs
+    and share one oracle.  Every doc emits >= 1 shingle row (short/NULL
+    text collapses to one), so the aggregate covers every input key."""
+    rows_per_band = k // bands
+    keyed = df.select(*KEY_COLS, F.col(text_col).alias("_t"))
+    sh = keyed.select(
+        *KEY_COLS,
+        F.expr(
+            f"explode(transform(sequence(1, greatest(length(_t) - {n} + 1, 1)), "
+            f"i -> substring(_t, i, {n})))"
+        ).alias("shingle"),
+    )
+    hashed = sh.select(*KEY_COLS, F.md5("shingle").alias("_d")).select(
+        *KEY_COLS,
+        F.conv(F.substring("_d", 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring("_d", 9, 8), 16, 10).cast("long").alias("_h2"),
+    )
+    mins = [
+        F.min(
+            F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(_MERSENNE_31))
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+    agg = hashed.groupBy(*KEY_COLS).agg(*mins)
+    out_cols = [
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return agg.select(*KEY_COLS, *out_cols)
+
+
+def _stack_bands(df: DataFrame, bands: int, prefix: str) -> DataFrame:
+    """(key cols as <prefix>repo.., band_id, band_sig) — one row per band."""
+    stacked = df.select(
+        *KEY_COLS,
+        F.expr(
+            "explode(array("
+            + ", ".join(
+                f"struct({b} as band_id, band_{b} as band_sig)" for b in range(bands)
+            )
+            + "))"
+        ).alias("_b"),
+    ).select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in KEY_COLS],
+        F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_sig").alias("band_sig"),
+    )
+    return stacked
+
+
+def _canonical_pairs(joined: DataFrame) -> DataFrame:
+    """Order each (x, y) pair so the lexicographically smaller key triple is
+    side a, drop self-pairs, distinct."""
+    x = F.struct(*[F.col(f"x_{c}") for c in KEY_COLS])
+    y = F.struct(*[F.col(f"y_{c}") for c in KEY_COLS])
+    swap = x > y
+    sel = []
+    for c in KEY_COLS:
+        sel.append(F.when(swap, F.col(f"y_{c}")).otherwise(F.col(f"x_{c}")).alias(f"{c}_a"))
+    for c in KEY_COLS:
+        sel.append(F.when(swap, F.col(f"x_{c}")).otherwise(F.col(f"y_{c}")).alias(f"{c}_b"))
+    return joined.where(x != y).select(*sel).distinct()
+
+
+class MinHashLshIndex:
+    """A banded minhash index persisted as a ``LakeTable`` — see module
+    docstring.  ``n``/``k``/``bands`` are pinned in the table's properties
+    at ``create`` and re-validated on ``open`` (an index probed with
+    different parameters than it was built with would silently return
+    garbage pairs)."""
+
+    def __init__(self, lake: LakeTable):
+        props = lake.properties()
+        try:
+            self.n = int(props["minhash.shingle_n"])
+            self.k = int(props["minhash.k"])
+            self.bands = int(props["minhash.bands"])
+        except KeyError as e:
+            raise ValueError(
+                f"lake table at {lake.root!r} is not a MinHashLshIndex "
+                f"(missing property {e.args[0]!r}); build one with "
+                "MinHashLshIndex.create"
+            ) from None
+        self.lake = lake
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        spark: SparkSession,
+        n: int = 8,
+        k: int = 8,
+        bands: int = 4,
+        n_buckets: int = 64,
+        **create_kw,
+    ) -> "MinHashLshIndex":
+        if bands <= 0 or k % bands != 0:
+            raise ValueError(
+                f"k ({k}) must be a positive multiple of bands ({bands})"
+            )
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in KEY_COLS]
+            + [T.StructField(f"band_{b}", T.StringType()) for b in range(bands)]
+        )
+        lake = LakeTable.create(
+            root, spark, schema=schema, n_buckets=n_buckets, **create_kw
+        )
+        lake.alter_properties(
+            set={
+                "minhash.shingle_n": str(n),
+                "minhash.k": str(k),
+                "minhash.bands": str(bands),
+            },
+            note="minhash-lsh index parameters (pinned at create)",
+        )
+        return cls(lake)
+
+    @classmethod
+    def open(cls, root: str, spark: SparkSession) -> "MinHashLshIndex":
+        return cls(LakeTable(root, spark))
+
+    @property
+    def version(self) -> int:
+        return self.lake.version
+
+    # -- maintenance -------------------------------------------------------
+
+    def update(
+        self,
+        changes_df: DataFrame,
+        text_col: str = "content",
+        batch_id: Optional[str] = None,
+    ) -> dict:
+        """Apply one CDC window to the index: re-sign the changed documents
+        (insert/update rows of ``changes_df``, shaped like a ``Delivery.df``
+        or a ``lake.changes`` window: ``change_op`` + key cols + text) and
+        MERGE; delete rows drop their index entries.  Exactly-once under
+        ``batch_id`` — pass ``delivery.token`` when feeding from a follower.
+
+        Cost: one shingle pass over the CHANGED docs only, one lake MERGE."""
+        ups = changes_df.where(F.col("change_op") != "delete")
+        dels = changes_df.where(F.col("change_op") == "delete").select(*KEY_COLS)
+        sigs = _sign(ups, text_col, self.n, self.k, self.bands)
+        return self.lake.merge(
+            sigs, dels, batch_id=batch_id or f"minhash-update-{self.lake.version + 1}"
+        )
+
+    # -- pair extraction ---------------------------------------------------
+
+    def pairs(self, version: Optional[int] = None) -> DataFrame:
+        """Full candidate-pair set at one index version (the batch view —
+        identical to ``operators/dedup.minhash_lsh_pairs`` on the same
+        corpus state).  One self-equi-join on (band_id, band_sig)."""
+        snap = self.lake.read(version=version)
+        stacked_x = _stack_bands(snap, self.bands, "x_")
+        stacked_y = _stack_bands(snap, self.bands, "y_")
+        return _canonical_pairs(stacked_x.join(stacked_y, ["band_id", "band_sig"]))
+
+    def pair_delta(self, from_version: int, to_version: Optional[int] = None) -> DataFrame:
+        """Exactly which candidate pairs appeared (``pair_op = 'added'``)
+        and disappeared (``'removed'``) between two index versions — a pure
+        function of the two versions, so a crash-replayed consumer
+        recomputes the identical delta (same contract as ``changes()``).
+
+        Plan: index changelog (before-images on) for the changed keys, then
+        two broadcast band joins — changed OLD bands x index@from, changed
+        NEW bands x index@to — and two set differences.  Pairs between two
+        unchanged documents cannot change and are never touched."""
+        to_version = self.lake.version if to_version is None else to_version
+        ch = self.lake.changes(from_version, to_version, include_before=True)
+        old_bands = ch.where(F.col("change_op") != "insert").select(
+            *KEY_COLS,
+            *[
+                F.col(f"_before_band_{b}").alias(f"band_{b}")
+                for b in range(self.bands)
+            ],
+        )
+        new_bands = ch.where(F.col("change_op") != "delete").select(
+            *KEY_COLS, *[f"band_{b}" for b in range(self.bands)]
+        )
+
+        def _side(changed: DataFrame, version: int) -> DataFrame:
+            snap = self.lake.read(version=version)
+            probe = _stack_bands(changed, self.bands, "x_")
+            base = _stack_bands(snap, self.bands, "y_")
+            # the changed side is delivery-sized; broadcast it so the index
+            # snapshot streams through a map-side hash join (no shuffle of
+            # the corpus-sized side)
+            return _canonical_pairs(base.join(F.broadcast(probe), ["band_id", "band_sig"]))
+
+        before = _side(old_bands, from_version)
+        after = _side(new_bands, to_version)
+        added = after.exceptAll(before).select(F.lit("added").alias("pair_op"), *PAIR_COLS)
+        removed = before.exceptAll(after).select(
+            F.lit("removed").alias("pair_op"), *PAIR_COLS
+        )
+        return added.unionByName(removed)

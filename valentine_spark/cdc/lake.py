@@ -2109,6 +2109,8 @@ class LakeTable:
         target_file_rows: Optional[int] = None,
         write_mode: Optional[str] = None,
         note: Optional[str] = None,
+        set: Optional[Dict[str, str]] = None,
+        unset: Optional[List[str]] = None,
     ) -> dict:
         """Change table write properties after create (the ALTER TABLE SET
         TBLPROPERTIES analogue) as one metadata commit.  Only the passed
@@ -2121,11 +2123,24 @@ class LakeTable:
         the new lists and makes pruning effective retroactively).
         ``target_file_rows`` / ``write_mode``: future commits only.
         Commutes with data commits; a lost install race recomputes against
-        the winner's snapshot."""
+        the winner's snapshot.
+
+        ``set`` / ``unset``: free-form USER properties (string -> string,
+        read back via :meth:`properties`) — the engine never interprets
+        them; they version with the metadata like Iceberg TBLPROPERTIES and
+        survive restore at their HEAD values (properties are table state,
+        not snapshot state).  Layered modules pin their configuration here
+        (e.g. ``cdc/incremental_dedup`` records its minhash parameters so
+        an index can refuse mismatched probes)."""
         if write_mode is not None and write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         if target_file_rows is not None and int(target_file_rows) <= 0:
             raise ValueError("target_file_rows must be positive")
+        for k, v in (set or {}).items():
+            if not isinstance(k, str) or not isinstance(v, str):
+                raise TypeError(
+                    f"user properties are string->string, got {k!r}: {v!r}"
+                )
 
         def build(base: dict):
             schema = T.StructType.fromJson(json.loads(base["schema"]))
@@ -2148,6 +2163,14 @@ class LakeTable:
                 changed["target_file_rows"] = int(target_file_rows)
             if write_mode is not None and write_mode != base.get("write_mode"):
                 changed["write_mode"] = write_mode
+            if set or unset:
+                props = dict(base.get("properties") or {})
+                for k, v in (set or {}).items():
+                    props[k] = v
+                for k in unset or []:
+                    props.pop(k, None)
+                if props != (base.get("properties") or {}):
+                    changed["properties"] = props
             if not changed:
                 raise _SkipCommit(None)
             new_version = base["version"] + 1
@@ -2165,6 +2188,11 @@ class LakeTable:
             return new_meta, segments, entry
 
         return self._commit_loop(self.metadata(), build)
+
+    def properties(self, meta: Optional[dict] = None) -> Dict[str, str]:
+        """Free-form user properties (``alter_properties(set=..., unset=...)``)
+        at the current (or given) snapshot."""
+        return dict((meta or self.metadata()).get("properties") or {})
 
     def column_defaults(self, meta: Optional[dict] = None) -> Dict[str, object]:
         """Current-name-keyed column defaults (see ``evolve_schema``):
