@@ -814,6 +814,65 @@ FROM hashes a JOIN hashes b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
 )
 
 
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH maintenance (cdc/incremental_dedup.py) folded over
+    three CDC windows equals the one-shot batch LSH on the final corpus —
+    the SAME DuckDB SQL oracles both.  The windows exercise every delta
+    shape, not just inserts: window 0 lands a third of the docs as DRAFT
+    text plus two temp docs; window 1 UPDATES the drafts to their final
+    text, DELETES the temps, and inserts the second third; window 2 inserts
+    the rest.  The returned pair set is the FOLD of the three pair_delta
+    outputs (+1 added / -1 removed, keep >0), so the incremental path —
+    index changelog, before/after band joins, retraction — is what the
+    hash check verifies, while the index itself inherits the lake's
+    exactly-once MERGE."""
+    from valentine_spark.cdc import KEY_COLS, MinHashLshIndex
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("doc").alias("path"),
+        F.lit("v1").alias("commit"),
+        F.col("text"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_lake_ilsh_")
+    idx = MinHashLshIndex.create(
+        os.path.join(root, "idx"), spark, n=8, k=4, bands=4, n_buckets=8
+    )
+    third = (F.col("repo").cast("bigint") % 3)
+    up = lambda df: df.select(F.lit("update").alias("change_op"), "repo", "path",
+                              "commit", F.col("text").alias("content"))
+    temps = spark.createDataFrame(
+        [("tmp_a", "doc", "v1", "update", "temporary scratch document a"),
+         ("tmp_b", "doc", "v1", "update", "temporary scratch document b")],
+        "repo string, path string, commit string, change_op string, content string",
+    ).select("change_op", "repo", "path", "commit", "content")
+    w0 = up(docs.where(third == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" DRAFT")))).unionByName(temps)
+    w1 = up(docs.where(third <= 1)).unionByName(
+        temps.select(F.lit("delete").alias("change_op"), "repo", "path",
+                     "commit", F.lit(None).cast("string").alias("content"))
+    )
+    w2 = up(docs.where(third == 2))
+    deltas = []
+    for i, w in enumerate((w0, w1, w2)):
+        v0 = idx.version
+        idx.update(w, batch_id=f"w{i}")
+        deltas.append(idx.pair_delta(v0))
+    folded = (
+        deltas[0].unionByName(deltas[1]).unionByName(deltas[2])
+        .withColumn("w", F.when(F.col("pair_op") == "added", 1).otherwise(-1))
+        .groupBy(*[f"{c}_{s}" for s in ("a", "b") for c in KEY_COLS])
+        .agg(F.sum("w").alias("net"))
+        .where(F.col("net") > 0)
+    )
+    # re-canonicalize numerically (the index orders pairs by string key
+    # tuple; the oracle orders bigint doc ids)
+    ia, ib = F.col("repo_a").cast("bigint"), F.col("repo_b").cast("bigint")
+    return folded.select(
+        F.least(ia, ib).alias("id_a"), F.greatest(ia, ib).alias("id_b")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentine_spark.operators import simhash_fingerprints
 
@@ -3000,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "dedup_duplicate_groups": dedup_duplicate_groups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_incremental": dedup_minhash_incremental,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_token_counts": text_token_counts,
@@ -3073,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_prefix": _NGRAM_SQL,
         "dedup_duplicate_groups": _GROUPS_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_minhash_incremental": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "text_token_counts": _TOKENS_SQL,

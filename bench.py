@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "quantile_histogram_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "text_quality_scores",
     "text_language_id",
