@@ -192,6 +192,46 @@ def test_fuzz_schedule_matches_recompute(spark, tmp_path):
     assert folded == _batch_pairs(spark, state)
 
 
+def test_follower_feeds_index_exactly_once(spark, tmp_path):
+    """End-to-end wiring: source lake -> ChangelogFollower -> index.update
+    with the delivery token.  A crash between index update and follower
+    commit re-polls the SAME delivery; the token makes the re-update a
+    no-op and pair_delta recomputes verbatim."""
+    from valentine_spark.cdc import ChangelogFollower, synth_change_stream
+    from valentine_spark.cdc.apply import replay
+
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=4)
+    stream = synth_change_stream(spark, 600, 80)
+    replay(src, stream.where("lsn < 300"), batch_lsns=300)
+    idx = MinHashLshIndex.create(
+        str(tmp_path / "idx"), spark, n=N, k=K, bands=BANDS, n_buckets=4
+    )
+    fol = ChangelogFollower(src, str(tmp_path / "ck"), consumer_id="lsh")
+    d = fol.poll()
+    v0 = idx.version
+    idx.update(d.df, batch_id=d.token)
+    first = sorted(map(tuple, idx.pair_delta(v0).collect()))
+    # crash before commit: the re-poll reproduces the delivery; the token
+    # short-circuits the merge and the delta replays identically
+    d2 = fol.poll()
+    assert d2.token == d.token
+    res = idx.update(d2.df, batch_id=d2.token)
+    assert res.get("skipped") is True
+    assert sorted(map(tuple, idx.pair_delta(v0).collect())) == first
+    fol.commit(d2)
+    # second wave drains through the same loop and fold == full view
+    replay(src, stream.where("lsn >= 300"), batch_lsns=300, batch_id_prefix="w2")
+    net = idx.pair_delta(0).where("pair_op = 'added'").count() - \
+        idx.pair_delta(0).where("pair_op = 'removed'").count()
+    while (d := fol.poll()) is not None:
+        v0 = idx.version
+        idx.update(d.df, batch_id=d.token)
+        delta = idx.pair_delta(v0).collect()
+        net += sum(1 if r["pair_op"] == "added" else -1 for r in delta)
+        fol.commit(d)
+    assert net == idx.pairs().count()
+
+
 def test_user_properties_roundtrip(spark, tmp_path):
     t = LakeTable.create(str(tmp_path / "p"), spark, n_buckets=2)
     t.alter_properties(set={"owner": "ingest", "tier": "gold"})
