@@ -245,7 +245,13 @@ class MinHashLshIndex:
         Plan: index changelog (before-images on) for the changed keys, then
         two broadcast band joins — changed OLD bands x index@from, changed
         NEW bands x index@to — and two set differences.  Pairs between two
-        unchanged documents cannot change and are never touched."""
+        unchanged documents cannot change and are never touched.
+
+        Retention interplay: both endpoint snapshots must still be
+        retained on the INDEX table — size ``expire_snapshots(keep_last=)``
+        to the maximum consumer lag, exactly as for a lagging
+        ``ChangelogFollower`` on any lake table (an expired endpoint raises
+        FileNotFoundError; recover by re-bootstrapping from ``pairs()``)."""
         to_version = self.lake.version if to_version is None else to_version
         ch = self.lake.changes(from_version, to_version, include_before=True)
         old_bands = ch.where(F.col("change_op") != "insert").select(
