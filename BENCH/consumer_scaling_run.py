@@ -105,7 +105,7 @@ import shutil
 import valentine_spark.cdc.lake as lake_mod
 from valentine_spark.cdc.follow import ChangelogFollower, apply_delivery
 mirror_walls, mirror_breakdowns, mirror_ok = [], [], True
-mirror_q_walls = []
+mirror_q_walls = {{}}
 for trial in range(2):
     droot = tempfile.mkdtemp(prefix=f"cons_dst_{{cpus}}_")
     dst = LakeTable.create(os.path.join(droot, "dst"), spark, n_buckets=64)
@@ -123,25 +123,31 @@ for trial in range(2):
                                "commit_io": cio, "driver_serial": w - par}})
     mirror_ok = mirror_ok and dst.state_checksum() == src.state_checksum()
     shutil.rmtree(droot, ignore_errors=True)
-    # amortization arm: SAME pipeline, quarter-size window.  Pre-seed the
-    # mirror to v_q3 untimed (the lagging-consumer position), then time the
-    # q3->head catch-up poll alone.  Per-delivery fixed cost (write-job
-    # setup, manifest install, poll metadata) is identical to the full
-    # window's, so eff(full) > eff(quarter) is the direct measurement of
-    # the "fixed adder amortizes with window size" claim in BASELINE 2e-r4.
-    droot = tempfile.mkdtemp(prefix=f"cons_dstq_{{cpus}}_")
-    dst = LakeTable.create(os.path.join(droot, "dst"), spark, n_buckets=64)
-    fol = ChangelogFollower(src, os.path.join(droot, "ckpt"))
-    seed = fol.poll(to_version=v_q3)
-    apply_delivery(dst, seed)
-    fol.commit(seed)
-    t0 = time.time()
-    d = fol.poll()
-    apply_delivery(dst, d)
-    fol.commit(d)
-    mirror_q_walls.append(time.time() - t0)
-    mirror_ok = mirror_ok and dst.state_checksum() == src.state_checksum()
-    shutil.rmtree(droot, ignore_errors=True)
+    # catch-up arm: the steady-state consumer shape — a mirror already
+    # populated to v_q3 (the lagging position, seeded untimed) pays the
+    # q3->head catch-up poll into a POPULATED table, where the merge's
+    # write amplification depends on the mirror's write mode: COW rewrites
+    # every file a scattered key touches; MoR appends O(delivery).  Both
+    # modes timed per trial; state checksums must match the source either
+    # way (read-time resolution).  NOTE the full-window mirror above is a
+    # BOOTSTRAP into an empty table (pure insert, no rewrite) — the 64 M
+    # r4c run measured catch-up at ~3x bootstrap cost per event under COW,
+    # which is this arm's reason to exist, not a bug.
+    for qmode in ("cow", "mor"):
+        droot = tempfile.mkdtemp(prefix=f"cons_dstq_{{qmode}}_{{cpus}}_")
+        dst = LakeTable.create(os.path.join(droot, "dst"), spark,
+                               n_buckets=64, write_mode=qmode)
+        fol = ChangelogFollower(src, os.path.join(droot, "ckpt"))
+        seed = fol.poll(to_version=v_q3)
+        apply_delivery(dst, seed)
+        fol.commit(seed)
+        t0 = time.time()
+        d = fol.poll()
+        apply_delivery(dst, d)
+        fol.commit(d)
+        mirror_q_walls.setdefault(qmode, []).append(time.time() - t0)
+        mirror_ok = mirror_ok and dst.state_checksum() == src.state_checksum()
+        shutil.rmtree(droot, ignore_errors=True)
 best = min(range(2), key=lambda i: mirror_walls[i])
 
 print("RESULT " + json.dumps({{
@@ -150,8 +156,8 @@ print("RESULT " + json.dumps({{
     "scan_rows": scan_sig[0], "scan_checksum": str(scan_sig[1]),
     "mirror_wall": mirror_walls[best], "mirror_walls": mirror_walls,
     "mirror_breakdown": mirror_breakdowns[best],
-    "mirror_quarter_wall": min(mirror_q_walls),
-    "mirror_quarter_walls": mirror_q_walls,
+    "catchup_wall": {{m: min(w) for m, w in mirror_q_walls.items()}},
+    "catchup_walls": mirror_q_walls,
     "mirror_state_match": mirror_ok,
 }}))
 """
@@ -214,12 +220,14 @@ def main() -> None:
             best["scan_wall"] = min(a["scan_wall"], b["scan_wall"])
             best["scan_walls"] = a["scan_walls"] + b["scan_walls"]
             best["mirror_walls"] = a["mirror_walls"] + b["mirror_walls"]
-            best["mirror_quarter_wall"] = min(
-                a["mirror_quarter_wall"], b["mirror_quarter_wall"]
-            )
-            best["mirror_quarter_walls"] = (
-                a["mirror_quarter_walls"] + b["mirror_quarter_walls"]
-            )
+            best["catchup_wall"] = {
+                m: min(a["catchup_wall"][m], b["catchup_wall"][m])
+                for m in a["catchup_wall"]
+            }
+            best["catchup_walls"] = {
+                m: a["catchup_walls"][m] + b["catchup_walls"][m]
+                for m in a["catchup_walls"]
+            }
             best["mirror_state_match"] = a["mirror_state_match"] and b["mirror_state_match"]
             return best
 
@@ -239,13 +247,15 @@ def main() -> None:
         f"local{hi}": r_hi,
         "scan_efficiency": round(r_lo["scan_wall"] / (factor * r_hi["scan_wall"]), 3),
         "mirror_efficiency": round(r_lo["mirror_wall"] / (factor * r_hi["mirror_wall"]), 3),
-        # quarter-size window through the identical pipeline: if the
-        # full-window efficiency exceeds this, the per-delivery fixed cost
-        # (not the distributed work) is what compresses the ratio, and it
-        # keeps amortizing as the window grows toward production size
-        "mirror_quarter_efficiency": round(
-            r_lo["mirror_quarter_wall"] / (factor * r_hi["mirror_quarter_wall"]), 3
-        ),
+        # steady-state catch-up (populated mirror, quarter window) per
+        # write mode: the COW/MoR wall ratio is the consumer-side write
+        # amplification; each mode's own lo/hi ratio is its scaling
+        "catchup_efficiency": {
+            m: round(
+                r_lo["catchup_wall"][m] / (factor * r_hi["catchup_wall"][m]), 3
+            )
+            for m in r_lo["catchup_wall"]
+        },
         # Amdahl attribution: efficiency of the PARALLEL portion alone
         # (mirror wall minus the measured per-commit driver-serial component)
         "mirror_parallel_efficiency": round(
