@@ -42,7 +42,10 @@ def synth_docs(spark, n_docs: int, seed: int = 7):
     """Code-like docs in near-dup families, generated distributed (no
     driver-side corpus): family base = md5 chain over the family id, doc =
     base + small per-doc suffix.  ~600 chars per doc."""
-    fam = (F.col("id") % 199).cast("string")
+    # ~5 docs per near-dup family: pair cardinality stays O(n_docs), not
+    # O(n_docs^2 / families) — the corpus models scattered duplicates, not
+    # a few giant clusters
+    fam = (F.col("id") % max(1, n_docs // 5)).cast("string")
     chunk = [F.md5(F.concat(F.lit(f"fam{seed}-"), fam, F.lit(f"-{j}"))) for j in range(18)]
     base = F.concat_ws(" ", *chunk)
     suffix = F.when(F.col("id") % 7 == 0, F.md5(F.col("id").cast("string"))).otherwise(F.lit(""))

@@ -217,6 +217,12 @@ class MinHashLshIndex:
         MERGE; delete rows drop their index entries.  Exactly-once under
         ``batch_id`` — pass ``delivery.token`` when feeding from a follower.
 
+        Contract: at most one row per key (any ``Delivery.df`` or
+        ``changes()`` window satisfies this by construction; raw streams
+        must run LWW dedup first, same as ``merge``) — duplicate key rows
+        would aggregate into one signature over the UNION of their
+        shingles, which is no document's signature.
+
         Cost: one shingle pass over the CHANGED docs only, one lake MERGE."""
         ups = changes_df.where(F.col("change_op") != "delete")
         dels = changes_df.where(F.col("change_op") == "delete").select(*KEY_COLS)
