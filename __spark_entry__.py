@@ -1031,6 +1031,24 @@ GROUP BY doc_id
 """
 
 
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (200-char windows, 40 overlap) —
+    the pre-tokenization splitter; zero-shuffle posexplode of an in-row
+    window sequence; see operators/text.py:chunk_documents."""
+    from valentine_spark.operators import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=200, overlap_chars=40
+    )
+
+
+_CHUNKING_SQL = """
+SELECT doc_id, i::INT AS chunk_id, substr(text, i * 160 + 1, 200) AS chunk_text
+FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) d,
+     UNNEST(generate_series(0, (greatest(length(text) - 200, 0) + 159) // 160)) AS t(i)
+"""
+
+
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates (duplicate-word fraction, top word /
     bigram share, longest same-word run) — zero-shuffle higher-order array
@@ -3067,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
         "text_repetition_stats": text_repetition_stats,
+        "text_chunking": text_chunking,
         "text_pii_redaction": text_pii_redaction,
         "decontaminate_documents": decontaminate_documents,
         "corpus_curation_funnel": corpus_curation_funnel,
@@ -3141,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _langid_oracle_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "text_repetition_stats": _REPETITION_SQL,
+        "text_chunking": _CHUNKING_SQL,
         "text_pii_redaction": _pii_oracle_sql(),
         "decontaminate_documents": _DECONTAM_SQL,
         "corpus_curation_funnel": _funnel_oracle_sql(),

@@ -19,6 +19,7 @@ from .dedup import (
 from .pq import ivfpq_topk, pq_encode, pq_topk, pq_train
 from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
 from .text import (
+    chunk_documents,
     curation_funnel,
     decontaminate,
     doc_fingerprints,
@@ -59,6 +60,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "token_counts",
     "repetition_stats",
+    "chunk_documents",
     "curation_funnel",
     "pii_redact",
     "decontaminate",

@@ -131,6 +131,47 @@ def doc_fingerprints(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 2048,
+    overlap_chars: int = 256,
+) -> DataFrame:
+    """Fixed-window chunking with overlap — the pre-tokenization splitter a
+    pretraining pipeline runs before packing sequences: chunk ``i`` covers
+    characters ``[i*stride, i*stride + chunk_chars)`` with ``stride =
+    chunk_chars - overlap_chars``; the final window carries the remainder
+    (possibly shorter, never empty), adjacent windows share
+    ``overlap_chars`` so no span is ever split without context.  Empty and
+    NULL documents emit zero chunks.
+
+    Plan shape: one in-row ``sequence`` + ``transform`` + ``posexplode`` —
+    a pure whole-stage-codegen map with ZERO shuffles and no UDFs; output
+    rows ~= corpus_chars / stride regardless of document count, so the
+    operator is a map job at any corpus size.  Deterministic window
+    arithmetic only (no word-boundary snapping) so an ANSI-SQL oracle
+    replays it bit-for-bit."""
+    stride = chunk_chars - overlap_chars
+    if stride <= 0:
+        raise ValueError(
+            f"overlap_chars ({overlap_chars}) must be smaller than "
+            f"chunk_chars ({chunk_chars})"
+        )
+    t = text_col
+    return (
+        df.where(F.length(F.col(t)) > 0)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"posexplode(transform("
+                f"sequence(0, (greatest(length({t}) - {chunk_chars}, 0) + {stride} - 1) div {stride}), "
+                f"i -> substring({t}, i * {stride} + 1, {chunk_chars})))"
+            ).alias("chunk_id", "chunk_text"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
