@@ -1049,6 +1049,76 @@ FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) d,
 """
 
 
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-split sequence packing (seq_len=512, doc_id
+    order): one distributed prefix sum (two-phase, no single-partition
+    window) + in-row slice arithmetic; see operators/text.py:pack_sequences."""
+    from valentine_spark.operators import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+# the oracle replays the prefix sum with a window function and the
+# boundary-spanning explode with generate_series over the pack range
+_PACKING_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS s
+  FROM d WHERE n > 0
+)
+SELECT p::BIGINT AS pack_id, doc_id,
+       greatest(p * 512 - s, 0)::BIGINT AS doc_offset,
+       greatest(s - p * 512, 0)::BIGINT AS pack_offset,
+       (least((p + 1) * 512, s + n) - greatest(p * 512, s))::BIGINT AS n_tokens
+FROM c, UNNEST(generate_series(s // 512, (s + n - 1) // 512)) AS t(p)
+"""
+
+
+# shared mixture weights for the resampling query/oracle pair: up-weight two
+# "curated" sources past one epoch, down-sample two "bulk" ones, keep one
+# as-is, drop the other fifteen (absent = weight 0)
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 0.6, "src4": 1.7}
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test hash split over documents —
+    md5-keyed so assignment is stable under corpus growth and engine
+    changes; zero-shuffle; see operators/sampling.py:corpus_split."""
+    from valentine_spark.operators import corpus_split
+
+    return corpus_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+def _split_oracle_sql() -> str:
+    from valentine_spark.operators.sampling import corpus_split_sql_case
+
+    return f"SELECT doc_id, {corpus_split_sql_case()} AS split FROM documents"
+
+
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted deterministic replication (training-mix
+    construction): per-source copy count floor(w) + [hash-u < frac(w)],
+    in-row sequence explode, no RNG state; see
+    operators/sampling.py:mixture_resample."""
+    from valentine_spark.operators import mixture_resample
+
+    return mixture_resample(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS).select(
+        "doc_id", "source", "copy_id"
+    )
+
+
+def _mixture_oracle_sql() -> str:
+    from valentine_spark.operators.sampling import mixture_resample_sql
+
+    return mixture_resample_sql(_MIX_WEIGHTS, select="doc_id, source")
+
+
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates (duplicate-word fraction, top word /
     bigram share, longest same-word run) — zero-shuffle higher-order array
@@ -3086,6 +3156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": text_fingerprints,
         "text_repetition_stats": text_repetition_stats,
         "text_chunking": text_chunking,
+        "text_sequence_packing": text_sequence_packing,
+        "corpus_split_assign": corpus_split_assign,
+        "corpus_mixture_resample": corpus_mixture_resample,
         "text_pii_redaction": text_pii_redaction,
         "decontaminate_documents": decontaminate_documents,
         "corpus_curation_funnel": corpus_curation_funnel,
@@ -3161,6 +3234,9 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": _FINGERPRINT_SQL,
         "text_repetition_stats": _REPETITION_SQL,
         "text_chunking": _CHUNKING_SQL,
+        "text_sequence_packing": _PACKING_SQL,
+        "corpus_split_assign": _split_oracle_sql(),
+        "corpus_mixture_resample": _mixture_oracle_sql(),
         "text_pii_redaction": _pii_oracle_sql(),
         "decontaminate_documents": _DECONTAM_SQL,
         "corpus_curation_funnel": _funnel_oracle_sql(),

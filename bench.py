@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "text_language_id",
     "text_fingerprints",
     "text_repetition_stats",
+    "text_sequence_packing",
     "text_pii_redaction",
     "decontaminate_documents",
     "media_frame_features",

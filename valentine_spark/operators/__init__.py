@@ -17,6 +17,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .pq import ivfpq_topk, pq_encode, pq_topk, pq_train
+from .sampling import corpus_split, hash_uniform, mixture_resample
 from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
 from .text import (
     chunk_documents,
@@ -24,6 +25,7 @@ from .text import (
     decontaminate,
     doc_fingerprints,
     language_id,
+    pack_sequences,
     pii_redact,
     quality_scores,
     repetition_stats,
@@ -61,6 +63,10 @@ __all__ = [
     "token_counts",
     "repetition_stats",
     "chunk_documents",
+    "pack_sequences",
+    "corpus_split",
+    "mixture_resample",
+    "hash_uniform",
     "curation_funnel",
     "pii_redact",
     "decontaminate",

@@ -172,6 +172,78 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing (concat-then-split): lay every document's
+    tokens end-to-end in ``id_col`` order and cut the stream into fixed
+    ``seq_len`` windows — the step that turns a curated corpus into the
+    dense training batches an LLM run consumes (no padding waste; documents
+    span pack boundaries).  Emits one row per (pack, document-slice):
+
+      pack_id      which training sequence the slice lands in
+      <id_col>     the source document
+      doc_offset   first token of the slice, 0-based within the DOCUMENT
+      pack_offset  where the slice starts, 0-based within the PACK
+      n_tokens     slice length (> 0; a doc spanning k packs emits k rows)
+
+    Token budget = whitespace token count of ``text_col`` (the same formula
+    as :func:`token_counts`), or a precomputed ``token_count_col``.
+    Zero-token documents emit nothing.
+
+    Plan shape: ONE distributed prefix sum (two-phase rank machinery —
+    ``utils/ranking.distributed_prefix_sum``, no single-partition window)
+    over a #docs-row projection, then pure in-row arithmetic + a
+    ``sequence``-explode for boundary-spanning docs.  The only shuffle is
+    the prefix sum's bucket exchange; output size ~= #docs + corpus_tokens
+    / seq_len.  At 100 TB this is a map job over the doc-count projection —
+    the token STREAM itself is never materialized, only offsets into it.
+    Deterministic by construction (``id_col`` must be unique — it totals
+    the order), so an ANSI-SQL window-function oracle replays it
+    bit-for-bit."""
+    from ..utils.ranking import distributed_prefix_sum
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if token_count_col is None:
+        n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    else:
+        n = F.col(token_count_col)
+    docs = df.select(F.col(id_col), n.cast("long").alias("_n")).where(F.col("_n") > 0)
+    docs = distributed_prefix_sum(docs, [id_col], "_n", out_col="_start", exclusive=True)
+
+    L = F.lit(int(seq_len)).cast("long")
+    start, ntok = F.col("_start"), F.col("_n")
+    end = start + ntok
+    packed = docs.select(
+        F.col(id_col),
+        ntok,
+        start,
+        # packs touched: start div L .. (end-1) div L; end > start always
+        # (zero-token docs were dropped), so the range is non-empty.
+        # Integer `div`, not floor(x / L): double division would lose
+        # exactness past 2^53 total tokens, and a 100 TB corpus is ~10^13.
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {int(seq_len)}").cast("long"),
+                F.expr(f"(_start + _n - 1) div {int(seq_len)}").cast("long"),
+            )
+        ).alias("pack_id"),
+    )
+    p = F.col("pack_id")
+    return packed.select(
+        p,
+        F.col(id_col),
+        F.greatest(p * L - start, F.lit(0)).cast("long").alias("doc_offset"),
+        F.greatest(start - p * L, F.lit(0)).cast("long").alias("pack_offset"),
+        (F.least((p + 1) * L, end) - F.greatest(p * L, start)).cast("long").alias("n_tokens"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1,5 +1,5 @@
-"""Distributed global row-number: the scale-correct form of
-``row_number() OVER (ORDER BY ...)``.
+"""Distributed global row-number and prefix sum: the scale-correct forms
+of ``row_number() OVER (ORDER BY ...)`` / ``SUM(v) OVER (ORDER BY ...)``.
 
 A bare global window forces every row through ONE task (Spark even warns
 "No Partition Defined for Window operation"); at the 10^10-value corpus the
@@ -95,17 +95,11 @@ def _split_points(df: DataFrame, leading: Column, num_partitions: int) -> list:
     return [sample[int((i + 1) * step)] for i in range(num_partitions - 1)]
 
 
-def distributed_row_number(
-    df: DataFrame,
-    sort_cols: Sequence[Union[str, Column]],
-    rank_col: str = "rank",
-    num_partitions: int = 0,
-) -> DataFrame:
-    """Adds ``rank_col`` = 1-based global row number under ``sort_cols``
-    (ascending, nulls first), computed without a single-partition window.
-    Collects split points eagerly (one small job at call time); the
-    returned DataFrame is a pure function of ``df`` — stable across
-    re-evaluations and safe under any projection pushed above it."""
+def _bucketed(
+    df: DataFrame, sort_cols: Sequence[Union[str, Column]], num_partitions: int
+) -> tuple:
+    """Shared first phase: deterministic literal split points -> row-local
+    bucket id column ``_PID``.  Returns (partitioned_df, sort_exprs)."""
     sort_exprs: List[Column] = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
     if num_partitions <= 0:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -122,29 +116,30 @@ def distributed_row_number(
         )
     else:
         pid = F.lit(0)  # tiny input: one bucket is one small window
-    part = df.withColumn(_PID, pid)
+    return df.withColumn(_PID, pid), sort_exprs
 
-    w = Window.partitionBy(_PID).orderBy(*sort_exprs)
-    ranked = part.withColumn(_RN, F.row_number().over(w))
 
-    # per-bucket offsets: ONE #buckets-row aggregate branch, folded into a
-    # single-row {bucket -> prefix sum} map with a higher-order expression
-    # and broadcast-cross-joined back.  Two properties are load-bearing:
-    #   * no window — a global window here, even one "partitioned" by
-    #     lit(0), emits "WindowExec: No Partition Defined" on every
-    #     evaluation because Catalyst constant-folds the literal partition
-    #     key away (round-4 finding: the lit(0) trick never worked), and
-    #     that noise masks REAL single-partition regressions in bench
-    #     tails (VERDICT r2 #10 / r3 #5);
-    #   * no SELF-join of the counts frame — exchange reuse does not
-    #     reliably unify two aggregate branches under AQE, so a
-    #     counts-joins-counts prefix sum re-scans the SOURCE once more
-    #     (measured: +50% on the cdc fixture path).  The fold keeps the
-    #     rank at exactly two source scans (ranked branch + counts branch).
-    # The map lookup costs O(1) per row; the single-partition exchange
-    # feeding the one-row fold carries #buckets rows, never data.
-    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
-    offmap = counts.groupBy().agg(
+def _bucket_offset_map(part: DataFrame, value: Column) -> DataFrame:
+    """One-row frame holding ``_offmap`` = {bucket id -> EXCLUSIVE prefix
+    total of ``value`` over all lower buckets}.  ONE #buckets-row aggregate
+    branch, folded into a single-row map with a higher-order expression and
+    meant to be broadcast-cross-joined back.  Two properties are
+    load-bearing:
+      * no window — a global window here, even one "partitioned" by
+        lit(0), emits "WindowExec: No Partition Defined" on every
+        evaluation because Catalyst constant-folds the literal partition
+        key away (round-4 finding: the lit(0) trick never worked), and
+        that noise masks REAL single-partition regressions in bench
+        tails (VERDICT r2 #10 / r3 #5);
+      * no SELF-join of the counts frame — exchange reuse does not
+        reliably unify two aggregate branches under AQE, so a
+        counts-joins-counts prefix sum re-scans the SOURCE once more
+        (measured: +50% on the cdc fixture path).  The fold keeps the
+        caller at exactly two source scans (windowed branch + this one).
+    The map lookup costs O(1) per row; the single-partition exchange
+    feeding the one-row fold carries #buckets rows, never data."""
+    counts = part.groupBy(_PID).agg(F.sum(value).cast("long").alias("_cnt"))
+    return counts.groupBy().agg(
         F.expr(
             f"aggregate(sort_array(collect_list(struct({_PID}, _cnt))), "
             f"struct(cast(0 as long) as run, cast(map() as map<int, bigint>) as m), "
@@ -153,6 +148,24 @@ def distributed_row_number(
             f"acc -> acc.m)"
         ).alias("_offmap")
     )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    sort_cols: Sequence[Union[str, Column]],
+    rank_col: str = "rank",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """Adds ``rank_col`` = 1-based global row number under ``sort_cols``
+    (ascending, nulls first), computed without a single-partition window.
+    Collects split points eagerly (one small job at call time); the
+    returned DataFrame is a pure function of ``df`` — stable across
+    re-evaluations and safe under any projection pushed above it."""
+    part, sort_exprs = _bucketed(df, sort_cols, num_partitions)
+
+    w = Window.partitionBy(_PID).orderBy(*sort_exprs)
+    ranked = part.withColumn(_RN, F.row_number().over(w))
+    offmap = _bucket_offset_map(part, F.lit(1))
     return (
         ranked.crossJoin(F.broadcast(offmap))
         .withColumn(
@@ -161,3 +174,47 @@ def distributed_row_number(
         )
         .drop(_PID, _RN, "_offmap")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    sort_cols: Sequence[Union[str, Column]],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int = 0,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Adds ``out_col`` = running total of ``value_col`` under ``sort_cols``
+    (ascending, nulls first) — the scale-correct form of
+    ``SUM(v) OVER (ORDER BY ...)`` — without a single-partition window.
+
+    Same two-phase construction as :func:`distributed_row_number` (and the
+    same determinism guarantees: literal split points, row-local bucket
+    ids, pure-function offsets): in-bucket running sum over a PARTITIONED
+    window, plus the exclusive prefix total of every lower bucket from the
+    one-row broadcast offset map.  ``sort_cols`` must be a total order
+    (same caveat as the module docstring) or per-row sums within a tie
+    group would be partition-placement-dependent.  NULL values count as 0.
+    ``exclusive=True`` returns the sum of strictly-preceding rows (the
+    offset form packing/allocation callers need)."""
+    part, sort_exprs = _bucketed(df, sort_cols, num_partitions)
+    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = part.withColumn(_RN, F.sum(val).over(w))
+    offmap = _bucket_offset_map(part, val)
+    out = (
+        run.crossJoin(F.broadcast(offmap))
+        .withColumn(
+            out_col,
+            (F.col(_RN) + F.coalesce(F.col("_offmap")[F.col(_PID)], F.lit(0))).cast("long"),
+        )
+        .drop(_PID, _RN, "_offmap")
+    )
+    if exclusive:
+        out = out.withColumn(out_col, (F.col(out_col) - val).cast("long"))
+    return out
