@@ -1101,6 +1101,23 @@ def _split_oracle_sql() -> str:
     return f"SELECT doc_id, {corpus_split_sql_case()} AS split FROM documents"
 
 
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (md5-uniform order, two-phase
+    distributed rank — no single-partition window); the shuffle-then-pack
+    layout step; see operators/sampling.py:corpus_shuffle."""
+    from valentine_spark.operators import corpus_shuffle
+
+    return corpus_shuffle(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+def _shuffle_oracle_sql() -> str:
+    from valentine_spark.operators.sampling import corpus_shuffle_sql
+
+    return corpus_shuffle_sql(select="doc_id")
+
+
 def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-weighted deterministic replication (training-mix
     construction): per-source copy count floor(w) + [hash-u < frac(w)],
@@ -3158,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": text_chunking,
         "text_sequence_packing": text_sequence_packing,
         "corpus_split_assign": corpus_split_assign,
+        "corpus_shuffle_order": corpus_shuffle_order,
         "corpus_mixture_resample": corpus_mixture_resample,
         "text_pii_redaction": text_pii_redaction,
         "decontaminate_documents": decontaminate_documents,
@@ -3236,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunking": _CHUNKING_SQL,
         "text_sequence_packing": _PACKING_SQL,
         "corpus_split_assign": _split_oracle_sql(),
+        "corpus_shuffle_order": _shuffle_oracle_sql(),
         "corpus_mixture_resample": _mixture_oracle_sql(),
         "text_pii_redaction": _pii_oracle_sql(),
         "decontaminate_documents": _DECONTAM_SQL,

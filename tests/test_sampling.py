@@ -1,13 +1,15 @@
-"""corpus_split / mixture_resample: determinism, proportions, growth
-stability, copy-count law, and direct DuckDB parity of the oracle SQL."""
+"""corpus_split / mixture_resample / corpus_shuffle: determinism,
+proportions, growth stability, copy-count law, permutation laws, and
+direct DuckDB parity of the oracle SQL."""
 
 import duckdb
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from valentine_spark.operators import corpus_split, mixture_resample
+from valentine_spark.operators import corpus_shuffle, corpus_split, mixture_resample
 from valentine_spark.operators.sampling import (
+    corpus_shuffle_sql,
     corpus_split_sql_case,
     mixture_resample_sql,
 )
@@ -108,6 +110,50 @@ def test_mixture_empty_weights_rejected(spark):
         mixture_resample(_docs(spark, 1), {"src0": -1.0})
 
 
+def test_shuffle_is_a_permutation_and_deterministic(spark):
+    out = corpus_shuffle(_docs(spark, 1000))
+    ranks = sorted(r["shuffle_rank"] for r in out.collect())
+    assert ranks == list(range(1, 1001))
+    again = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(_docs(spark, 1000).repartition(17)).collect()
+    }
+    first = {r["doc_id"]: r["shuffle_rank"] for r in out.collect()}
+    assert first == again
+    # and it actually shuffles: the identity order would be astronomical
+    assert any(first[i] != i + 1 for i in range(1000))
+
+
+def test_shuffle_salt_gives_independent_permutation(spark):
+    a = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(_docs(spark, 500), salt="e1").collect()}
+    b = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(_docs(spark, 500), salt="e2").collect()}
+    assert a != b
+
+
+def test_shuffle_composes_with_packing(spark):
+    """shuffle-then-pack: the rank is unique, so pack_sequences accepts it
+    as the order key and conserves every token exactly once."""
+    from valentine_spark.operators import pack_sequences
+
+    docs = _docs(spark, 300).withColumn(
+        "text", F.concat(F.lit("tok "), F.repeat(F.lit("w "), F.pmod("doc_id", F.lit(7)).cast("int")))
+    )
+    shuffled = corpus_shuffle(docs)
+    packed = pack_sequences(shuffled, seq_len=64, id_col="shuffle_rank")
+    total_in = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != ""))).alias("n")
+    ).collect()[0]["n"]
+    total_out = packed.agg(F.sum("n_tokens").alias("n")).collect()[0]["n"]
+    assert total_in == total_out
+    # every pack except the last is exactly full
+    sizes = {
+        r["pack_id"]: r["n"]
+        for r in packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("n")).collect()
+    }
+    last = max(sizes)
+    assert all(n == 64 for p, n in sizes.items() if p != last)
+
+
 def test_oracle_sql_parity(spark):
     """The generated DuckDB SQL replays BOTH operators bit-for-bit on the
     same rows — the cross-engine md5-uniform contract, checked directly."""
@@ -140,3 +186,10 @@ def test_oracle_sql_parity(spark):
         ).fetchall()
     )
     assert got_mix == [tuple(r) for r in want_mix]
+
+    got_shuf = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(df).select("doc_id", "shuffle_rank").collect()
+    }
+    want_shuf = dict(con.execute(corpus_shuffle_sql(select="doc_id")).fetchall())
+    assert got_shuf == want_shuf

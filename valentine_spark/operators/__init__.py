@@ -17,7 +17,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .pq import ivfpq_topk, pq_encode, pq_topk, pq_train
-from .sampling import corpus_split, hash_uniform, mixture_resample
+from .sampling import corpus_shuffle, corpus_split, hash_uniform, mixture_resample
 from .similarity import cosine_topk, embedding_neardup_pairs, ivf_topk, sign_bucket
 from .text import (
     chunk_documents,
@@ -65,6 +65,7 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "corpus_split",
+    "corpus_shuffle",
     "mixture_resample",
     "hash_uniform",
     "curation_funnel",

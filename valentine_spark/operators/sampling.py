@@ -136,6 +136,59 @@ def mixture_resample(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    rank_col: str = "shuffle_rank",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """Deterministic global corpus shuffle: ``rank_col`` = 1..n position of
+    each row under the md5-uniform order (ties broken by ``id_col``) — the
+    pretraining step that de-clusters a crawl corpus (by domain, date,
+    shard) before sequence packing, without RNG state.  The per-document
+    KEY ``(u, id)`` is a pure function of (id, salt): stable across
+    engines, partitionings, and re-runs; a different ``salt`` is an
+    independent permutation (epoch reshuffles).  The RANK is relative, so
+    it shifts when the corpus grows — use the rank for one materialized
+    layout, the key for anything that must survive growth.
+
+    Plan shape: the rank is :func:`~valentine_spark.utils.ranking.
+    distributed_row_number` (two-phase, range-bucketed, NO
+    single-partition window), so at 100 TB this is one sample pass + one
+    range exchange.  Composes directly with
+    :func:`~valentine_spark.operators.text.pack_sequences`
+    (``id_col=rank_col``): shuffle-then-pack is the standard training
+    layout pipeline, and the rank is unique by construction."""
+    from ..utils.ranking import distributed_row_number
+
+    u = hash_uniform(F.col(id_col), salt)
+    return distributed_row_number(
+        df.withColumn("_shuffle_u", u),
+        ["_shuffle_u", id_col],
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+    ).drop("_shuffle_u")
+
+
+def corpus_shuffle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    rank_col: str = "shuffle_rank",
+    select: str = "*",
+) -> str:
+    """Oracle replaying :func:`corpus_shuffle` on ``table``: the same
+    md5-uniform (bit-identical double), ranked by a window function —
+    correct at oracle scale, single-partition at real scale (which is
+    exactly why the Spark side uses the two-phase rank instead)."""
+    u = hash_uniform_sql(f"{id_col}::VARCHAR", salt)
+    return (
+        f"SELECT {select}, row_number() OVER (ORDER BY {u}, {id_col})"
+        f"::BIGINT AS {rank_col} FROM {table}"
+    )
+
+
 def mixture_resample_sql(
     weights: Dict[str, float],
     table: str = "documents",
