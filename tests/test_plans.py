@@ -124,6 +124,31 @@ def test_distributed_rank_plan_stays_parallel(spark):
         )
 
 
+def test_distributed_prefix_sum_plan_stays_parallel(spark):
+    """Same plan contract as the rank (it shares _bucketed /
+    _bucket_offset_map): the running-sum window is partitioned by the
+    row-local bucket id, the source is scanned at most twice, and the only
+    SinglePartition exchange feeds the one-row offsets fold — so
+    pack_sequences' prefix sum never funnels the corpus through one task."""
+    from valentine_spark.utils.ranking import distributed_prefix_sum
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7 % 1000).alias("v"), (F.col("id") % 9).alias("n"), "id"
+    )
+    summed = distributed_prefix_sum(df, ["v", "id"], "n", num_partitions=4)
+    assert summed.count() == 10_000
+    plan = summed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_rank_pid" in plan, plan
+    assert plan.count("Range (0, 10000") <= 2, plan
+    lines = plan.splitlines()
+    singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert singles, plan  # the offsets fold exists
+    for i in singles:
+        assert "HashAggregate" in lines[i + 1] or "SortAggregate" in lines[i + 1], (
+            "\n".join(lines[i : i + 3])
+        )
+
+
 def test_cobucketed_join_no_shuffle(spark, tmp_path, sf_dir):
     """Bucketing as the co-located-join lever: two tables written bucketed
     on the join key join WITHOUT any shuffle Exchange, while the same join
