@@ -2009,6 +2009,59 @@ def cdc_follow_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE form of cdc_follow_mirror: the mirror is one Spark
+    Structured Streaming pipeline — ``readStream.format("lake_changes")``
+    (native changelog source) piped into ``writeStream.format("lake")``
+    (native exactly-once sink, ``streaming/lake_sink.py``) — with Spark's
+    checkpoint carrying the source offset and the sink's applied-batch-id
+    manifest de-duplicating replays.  Two runs over one checkpoint (after
+    slices 1-2, then after slice 3) exercise restart/resume; the mirror's
+    final state must equal the one-shot LWW image, so this shares
+    ``_CDC_REPLAY_SQL``."""
+    from valentine_spark.cdc import LakeTable, apply_batch
+    from valentine_spark.sources.lake_batch import register_lake
+    from valentine_spark.streaming.lake_sink import prepare_lake_sink
+    from valentine_spark.streaming.lake_source import register_lake_changes
+
+    register_lake(spark)
+    register_lake_changes(spark)
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(spark, sf_dir)
+    n = ev.count()
+    root = tempfile.mkdtemp(prefix="entry_lake_sink_")
+    src = LakeTable.create(os.path.join(root, "src"), spark, n_buckets=8)
+    dst = LakeTable.create(os.path.join(root, "dst"), spark, n_buckets=8)
+    ckpt = os.path.join(root, "ckpt")
+
+    def mirror_once():
+        q = (
+            prepare_lake_sink(
+                spark.readStream.format("lake_changes").load(src.root), dst.root
+            )
+            .writeStream.format("lake")
+            .option("path", dst.root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    slice_lsns = max(n // 3, 1)
+    for i in range(3):
+        lo = i * slice_lsns
+        hi = (i + 1) * slice_lsns if i < 2 else n + 1
+        batch = stream.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        apply_batch(src, batch, f"slice-{i}")
+        if i in (1, 2):
+            mirror_once()
+    state = dst.read()
+    return state.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def cdc_drift_automap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north star's signature move, end-to-end WITH an oracle: replay
     the first half of the WAL-ordered stream normally, then the second half
@@ -3194,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_follow_mirror": cdc_follow_mirror,
+        "cdc_stream_sink": cdc_stream_sink,
         "cdc_drift_automap": cdc_drift_automap,
         "cdc_type_widening": cdc_type_widening,
         "cdc_column_defaults": cdc_column_defaults,
@@ -3279,6 +3333,9 @@ def oracle_sql() -> dict[str, str]:
         # the follower-maintained downstream mirror must equal the source's
         # LWW image — same oracle
         "cdc_follow_mirror": _CDC_REPLAY_SQL,
+        # the declarative mirror (native source -> native sink pipeline)
+        # must land in the same LWW image — same oracle
+        "cdc_stream_sink": _CDC_REPLAY_SQL,
         "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
         "cdc_point_lookup": _CDC_POINT_LOOKUP_SQL,
         # the drifted replay must land in the SAME final state as the

@@ -1797,7 +1797,32 @@ class LakeTable:
         if MERGE_TIMINGS is not None:
             MERGE_TIMINGS.append(("merge_write", time.time() - _t0))
 
-        read_meta = meta
+        _t_io0 = time.time()
+        result = self._install_mor_entries(
+            meta, new_files, tomb_files, batch_id, commit, batch_watermarks
+        )
+        if MERGE_TIMINGS is not None:
+            MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
+        return result
+
+    def _install_mor_entries(
+        self,
+        read_meta: dict,
+        new_files: Dict[int, List[dict]],
+        tomb_files: Dict[int, List[dict]],
+        batch_id: str,
+        commit: dict,
+        batch_watermarks: Optional[Dict[int, int]] = None,
+    ) -> dict:
+        """Metadata-only install of an append-style (merge-on-read) commit:
+        the already-written data/tombstone entries land in the touched
+        buckets' manifests with ``seq = new version`` and the buckets are
+        marked dirty when they had prior files.  Pure file/JSON I/O — no
+        SparkSession — shared by ``_merge_mor`` and the streaming sink's
+        driver-side ``commit`` (which runs in a Python worker without
+        Spark).  ``commit['changed_buckets']`` names the touched buckets
+        whose existing entries are carried forward."""
+        changed = commit["changed_buckets"]
 
         def build(base: dict):
             if base is not read_meta:
@@ -1843,11 +1868,7 @@ class LakeTable:
             )
             return new_meta, segments, c
 
-        _t_io0 = time.time()
-        result = self._commit_loop(read_meta, build)
-        if MERGE_TIMINGS is not None:
-            MERGE_TIMINGS.append(("commit_io", time.time() - _t_io0))
-        return result
+        return self._commit_loop(read_meta, build)
 
     def evolve_schema(
         self,

@@ -254,6 +254,19 @@ class LakeDataSource(DataSource):
         cls = LakeSnapshotPushdownReader if pushdown else LakeSnapshotReader
         return cls(schema, dict(self.options), meta)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        """``df.writeStream.format("lake")`` — the exactly-once streaming
+        sink (``streaming/lake_sink.py``; wrap the stream in
+        ``prepare_lake_sink`` first)."""
+        if overwrite:
+            raise ValueError(
+                "the lake sink appends merge-on-read commits; complete/"
+                "overwrite output mode is not supported (use append/update)"
+            )
+        from valentine_spark.streaming.lake_sink import LakeStreamWriter
+
+        return LakeStreamWriter(schema, dict(self.options))
+
 
 def register_lake(spark: SparkSession) -> None:
     """Register the ``lake`` batch format on this session (idempotent) and
