@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling proxy for the DECLARATIVE mirror — the native
+``lake_changes`` source piped into the native ``lake`` streaming sink
+(``streaming/lake_sink.py``) — measured against the imperative
+``cdc/follow.py`` mirror in the SAME pinned worker session.
+
+Why this pipeline should scale: it is SHUFFLE-FREE end to end — one Python
+task per churned source bucket does the two-snapshot pyarrow diff, the
+bucket/khash projection is a narrow JVM map, and the sink task writes that
+bucket's khash-sorted parquet and computes its footer stats locally; the
+driver's commit is a metadata CAS with no Spark job at all.  The follower
+mirror, by contrast, pays an LWW aggregation + MERGE (shuffles) per
+delivery.
+
+Protocol = consumer_scaling_run.py: source built ONCE untimed at fixed
+parallelism (per-level builds change file layout), fresh taskset-pinned
+JVMs per level, INTERLEAVED levels (lo,hi,lo,hi; best per level), tmpfs via
+SCALING_TMPFS, loadavg stamps, cross-level + vs-source state checksum
+equality.
+
+Usage: python BENCH/stream_sink_scaling_run.py [n_events] [--cpus 4,16]
+       [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+BUILDER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+root = sys.argv[1]; n = int(sys.argv[2])
+tmpfs = os.environ.get("SCALING_TMPFS")
+builder = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.driver.memory", "16g")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false"))
+if tmpfs:
+    builder = builder.config("spark.local.dir", os.path.join(tmpfs, "spark_local_b"))
+spark = builder.getOrCreate()
+from valentine_spark.cdc import LakeTable, replay, synth_change_stream
+src = LakeTable.create(os.path.join(root, "src"), spark, n_buckets=64)
+stream = synth_change_stream(spark, n, n // 4)
+half = n // 2
+replay(src, stream.where("lsn < %d" % half), batch_lsns=n // 8, max_lsn=half - 1)
+v_half = src.version
+replay(src, stream.where("lsn >= %d" % half), batch_lsns=n // 8,
+       batch_id_prefix="tail", max_lsn=n - 1)
+cs = src.state_checksum()
+print("BUILT " + json.dumps({{"v_half": v_half, "v_full": src.version,
+                              "rows": cs["rows"],
+                              "checksum": str(cs["checksum"])}}))
+"""
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+cpus = int(sys.argv[1]); root = sys.argv[2]
+builder = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "16g")
+         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false"))
+tmpfs = os.environ.get("SCALING_TMPFS")
+if tmpfs:
+    tempfile.tempdir = tmpfs
+    builder = builder.config("spark.local.dir",
+                             os.path.join(tmpfs, f"spark_local_{{cpus}}"))
+spark = builder.getOrCreate()
+from valentine_spark.cdc import LakeTable, mirror_changes
+from valentine_spark.sources.lake_batch import register_lake
+from valentine_spark.streaming.lake_sink import prepare_lake_sink
+from valentine_spark.streaming.lake_source import register_lake_changes
+register_lake(spark); register_lake_changes(spark)
+src = LakeTable(os.path.join(root, "src"), spark)
+src_sum = src.state_checksum()
+
+def sink_mirror_once():
+    droot = tempfile.mkdtemp(prefix=f"sink_dst_{{cpus}}_")
+    dst = LakeTable.create(os.path.join(droot, "dst"), spark, n_buckets=64)
+    t0 = time.time()
+    q = (prepare_lake_sink(
+            spark.readStream.format("lake_changes").load(src.root), dst.root)
+         .writeStream.format("lake")
+         .option("path", dst.root)
+         .option("checkpointLocation", os.path.join(droot, "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(1200)
+    w = time.time() - t0
+    ok = dst.state_checksum() == src_sum
+    shutil.rmtree(droot, ignore_errors=True)
+    return w, ok
+
+def follow_mirror_once():
+    droot = tempfile.mkdtemp(prefix=f"fol_dst_{{cpus}}_")
+    dst = LakeTable.create(os.path.join(droot, "dst"), spark, n_buckets=64)
+    t0 = time.time()
+    mirror_changes(src, dst, os.path.join(droot, "ckpt"))
+    w = time.time() - t0
+    ok = dst.state_checksum() == src_sum
+    shutil.rmtree(droot, ignore_errors=True)
+    return w, ok
+
+sink_walls, follow_walls, ok = [], [], True
+for _ in range(2):
+    w, o = sink_mirror_once(); sink_walls.append(w); ok = ok and o
+    w, o = follow_mirror_once(); follow_walls.append(w); ok = ok and o
+print("RESULT " + json.dumps({{
+    "cpus": cpus,
+    "sink_wall": min(sink_walls), "sink_walls": sink_walls,
+    "follow_wall": min(follow_walls), "follow_walls": follow_walls,
+    "state_match": ok,
+}}))
+"""
+
+
+def _run(cmd, timeout=4000):
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+
+
+def run_level(repo: str, cpus: int, root: str) -> dict:
+    cmd = [sys.executable, "-c", WORKER.format(repo=repo), str(cpus), root]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = _run(cmd)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+    )
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16_000_000
+    lo, hi = 4, 16
+    if "--cpus" in sys.argv:
+        lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
+    factor = hi / lo
+    tmpfs = os.environ.get("SCALING_TMPFS")
+    if tmpfs:
+        os.makedirs(tmpfs, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="sinkscale_src_", dir=tmpfs or None)
+    load_pre = round(os.getloadavg()[0], 2)
+    try:
+        out = _run([sys.executable, "-c", BUILDER.format(repo=repo), root,
+                    str(n_events)], timeout=6000)
+        built = None
+        for line in out.stdout.splitlines():
+            if line.startswith("BUILT "):
+                built = json.loads(line[len("BUILT "):])
+        if built is None:
+            raise RuntimeError(f"builder failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+        rounds = int(os.environ.get("SCALING_INTERLEAVE", "2"))
+        r_lo = r_hi = None
+
+        def _better(a, b):
+            if a is None:
+                return b
+            best = dict(a if a["sink_wall"] <= b["sink_wall"] else b)
+            best["sink_wall"] = min(a["sink_wall"], b["sink_wall"])
+            best["sink_walls"] = a["sink_walls"] + b["sink_walls"]
+            best["follow_wall"] = min(a["follow_wall"], b["follow_wall"])
+            best["follow_walls"] = a["follow_walls"] + b["follow_walls"]
+            best["state_match"] = a["state_match"] and b["state_match"]
+            return best
+
+        for _ in range(max(1, rounds)):
+            r_lo = _better(r_lo, run_level(repo, lo, root))
+            r_hi = _better(r_hi, run_level(repo, hi, root))
+        load_post = round(os.getloadavg()[0], 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    result = {
+        "n_events": n_events,
+        "table_rows": built["rows"],
+        f"local{lo}": r_lo,
+        f"local{hi}": r_hi,
+        "sink_efficiency": round(r_lo["sink_wall"] / (factor * r_hi["sink_wall"]), 3),
+        "follow_efficiency": round(r_lo["follow_wall"] / (factor * r_hi["follow_wall"]), 3),
+        # same-session cross-implementation ratio at each level (>1 = the
+        # declarative sink pipeline is faster than the follower)
+        "sink_vs_follow": {
+            f"local{lo}": round(r_lo["follow_wall"] / r_lo["sink_wall"], 2),
+            f"local{hi}": round(r_hi["follow_wall"] / r_hi["sink_wall"], 2),
+        },
+        "state_match": r_lo["state_match"] and r_hi["state_match"],
+        "loadavg_pre_1m": load_pre,
+        "loadavg_post_1m": load_post,
+    }
+    print(json.dumps(result, indent=2))
+    if "--json" in sys.argv:
+        with open(sys.argv[sys.argv.index("--json") + 1], "w") as fh:
+            json.dump(result, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

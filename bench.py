@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "cdc_lww_stream",
     "cdc_changelog",
     "cdc_follow_mirror",
+    "cdc_stream_sink",
     "cdc_incremental_agg",
     "cdc_incremental_minmax",
     "cdc_type_widening",
