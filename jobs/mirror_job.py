@@ -16,6 +16,15 @@ exits (cron-style); a positive value loops with ``--poll-seconds`` sleeps
 between empty polls (daemon-style).  ``--compact-threshold`` runs the
 target's bounded-read-amplification compaction policy after each applied
 delivery.
+
+``--mode streaming`` swaps the imperative follower loop for the DECLARATIVE
+pipeline (the native ``lake_changes`` source piped into the native ``lake``
+streaming sink, ``streaming/lake_sink.py``): Spark's own checkpoint carries
+the offset, the sink's applied-batch-id manifest de-duplicates replays, and
+micro-batch cadence comes from the trigger (``--max-polls 0`` → one
+availableNow catch-up then exit; otherwise a continuous processingTime
+trigger of ``--poll-seconds``).  Same exactly-once contract, zero custom
+poll-loop code on the driver.
 """
 
 from __future__ import annotations
@@ -37,6 +46,11 @@ def main() -> None:
                         help="0 = one catch-up pass, then exit")
     parser.add_argument("--compact-threshold", type=int, default=0,
                         help="0 = never auto-compact the target")
+    parser.add_argument("--mode", choices=("follower", "streaming"),
+                        default="follower",
+                        help="follower = imperative poll loop (default); "
+                        "streaming = declarative lake_changes -> lake sink "
+                        "pipeline on Spark's own checkpoint")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,6 +61,45 @@ def main() -> None:
 
     source = LakeTable(args.source, spark)
     target = LakeTable.open_or_create(args.target, spark, n_buckets=args.n_buckets)
+
+    if args.mode == "streaming":
+        from valentine_spark.sources.lake_batch import register_lake
+        from valentine_spark.streaming.lake_sink import prepare_lake_sink
+        from valentine_spark.streaming.lake_source import register_lake_changes
+
+        register_lake(spark)
+        register_lake_changes(spark)
+        writer = (
+            prepare_lake_sink(
+                spark.readStream.format("lake_changes").load(source.root),
+                target.root,
+            )
+            .writeStream.format("lake")
+            .option("path", target.root)
+            .option("checkpointLocation", args.checkpoint)
+        )
+        if args.max_polls == 0:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.trigger(
+                processingTime=f"{args.poll_seconds} seconds"
+            ).start()
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+        if args.compact_threshold:
+            target.compact_if_needed(args.compact_threshold)
+        state = target.state_checksum()
+        print(json.dumps({
+            "mode": "streaming",
+            "source_version": source.version,
+            "mirror_version": target.version,
+            "mirror_rows": state["rows"],
+            "mirror_checksum": str(state["checksum"]),
+        }))
+        return
 
     follower = ChangelogFollower(
         source, args.checkpoint, consumer_id=args.consumer_id

@@ -91,3 +91,15 @@ def test_spark_submit_replay_mirror_loop(tmp_path):
     assert mirror["mirror_checksum"] == replay["checksum"]
     assert mirror["mirror_rows"] == replay["rows"]
     assert mirror["mirror_position"] == replay["version"]
+
+    # 4. consumer entry point, declarative form: the native source -> sink
+    # streaming pipeline (--mode streaming) converges to the same checksum
+    smirror = _submit(
+        "mirror_job.py", "--source", lake,
+        "--target", str(tmp_path / "smirror"),
+        "--checkpoint", str(tmp_path / "sckpt"),
+        "--max-polls", "0", "--mode", "streaming", cwd=work,
+    )[-1]
+    assert smirror["mode"] == "streaming"
+    assert smirror["mirror_checksum"] == replay["checksum"]
+    assert smirror["mirror_rows"] == replay["rows"]

@@ -271,6 +271,17 @@ class LakeDataSource(DataSource):
 def register_lake(spark: SparkSession) -> None:
     """Register the ``lake`` batch format on this session (idempotent) and
     enable ``spark.sql.python.filterPushdown.enabled`` (runtime conf, off by
-    default in Spark 4.1) so the default pushdown reader is accepted."""
+    default in Spark 4.1) so the default pushdown reader is accepted.
+
+    What is registered is the pickle-by-value bootstrap shim, not
+    :class:`LakeDataSource` directly — Spark 4.1's STREAMING planner workers
+    receive no ``--py-files`` includes, so a by-reference pickle of this
+    module dies with ModuleNotFoundError under ``spark-submit --py-files``
+    (see ``streaming/_pyfiles_bootstrap.py``).  In-process sessions take the
+    same path so the deployed configuration is the tested configuration."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(LakeDataSource)
+    from valentine_spark.streaming._pyfiles_bootstrap import (
+        LakeBootstrapDataSource,
+    )
+
+    spark.dataSource.register(LakeBootstrapDataSource)

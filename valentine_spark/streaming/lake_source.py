@@ -539,5 +539,14 @@ class LakeChangesDataSource(DataSource):
 
 
 def register_lake_changes(spark: SparkSession) -> None:
-    """Register the ``lake_changes`` format on this session (idempotent)."""
-    spark.dataSource.register(LakeChangesDataSource)
+    """Register the ``lake_changes`` format on this session (idempotent).
+
+    Registers the pickle-by-value bootstrap shim rather than
+    :class:`LakeChangesDataSource` directly, so the source survives Spark
+    4.1's streaming planner workers that get no ``--py-files`` includes
+    (``streaming/_pyfiles_bootstrap.py``)."""
+    from valentine_spark.streaming._pyfiles_bootstrap import (
+        LakeChangesBootstrapDataSource,
+    )
+
+    spark.dataSource.register(LakeChangesBootstrapDataSource)
