@@ -16,7 +16,11 @@ Protocol = consumer_scaling_run.py: source built ONCE untimed at fixed
 parallelism (per-level builds change file layout), fresh taskset-pinned
 JVMs per level, INTERLEAVED levels (lo,hi,lo,hi; best per level), tmpfs via
 SCALING_TMPFS, loadavg stamps, cross-level + vs-source state checksum
-equality.
+equality.  Each timed catch-up is paired with a ZERO-WORK POLL on the same
+checkpoint (source end-offset unchanged) measuring the fixed per-query
+floor — stream startup, Python planner process spawn, offset-log round
+trip — which is per-query, not per-byte; ``sink_data_efficiency`` is the
+scaling of the floor-subtracted data path.
 
 Usage: python BENCH/stream_sink_scaling_run.py [n_events] [--cpus 4,16]
        [--json out.json]
@@ -88,19 +92,28 @@ src_sum = src.state_checksum()
 def sink_mirror_once():
     droot = tempfile.mkdtemp(prefix=f"sink_dst_{{cpus}}_")
     dst = LakeTable.create(os.path.join(droot, "dst"), spark, n_buckets=64)
-    t0 = time.time()
-    q = (prepare_lake_sink(
-            spark.readStream.format("lake_changes").load(src.root), dst.root)
-         .writeStream.format("lake")
-         .option("path", dst.root)
-         .option("checkpointLocation", os.path.join(droot, "ckpt"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination(1200)
-    w = time.time() - t0
+
+    def one_pass():
+        t0 = time.time()
+        q = (prepare_lake_sink(
+                spark.readStream.format("lake_changes").load(src.root),
+                dst.root)
+             .writeStream.format("lake")
+             .option("path", dst.root)
+             .option("checkpointLocation", os.path.join(droot, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(1200)
+        return time.time() - t0
+
+    w = one_pass()
     ok = dst.state_checksum() == src_sum
+    # zero-work poll on the SAME checkpoint: source end-offset unchanged, so
+    # this measures the fixed per-query floor (stream startup, Python planner
+    # process spawn, offset log round-trip) with no data on the wire.
+    floor = one_pass()
     shutil.rmtree(droot, ignore_errors=True)
-    return w, ok
+    return w, floor, ok
 
 def follow_mirror_once():
     droot = tempfile.mkdtemp(prefix=f"fol_dst_{{cpus}}_")
@@ -112,13 +125,15 @@ def follow_mirror_once():
     shutil.rmtree(droot, ignore_errors=True)
     return w, ok
 
-sink_walls, follow_walls, ok = [], [], True
+sink_walls, floor_walls, follow_walls, ok = [], [], [], True
 for _ in range(2):
-    w, o = sink_mirror_once(); sink_walls.append(w); ok = ok and o
+    w, f, o = sink_mirror_once()
+    sink_walls.append(w); floor_walls.append(f); ok = ok and o
     w, o = follow_mirror_once(); follow_walls.append(w); ok = ok and o
 print("RESULT " + json.dumps({{
     "cpus": cpus,
     "sink_wall": min(sink_walls), "sink_walls": sink_walls,
+    "floor_wall": min(floor_walls), "floor_walls": floor_walls,
     "follow_wall": min(follow_walls), "follow_walls": follow_walls,
     "state_match": ok,
 }}))
@@ -173,6 +188,8 @@ def main() -> None:
             best = dict(a if a["sink_wall"] <= b["sink_wall"] else b)
             best["sink_wall"] = min(a["sink_wall"], b["sink_wall"])
             best["sink_walls"] = a["sink_walls"] + b["sink_walls"]
+            best["floor_wall"] = min(a["floor_wall"], b["floor_wall"])
+            best["floor_walls"] = a["floor_walls"] + b["floor_walls"]
             best["follow_wall"] = min(a["follow_wall"], b["follow_wall"])
             best["follow_walls"] = a["follow_walls"] + b["follow_walls"]
             best["state_match"] = a["state_match"] and b["state_match"]
@@ -190,6 +207,12 @@ def main() -> None:
         f"local{lo}": r_lo,
         f"local{hi}": r_hi,
         "sink_efficiency": round(r_lo["sink_wall"] / (factor * r_hi["sink_wall"]), 3),
+        # the same ratio after subtracting each level's own measured
+        # zero-work-poll floor — the scaling of the DATA PATH, which is what
+        # grows with cluster size; the floor is per-query, not per-byte.
+        "sink_data_efficiency": round(
+            max(r_lo["sink_wall"] - r_lo["floor_wall"], 1e-9)
+            / (factor * max(r_hi["sink_wall"] - r_hi["floor_wall"], 1e-9)), 3),
         "follow_efficiency": round(r_lo["follow_wall"] / (factor * r_hi["follow_wall"]), 3),
         # same-session cross-implementation ratio at each level (>1 = the
         # declarative sink pipeline is faster than the follower)
