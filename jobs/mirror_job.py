@@ -51,6 +51,11 @@ def main() -> None:
                         help="follower = imperative poll loop (default); "
                         "streaming = declarative lake_changes -> lake sink "
                         "pipeline on Spark's own checkpoint")
+    parser.add_argument("--max-versions-per-batch", type=int, default=0,
+                        help="streaming mode: source admission control — "
+                        "bound each steady-state micro-batch to N lake "
+                        "versions (0 = uncapped; the first batch after a "
+                        "restart is always uncapped, see lake_source.py)")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,11 +74,13 @@ def main() -> None:
 
         register_lake(spark)
         register_lake_changes(spark)
-        writer = (
-            prepare_lake_sink(
-                spark.readStream.format("lake_changes").load(source.root),
-                target.root,
+        reader = spark.readStream.format("lake_changes")
+        if args.max_versions_per_batch:
+            reader = reader.option(
+                "maxVersionsPerBatch", str(args.max_versions_per_batch)
             )
+        writer = (
+            prepare_lake_sink(reader.load(source.root), target.root)
             .writeStream.format("lake")
             .option("path", target.root)
             .option("checkpointLocation", args.checkpoint)

@@ -98,7 +98,8 @@ def test_spark_submit_replay_mirror_loop(tmp_path):
         "mirror_job.py", "--source", lake,
         "--target", str(tmp_path / "smirror"),
         "--checkpoint", str(tmp_path / "sckpt"),
-        "--max-polls", "0", "--mode", "streaming", cwd=work,
+        "--max-polls", "0", "--mode", "streaming",
+        "--max-versions-per-batch", "2", cwd=work,
     )[-1]
     assert smirror["mode"] == "streaming"
     assert smirror["mirror_checksum"] == replay["checksum"]
