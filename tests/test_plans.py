@@ -184,3 +184,34 @@ def test_cobucketed_join_no_shuffle(spark, tmp_path, sf_dir):
         assert plan_has_exchange(orders.join(li, "o_orderkey"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_chunking_and_text_gates_zero_shuffle(spark):
+    """The docstring claims for chunk_documents ('pure whole-stage-codegen
+    map with ZERO shuffles and no UDFs') and the single-pass text gate
+    family (quality/repetition), asserted on the physical plans: no
+    Exchange of any kind, no BatchEvalPython/ArrowEvalPython, and the map
+    stays inside WholeStageCodegen."""
+    from valentine_spark.operators.text import chunk_documents, repetition_stats
+    from valentine_spark.plans import explain_str
+
+    docs = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma "), F.repeat(F.lit("x y z w "), 200)).alias(
+            "text"
+        ),
+    )
+    for name, df in (
+        ("chunk", chunk_documents(docs, chunk_chars=64, overlap_chars=16)),
+        ("repetition", repetition_stats(docs)),
+    ):
+        plan = explain_str(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)  # no Python UDFs
+        # formatted mode marks codegen stages with '[codegen id : N]'
+        assert "codegen id" in plan or "WholeStageCodegen" in plan, (name, plan)
+    # sanity: the chunker actually emits overlapping windows
+    row = chunk_documents(docs, chunk_chars=64, overlap_chars=16).where(
+        "doc_id = '0' and chunk_id = 1"
+    ).collect()[0]
+    assert len(row.chunk_text) == 64
