@@ -60,3 +60,30 @@ q = (
     .start()
 )
 q.awaitTermination(120)
+
+# downstream, half 3 — the fully declarative mirror: the same changelog
+# source piped into the native exactly-once `lake` streaming sink.  Spark's
+# checkpoint carries the offset; the sink's applied-batch-id manifest makes
+# replays no-ops.  Zero driver loop code; `maxVersionsPerBatch` bounds each
+# steady-state micro-batch.
+from valentine_spark.sources.lake_batch import register_lake
+from valentine_spark.streaming.lake_sink import prepare_lake_sink
+
+register_lake(spark)
+mirror2 = LakeTable.create(f"{root}/mirror2", spark, n_buckets=16)
+q2 = (
+    prepare_lake_sink(
+        spark.readStream.format("lake_changes")
+        .option("maxVersionsPerBatch", "4")
+        .load(lake.root),
+        mirror2.root,
+    )
+    .writeStream.format("lake")
+    .option("path", mirror2.root)
+    .option("checkpointLocation", f"{root}/sink_ckpt")
+    .trigger(availableNow=True)
+    .start()
+)
+q2.awaitTermination(300)
+assert mirror2.state_checksum() == lake.state_checksum()
+print("declarative mirror matches source:", mirror2.state_checksum()["rows"], "rows")
