@@ -355,3 +355,49 @@ def test_max_versions_per_batch_streaming_end_to_end(spark, tmp_path):
         for r in lake.read().collect()
     }
     assert state == want
+
+
+def test_restart_from_expired_offset_fails_loudly(spark, tmp_path):
+    """Retention racing a lagging STREAM: if the checkpointed offset's
+    snapshot has been expired, a restart must fail with the actionable
+    retention message — never silently emit a wrong (non-incremental)
+    window.  This is the streaming-source counterpart of the follower's
+    SnapshotExpiredError full-resync (cdc/follow.py): a source cannot
+    auto-resync, because replaying the whole table as one "incremental"
+    batch would silently change downstream semantics."""
+    register_lake_changes(spark)
+    stream = synth_change_stream(spark, 3_000, 500, seed=211).cache()
+    lake = LakeTable.create(str(tmp_path / "l"), spark, n_buckets=2)
+    replay(lake, stream.where(F.col("lsn") < 1_000), batch_lsns=500, max_lsn=999)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_changes")
+            .load(lake.root)
+            .writeStream.foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # checkpoint now holds the current head offset
+
+    # advance several commits, then expire everything but the newest head:
+    # the checkpointed offset's snapshot JSON is gone
+    replay(
+        lake,
+        stream.where(F.col("lsn") >= 1_000),
+        batch_lsns=500,
+        batch_id_prefix="tail",
+        max_lsn=2_999,
+    )
+    lake.expire_snapshots(keep_last=1)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as exc:
+        run_once()
+    assert "expired by retention" in str(exc.value)
