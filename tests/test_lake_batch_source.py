@@ -252,3 +252,28 @@ def test_batch_changes_window_equals_changes(spark, tmp_path):
 
     with pytest.raises(Exception, match="fromVersion"):
         spark.read.format("lake_changes").load(lake.root).collect()
+
+
+def test_batch_changes_expired_window_fails_loudly(spark, tmp_path):
+    """A batch CDF window whose fromVersion snapshot was expired by
+    retention must fail with the actionable retention message (same
+    contract the streaming restart pins in test_lake_source) — never
+    serve a silently wrong diff."""
+    register_lake_changes(spark)
+    stream = synth_change_stream(spark, 2_000, 400, seed=311).cache()
+    lake = LakeTable.create(str(tmp_path / "l"), spark, n_buckets=2)
+    replay(lake, stream.where(F.col("lsn") < 1_000), batch_lsns=500, max_lsn=999)
+    v_old = lake.version
+    replay(
+        lake, stream.where(F.col("lsn") >= 1_000),
+        batch_lsns=500, batch_id_prefix="tail", max_lsn=1_999,
+    )
+    lake.expire_snapshots(keep_last=1)
+
+    with pytest.raises(Exception, match="expired by retention"):
+        (
+            spark.read.format("lake_changes")
+            .option("fromVersion", v_old)
+            .load(lake.root)
+            .collect()
+        )
