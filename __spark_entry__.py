@@ -2896,6 +2896,174 @@ SELECT * FROM sagg UNION ALL SELECT * FROM dlq
 """
 
 
+def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table WAL demux (cdc/router.py): wrap every event in a Maxwell
+    envelope whose ``table`` field routes it — ``reviews`` (event_id%3==0,
+    payload repo/path/commit/reviewer/score — a DIFFERENT schema) vs
+    ``files`` (repo/path/commit/lang/content) — with two corruption classes
+    by event_id%89 (0 → table "ghosts" nobody registered, 1 → truncated
+    JSON), then bulk-replay the one raw stream into TWO lake tables with
+    ``replay_routed`` (LSN-sliced multi-batch, threaded per-table applies,
+    per-table exactly-once) and report both tables' final LWW states plus
+    the dead-letter counts by reason.
+
+    The oracle never touches JSON: it replays both tables straight from
+    ``events`` with per-(table, key) LWW windows — a hash match proves the
+    shell routing, the per-table heterogeneous decode, and the per-table
+    MERGE replay compose losslessly.  Decode is two pruned ``from_json``
+    passes (shell + per-table), all JVM; applies are the engine's standard
+    merge path."""
+    from valentine_spark.cdc import LakeTable, decode_maxwell_routed, replay_routed
+
+    ev = _t(spark, sf_dir, "events")
+    files_schema = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("commit", StringType()),
+            StructField("lang", StringType()),
+            StructField("content", StringType()),
+        ]
+    )
+    reviews_schema = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("commit", StringType()),
+            StructField("reviewer", StringType()),
+            StructField("score", T.LongType()),
+        ]
+    )
+    m = F.pmod("event_id", F.lit(89))
+    tbl = (
+        F.when(m == 0, F.lit("ghosts"))
+        .when(F.pmod("event_id", F.lit(3)) == 0, F.lit("reviews"))
+        .otherwise(F.lit("files"))
+    )
+    typ = F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+        F.lit("update")
+    )
+    repo = F.concat(F.lit("r"), F.pmod("user_id", F.lit(13)))
+    path = F.concat(F.lit("p"), F.col("user_id"))
+    files_img = F.struct(
+        repo.alias("repo"), path.alias("path"), F.lit("head").alias("commit"),
+        F.col("event_type").alias("lang"), F.col("props").alias("content"),
+    )
+    reviews_img = F.struct(
+        repo.alias("repo"), path.alias("path"), F.lit("head").alias("commit"),
+        F.concat(F.lit("u"), F.pmod("user_id", F.lit(7))).alias("reviewer"),
+        F.col("event_id").cast("long").alias("score"),
+    )
+
+    def _envelope(img):
+        return F.to_json(
+            F.struct(
+                F.lit("gh").alias("database"),
+                tbl.alias("table"),
+                typ.alias("type"),
+                F.unix_timestamp(F.col("ts")).alias("ts"),
+                F.col("event_id").cast("long").alias("xid"),
+                F.concat(F.lit("mysql-bin.000001:"), F.col("event_id") + 1).alias(
+                    "position"
+                ),
+                img.alias("data"),
+            )
+        )
+
+    env = F.when(tbl == "reviews", _envelope(reviews_img)).otherwise(
+        _envelope(files_img)
+    )
+    raw = ev.select(
+        F.when(m == 1, F.substring(env, F.lit(1), F.length(env) - 5))
+        .otherwise(env)
+        .alias("value")
+    )
+    schemas = {"files": files_schema, "reviews": reviews_schema}
+    root = tempfile.mkdtemp(prefix="entry_lake_route_")
+    total = ev.count()
+    lakes = {
+        "files": LakeTable.create(
+            os.path.join(root, "files"), spark, n_buckets=8,
+            target_file_rows=max(total // 64, 1000),
+        ),
+        "reviews": LakeTable.create(
+            os.path.join(root, "reviews"), spark, schema=reviews_schema,
+            n_buckets=8, target_file_rows=max(total // 64, 1000),
+        ),
+    }
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    commits = replay_routed(
+        lakes, raw, schemas,
+        batch_lsns=max(int(max_id) // 2, 1) + 2,
+        parallelism=2,
+    )
+    assert len(commits) >= 2, "fixture must exercise the multi-slice path"
+    files_out = lakes["files"].read().select(
+        F.lit("files").alias("kind"), "repo", "path", "commit",
+        F.col("lang").alias("attr1"),
+        F.md5(F.coalesce("content", F.lit(""))).alias("attr2"),
+    )
+    reviews_out = lakes["reviews"].read().select(
+        F.lit("reviews").alias("kind"), "repo", "path", "commit",
+        F.col("reviewer").alias("attr1"),
+        F.col("score").cast("string").alias("attr2"),
+    )
+    null_s = F.lit(None).cast("string")
+    dlq_out = (
+        decode_maxwell_routed(raw, schemas)
+        .dead_letters.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("dlq").alias("kind"), F.col("reason").alias("repo"),
+            null_s.alias("path"), null_s.alias("commit"),
+            null_s.alias("attr1"), F.col("n").cast("string").alias("attr2"),
+        )
+    )
+    return files_out.unionByName(reviews_out).unionByName(dlq_out)
+
+
+_CDC_MULTI_TABLE_ROUTE_SQL = """
+WITH stream AS (
+  SELECT event_id, user_id, event_type, props,
+         to_timestamp(floor(epoch(ts))) AS op_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         CASE WHEN event_id % 89 = 0 THEN 'ghosts'
+              WHEN event_id % 3 = 0 THEN 'reviews'
+              ELSE 'files' END AS tbl,
+         event_id % 89 AS m
+  FROM events
+), keyed AS (
+  SELECT tbl, 'r' || (user_id % 13) AS repo, 'p' || user_id AS path,
+         'head' AS ckey, event_type, props,
+         'u' || (user_id % 7) AS reviewer, event_id, op_ts, op
+  FROM stream
+  WHERE m <> 1 AND tbl IN ('files', 'reviews')
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY tbl, repo, path, ckey
+                               ORDER BY op_ts DESC, event_id DESC) AS rn
+  FROM keyed
+), final AS (
+  SELECT * FROM winners WHERE rn = 1 AND op <> 'delete'
+), dlq AS (
+  SELECT 'dlq' AS kind,
+         CASE WHEN m = 1 THEN 'unparseable' ELSE 'unknown_table' END AS repo,
+         CAST(NULL AS VARCHAR) AS path, CAST(NULL AS VARCHAR) AS "commit",
+         CAST(NULL AS VARCHAR) AS attr1, CAST(count(*) AS VARCHAR) AS attr2
+  FROM stream WHERE m = 1 OR tbl = 'ghosts'
+  GROUP BY 1, 2
+)
+SELECT 'files' AS kind, repo, path, ckey AS "commit", event_type AS attr1,
+       md5(coalesce(props, '')) AS attr2
+FROM final WHERE tbl = 'files'
+UNION ALL
+SELECT 'reviews' AS kind, repo, path, ckey AS "commit", reviewer AS attr1,
+       CAST(event_id AS VARCHAR) AS attr2
+FROM final WHERE tbl = 'reviews'
+UNION ALL
+SELECT * FROM dlq
+"""
+
+
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance end-to-end: bootstrap a per-language
     (files, bytes) aggregate from the half-replayed lake, then roll it
@@ -3252,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_widening": cdc_type_widening,
         "cdc_column_defaults": cdc_column_defaults,
         "cdc_wal_decode": cdc_wal_decode,
+        "cdc_multi_table_route": cdc_multi_table_route,
         "cdc_stats_scan": cdc_stats_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
         "cdc_mutate_where": cdc_mutate_where,
@@ -3344,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_type_widening": _CDC_WIDEN_SQL,
         "cdc_column_defaults": _CDC_DEFAULTS_SQL,
         "cdc_wal_decode": _CDC_WAL_DECODE_SQL,
+        "cdc_multi_table_route": _CDC_MULTI_TABLE_ROUTE_SQL,
         "cdc_stats_scan": _CDC_STATS_SCAN_SQL,
         "cdc_zorder_scan": _CDC_ZORDER_SQL,
         "cdc_mutate_where": _CDC_MUTATE_SQL,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "embedding_ivfpq_topk",
     "dedup_ngram_prefix",
     "cdc_wal_decode",
+    "cdc_multi_table_route",
     "cdc_merge_into",
     "cdc_wap_publish",
     "cdc_lww_stream",

@@ -25,6 +25,7 @@ from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
 from .lake import BucketLayoutChangedError, CommitConflictError, LakeTable, bucket_expr
 from .merge_into import MergeCardinalityError, MergeIntoBuilder
+from .router import RoutedStream, apply_routed, decode_maxwell_routed, replay_routed
 from .wal import (
     DecodedStream,
     debezium_envelope_schema,
@@ -64,8 +65,12 @@ __all__ = [
     "PAYLOAD_COLS",
     "STREAM_COLS",
     "DecodedStream",
+    "RoutedStream",
     "decode_debezium",
     "decode_maxwell",
+    "decode_maxwell_routed",
+    "apply_routed",
+    "replay_routed",
     "debezium_envelope_schema",
     "maxwell_envelope_schema",
     "maxwell_position_lsn",

@@ -1,0 +1,246 @@
+"""Multi-table WAL routing — one binlog tail, many lake tables.
+
+A real binlog/WAL carries changes for MANY tables interleaved in one
+totally-ordered stream (MySQL's binlog, Postgres' WAL).  Maxwell publishes
+that stream as-is: every envelope carries ``database``/``table`` fields and
+consumers demultiplex.  (Debezium instead demultiplexes UPSTREAM — one
+Kafka topic per table — so for Debezium the router is the topic
+subscription, not an in-band concern; this module is the Maxwell-shaped,
+in-band half.)
+
+This module routes one raw envelope stream to N per-table canonical change
+streams and applies each to its own :class:`~valentine_spark.cdc.lake.LakeTable`
+with per-table exactly-once:
+
+* :func:`decode_maxwell_routed` — one cheap "shell" parse classifies every
+  record (unparseable / missing_table / unknown_table / routed); each routed
+  slice is then fully decoded with its OWN payload schema via
+  :func:`~valentine_spark.cdc.wal.decode_maxwell`, so heterogeneous payloads
+  coexist in one stream.  Dead letters from every level are unioned with a
+  ``table`` tag.
+* :func:`apply_routed` — applies each table's slice with batch id
+  ``{batch_id}/{table}``: per-table idempotence rides the lake's own commit
+  manifest, so a crash between table applies resumes exactly where it
+  stopped (already-applied tables skip, the rest apply) with no coordination
+  beyond the per-table manifests.
+
+Key contract: every routed table shares the engine's canonical key triple
+(``KEY_COLS`` = repo, path, commit) — the lake's bucket layout is keyed on
+it structurally (``cdc/lake.py::khash_expr``).  Payload columns are free per
+table (including nested types).
+
+Reference semantics grounding: the reference (delftdata/valentine) has no
+streaming surface; multi-table demux is new construction required by the
+CDC north star ("tails a binlog/WAL-style change stream" — real WAL tails
+are multi-table).  Envelope shape follows Maxwell's published wire format.
+
+Scale notes (100 TB / 10^10 events):
+  * each source row is parsed at most twice — once by the shell parse
+    (pruned to ``table`` + corrupt flag; Catalyst's JSON schema pruning
+    keeps this narrow) and once by its table's full decode.  Unknown /
+    corrupt rows are parsed once.  All decode work is JVM ``from_json`` +
+    projections, zero Python, zero shuffles;
+  * the per-table applies are independent jobs over disjoint row sets —
+    ``parallelism > 1`` submits them from a thread pool so Spark's
+    scheduler interleaves N applies' stages across the cluster (per-table
+    skew no longer serializes the batch: a small table's apply finishes
+    and frees its slots while the monorepo table is still merging);
+  * with very many tables (10^3+), shell-routing cost stays one pass, but
+    T tiny applies pay T commit floors — batch small tables less often
+    (their LSN watermarks make unapplied slices recoverable) or group them
+    behind fewer lakes;
+  * a caller materializing every table's slice should ``.persist()`` the
+    raw frame first (same guidance as ``cdc/wal.py``); each slice alone is
+    one pass.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, NamedTuple, Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .apply import apply_batch
+from .lake import LakeTable
+from .wal import CORRUPT_COL, DecodedStream, decode_maxwell
+
+
+class RoutedStream(NamedTuple):
+    """Result of a routed decode: one canonical change stream per table
+    plus the unified dead-letter frame (table, raw, reason) — ``table`` is
+    the envelope's claim (NULL when the shell never parsed), ``reason`` the
+    deterministic first-match quarantine class."""
+
+    streams: Dict[str, DataFrame]
+    dead_letters: DataFrame
+
+
+#: Shell schema: just enough of the Maxwell envelope to route — the table
+#: name and the parser's corrupt flag.  Catalyst prunes from_json to these.
+_SHELL = StructType(
+    [
+        StructField("table", StringType()),
+        StructField(CORRUPT_COL, StringType()),
+    ]
+)
+
+_DEAD_SCHEMA = "table string, raw string, reason string"
+
+
+def decode_maxwell_routed(
+    raw: DataFrame,
+    schemas: Dict[str, StructType],
+    json_col: str = "value",
+) -> RoutedStream:
+    """Demultiplex a multi-table Maxwell envelope stream.
+
+    ``schemas`` maps table name -> payload schema (each may differ; all must
+    contain the canonical key columns).  Routing cascade, first match:
+    ``unparseable`` (shell-level corrupt / null input) -> ``missing_table``
+    -> ``unknown_table`` -> routed to the table's own
+    :func:`~valentine_spark.cdc.wal.decode_maxwell`, whose per-record
+    quarantine (missing op / lsn / ts / image / key) then applies with the
+    table tag attached.
+    """
+    if not schemas:
+        raise ValueError("decode_maxwell_routed: schemas must name at least one table")
+    shell = raw.withColumn(
+        "_shell",
+        F.from_json(F.col(json_col), _SHELL, {"columnNameOfCorruptRecord": CORRUPT_COL}),
+    )
+    s = F.col("_shell")
+    tbl = s["table"]
+    unparseable = s.isNull() | s[CORRUPT_COL].isNotNull()
+    reason = (
+        F.when(unparseable, F.lit("unparseable"))
+        .when(tbl.isNull(), F.lit("missing_table"))
+        .when(~tbl.isin(*schemas), F.lit("unknown_table"))
+    )
+    tagged = shell.select(
+        F.col(json_col), tbl.alias("_tbl"), reason.alias("_reason")
+    )
+    shell_dead = tagged.where(F.col("_reason").isNotNull()).select(
+        F.col("_tbl").alias("table"),
+        F.col(json_col).alias("raw"),
+        F.col("_reason").alias("reason"),
+    )
+    streams: Dict[str, DataFrame] = {}
+    dead = shell_dead
+    for name in sorted(schemas):
+        slice_raw = tagged.where(
+            F.col("_reason").isNull() & (F.col("_tbl") == name)
+        ).select(json_col)
+        decoded: DecodedStream = decode_maxwell(slice_raw, schemas[name], json_col=json_col)
+        streams[name] = decoded.stream
+        dead = dead.unionByName(
+            decoded.dead_letters.select(
+                F.lit(name).alias("table"), "raw", "reason"
+            )
+        )
+    return RoutedStream(streams, dead)
+
+
+def apply_routed(
+    tables: Dict[str, LakeTable],
+    streams: Dict[str, DataFrame],
+    batch_id: str,
+    *,
+    modes: Optional[Dict[str, str]] = None,
+    parallelism: int = 1,
+    **apply_kw,
+) -> Dict[str, dict]:
+    """Apply one multi-table batch, each table exactly-once.
+
+    Every table named in ``streams`` must have a lake in ``tables``; tables
+    with no events this batch are simply absent from ``streams`` and stay
+    untouched.  Each table commits under batch id ``{batch_id}/{table}``,
+    so re-running the whole routed batch after a crash is idempotent
+    per-table: already-committed tables return ``{"skipped": True}``, the
+    rest apply.  ``modes`` optionally overrides the merge write mode per
+    table ("cow"/"mor"); remaining keyword arguments pass through to
+    :func:`~valentine_spark.cdc.apply.apply_batch` for all tables.
+
+    ``parallelism > 1`` runs the per-table applies from a thread pool —
+    safe because each apply touches only its own table root, and Spark's
+    scheduler interleaves the submitted jobs.  Results are keyed by table
+    and identical to the sequential order (table order never affects any
+    single table's commit).
+    """
+    missing = sorted(set(streams) - set(tables))
+    if missing:
+        raise KeyError(
+            f"apply_routed: no lake registered for routed table(s) {missing}; "
+            f"known tables: {sorted(tables)}"
+        )
+    modes = modes or {}
+
+    def _one(name: str) -> dict:
+        return apply_batch(
+            tables[name],
+            streams[name],
+            f"{batch_id}/{name}",
+            mode=modes.get(name),
+            **apply_kw,
+        )
+
+    names = sorted(streams)
+    if parallelism <= 1 or len(names) <= 1:
+        return {name: _one(name) for name in names}
+    with ThreadPoolExecutor(max_workers=min(parallelism, len(names))) as pool:
+        futs = {name: pool.submit(_one, name) for name in names}
+        return {name: fut.result() for name, fut in futs.items()}
+
+
+def replay_routed(
+    tables: Dict[str, LakeTable],
+    raw: DataFrame,
+    schemas: Dict[str, StructType],
+    batch_lsns: int = 1_000_000,
+    batch_id_prefix: str = "wal",
+    json_col: str = "value",
+    parallelism: int = 1,
+    **apply_kw,
+) -> list:
+    """Bulk-replay a multi-table raw envelope stream in LSN slices.
+
+    Decodes once (:func:`decode_maxwell_routed`), then applies successive
+    global-LSN ranges with :func:`apply_routed` — the multi-table analogue
+    of :func:`~valentine_spark.cdc.apply.replay`.  The LSN range filter is
+    applied per table slice and pushes into that slice's decode plan.
+    Returns ``[{table: commit_result, ...}, ...]`` per slice; fully
+    resumable (slice x table batch ids repeat).
+    """
+    routed = decode_maxwell_routed(raw, schemas, json_col=json_col)
+    bounds = [
+        df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+        for df in routed.streams.values()
+    ]
+    bounds = [(b["lo"], b["hi"]) for b in bounds if b["hi"] is not None]
+    if not bounds:
+        return []
+    min_lsn = min(b[0] for b in bounds)
+    max_lsn = max(b[1] for b in bounds)
+    out = []
+    # Maxwell LSNs are file-packed (~2^40-sized); slicing from 0 would walk
+    # millions of empty ranges, so start at the stream's own floor.
+    lo = (min_lsn // batch_lsns) * batch_lsns
+    while lo <= max_lsn:
+        hi = lo + batch_lsns
+        sliced = {
+            name: df.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            for name, df in routed.streams.items()
+        }
+        out.append(
+            apply_routed(
+                tables,
+                sliced,
+                f"{batch_id_prefix}-{lo}-{hi}",
+                parallelism=parallelism,
+                watermark_lsn=min(hi - 1, max_lsn),
+                **apply_kw,
+            )
+        )
+        lo = hi
+    return out
