@@ -1777,6 +1777,41 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style snapshot-then-stream initial load (cdc/apply.py
+    ``bootstrap_snapshot``/``snapshot_then_stream``): install the source's
+    consistent image as of the WAL midpoint (LWW winners minus deletes —
+    what a snapshotting connector reads), which fences every bucket's
+    watermark at that LSN, then tail the stream FROM LSN 1 — maximal
+    overlap.  The fence drops every pre-snapshot event before the merge, so
+    deletes can't be resurrected by their own fenced-out earlier upserts
+    and overlapping replay costs no correctness.  Sharing ``_CDC_REPLAY_SQL``
+    makes the driver's hash check the handoff proof: the overlapped
+    snapshot+tail state is indistinguishable from a from-zero replay."""
+    from valentine_spark.cdc import LakeTable, lww_dedup, snapshot_then_stream
+
+    ev = _t(spark, sf_dir, "events")
+    stream = _wal_stream(spark, sf_dir)
+    total = ev.count()
+    half = total // 2
+    snapshot = (
+        lww_dedup(stream.where(F.col("lsn") <= half))
+        .where(F.col("op") != "delete")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    root = tempfile.mkdtemp(prefix="entry_lake_handoff_")
+    lake = LakeTable.create(os.path.join(root, "t"), spark, n_buckets=8)
+    boot, commits = snapshot_then_stream(
+        lake, snapshot, half, stream, batch_lsns=_batch_lsns(total)
+    )
+    assert not boot.get("skipped") and commits
+    assert min(lake.watermarks().values()) >= half, "snapshot must fence all buckets"
+    return lake.read().select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def cdc_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three MERGE-ON-READ writers RACE key-disjoint slices of the full WAL
     into one lake table through the optimistic put-if-absent commit
@@ -3409,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_topk": embedding_ivfpq_topk,
         "cdc_lww_stream": cdc_lww_stream,
         "cdc_replay_state": cdc_replay_state,
+        "cdc_snapshot_handoff": cdc_snapshot_handoff,
         "cdc_replay_state_mor": cdc_replay_state_mor,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_rebucket_replay": cdc_rebucket_replay,
@@ -3490,6 +3526,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivfpq_topk": _ivfpq_oracle_sql(),
         "cdc_lww_stream": _CDC_LWW_SQL,
         "cdc_replay_state": _CDC_REPLAY_SQL,
+        "cdc_snapshot_handoff": _CDC_REPLAY_SQL,
         # merge-on-read replay resolves to the SAME final state — same oracle
         "cdc_replay_state_mor": _CDC_REPLAY_SQL,
         # three racing optimistic writers over key-disjoint slices must

@@ -6,11 +6,13 @@ Valentine-matcher schema evolution."""
 from .apply import (
     apply_batch,
     batch_watermarks,
+    bootstrap_snapshot,
     lww_dedup,
     lww_dedup_window,
     oracle_replay,
     replay,
     resume_replay,
+    snapshot_then_stream,
 )
 from .drift import resolve_drift
 from .follow import (
@@ -45,6 +47,8 @@ __all__ = [
     "apply_batch",
     "replay",
     "resume_replay",
+    "bootstrap_snapshot",
+    "snapshot_then_stream",
     "lww_dedup",
     "lww_dedup_window",
     "batch_watermarks",

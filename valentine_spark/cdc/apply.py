@@ -327,6 +327,81 @@ def resume_replay(
     return replay(lake, filtered, batch_lsns=batch_lsns, batch_id_prefix=batch_id_prefix, **kw)
 
 
+def bootstrap_snapshot(
+    lake: LakeTable,
+    snapshot: DataFrame,
+    snapshot_lsn: int,
+    batch_id: str = "snapshot",
+    op_ts_epoch: int = 0,
+    **apply_kw,
+) -> dict:
+    """Debezium-style initial load: install a consistent source snapshot
+    taken at LSN ``snapshot_lsn``, fencing the table so a subsequently
+    tailed stream can OVERLAP the snapshot arbitrarily and still converge.
+
+    ``snapshot`` carries payload rows only (key + payload columns, one row
+    per live key — the source state as of ``snapshot_lsn``); this helper
+    stamps them as ``upsert`` events at ``snapshot_lsn`` and applies them
+    as one exactly-once batch whose commit advances EVERY bucket's high
+    watermark to ``snapshot_lsn``.  From then on ``resume_replay`` drops
+    all events at or below the watermark before applying — so the tail may
+    start anywhere at or before ``snapshot_lsn`` (Debezium's snapshot-then-
+    stream handoff, Maxwell's bootstrap rows): pre-snapshot events are
+    already reflected in the snapshot, including deletes (a key removed
+    before the snapshot is simply absent, and its fenced-out earlier
+    upserts can never resurrect it).
+
+    The stamped ``op_ts`` is ``op_ts_epoch`` (default 0): the lake stores
+    payload only and cross-batch precedence is application order, so the
+    stamp never competes with tail events — it exists to satisfy the
+    stream schema deterministically.
+
+    Crash-safe: re-running the bootstrap skips on ``batch_id``; a crash
+    between bootstrap and the first tail poll re-enters cleanly (the
+    watermarks are already fenced).  Rows in ``snapshot`` must be unique
+    per key (a consistent snapshot is); LWW dedup runs regardless, so a
+    duplicated key would resolve deterministically rather than corrupt.
+    """
+    reserved = [c for c in META_COLS if c in snapshot.columns]
+    if reserved:
+        raise ValueError(
+            f"bootstrap_snapshot: snapshot must carry payload columns only, "
+            f"found stream metadata column(s) {reserved} — a snapshot has no "
+            "per-row LSN; pass the consistent point as snapshot_lsn"
+        )
+    events = snapshot.select(
+        F.lit(int(snapshot_lsn)).cast("long").alias("lsn"),
+        F.timestamp_seconds(F.lit(op_ts_epoch)).alias("op_ts"),
+        F.lit("upsert").alias("op"),
+        *snapshot.columns,
+    )
+    return apply_batch(
+        lake, events, batch_id, watermark_lsn=int(snapshot_lsn), **apply_kw
+    )
+
+
+def snapshot_then_stream(
+    lake: LakeTable,
+    snapshot: DataFrame,
+    snapshot_lsn: int,
+    stream: DataFrame,
+    batch_lsns: int = 1_000_000,
+    batch_id_prefix: str = "tail",
+    snapshot_batch_id: str = "snapshot",
+    **replay_kw,
+) -> tuple:
+    """The full initial-load handoff: :func:`bootstrap_snapshot`, then
+    :func:`resume_replay` of the (possibly overlapping) tail.  Returns
+    ``(bootstrap_commit, tail_commits)``.  Idempotent end-to-end — crash
+    anywhere and re-run with the same arguments."""
+    boot = bootstrap_snapshot(lake, snapshot, snapshot_lsn, batch_id=snapshot_batch_id)
+    commits = resume_replay(
+        lake, stream, batch_lsns=batch_lsns, batch_id_prefix=batch_id_prefix,
+        **replay_kw,
+    )
+    return boot, commits
+
+
 def oracle_replay(events_rows, base_rows=None) -> dict:
     """Single-threaded reference replay (tests): returns {key: row_dict} after
     applying events in (op_ts, lsn) order."""
