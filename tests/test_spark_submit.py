@@ -104,3 +104,22 @@ def test_spark_submit_replay_mirror_loop(tmp_path):
     assert smirror["mode"] == "streaming"
     assert smirror["mirror_checksum"] == replay["checksum"]
     assert smirror["mirror_rows"] == replay["rows"]
+
+    # 5. multi-table WAL routing entry point: one envelope stream fans out
+    # to two lakes; re-run is a per-(slice, table) no-op
+    routed = _submit(
+        "route_job.py", "--lake-root", str(tmp_path / "routed"),
+        "--events", "3000", "--n-tables", "2", "--batch-lsns", "1000",
+        "--n-buckets", "4", cwd=work,
+    )[-1]
+    assert set(routed["tables"]) == {"t0", "t1"}
+    assert all(t["rows"] > 0 for t in routed["tables"].values())
+    assert routed["commits"] >= 2 and routed["dead_letters"] == {}
+    assert routed["events_total"] == 3000
+    rerun = _submit(
+        "route_job.py", "--lake-root", str(tmp_path / "routed"),
+        "--events", "3000", "--n-tables", "2", "--batch-lsns", "1000",
+        "--n-buckets", "4", cwd=work,
+    )[-1]
+    assert rerun["commits"] == 0 and rerun["skipped"] >= 2
+    assert rerun["tables"] == routed["tables"]
