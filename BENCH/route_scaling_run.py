@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling proxy for multi-table WAL routing
+(cdc/router.py), same protocol as merge_into_scaling_run.py: the raw
+envelope stream is materialized to parquet ONCE by an untimed builder at
+fixed parallelism (both levels read identical bytes), then fresh
+taskset-pinned JVMs at N and 4N cores run the FULL routed ingest —
+shell-parse routing, per-table heterogeneous decode, LSN-sliced
+replay_routed into four fresh lakes — interleaved (lo,hi,lo,hi), best-of-
+trials, cross-level per-table state-checksum equality.
+
+What this measures beyond scaling_16m (single-table replay): the demux
+tax — two from_json passes instead of zero (the plain replay consumes an
+already-tabular stream) — and whether T independent per-table applies
+keep all cores busy (parallelism=4 thread-pooled applies).
+
+Usage: python BENCH/route_scaling_run.py [n_events] [--cpus 4,16]
+       [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+N_TABLES = 4
+
+BUILDER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+root = sys.argv[1]; n = int(sys.argv[2]); n_tables = int(sys.argv[3])
+tmpfs = os.environ.get("SCALING_TMPFS")
+builder = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.driver.memory", "16g")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false"))
+if tmpfs:
+    builder = builder.config("spark.local.dir", os.path.join(tmpfs, "spark_local_b"))
+spark = builder.getOrCreate()
+from valentine_spark.cdc import synth_change_stream
+ev = synth_change_stream(spark, n, n // 10)
+tbl = F.concat(F.lit("t"),
+               F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_tables)))
+raw = ev.select(F.to_json(F.struct(
+    F.lit("gh").alias("database"),
+    tbl.alias("table"),
+    F.when(F.col("op") == "delete", F.lit("delete"))
+     .otherwise(F.lit("update")).alias("type"),
+    F.unix_timestamp("op_ts").alias("ts"),
+    F.col("lsn").alias("xid"),
+    F.concat(F.lit("mysql-bin.000001:"), F.col("lsn")).alias("position"),
+    F.struct("repo", "path", "commit", "lang", "content").alias("data"),
+)).alias("value"))
+raw.repartition(32).write.mode("overwrite").parquet(os.path.join(root, "raw"))
+print("BUILT " + json.dumps({{"n": n}}))
+"""
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+cpus = int(sys.argv[1]); root = sys.argv[2]; trial_tag = sys.argv[3]
+n = int(sys.argv[4]); n_tables = int(sys.argv[5])
+builder = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "16g")
+         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false"))
+tmpfs = os.environ.get("SCALING_TMPFS")
+if tmpfs:
+    tempfile.tempdir = tmpfs
+    builder = builder.config("spark.local.dir",
+                             os.path.join(tmpfs, f"spark_local_{{cpus}}"))
+spark = builder.getOrCreate()
+from valentine_spark.cdc import LakeTable, replay_routed
+ddl = "repo string, path string, commit string, lang string, content string"
+schemas = {{f"t{{i}}": T.StructType.fromDDL(ddl) for i in range(n_tables)}}
+raw = spark.read.parquet(os.path.join(root, "raw"))
+raw.count()  # warm the scan; identical input bytes across levels
+
+n_trials = int(os.environ.get("SCALING_TRIALS", "2"))
+walls, sig = [], None
+for t in range(n_trials):
+    lroot = tempfile.mkdtemp(prefix=f"route_{{trial_tag}}_{{t}}_")
+    lakes = {{name: LakeTable.create(os.path.join(lroot, name), spark,
+                                     n_buckets=64)
+              for name in schemas}}
+    t0 = time.time()
+    replay_routed(lakes, raw, schemas, batch_lsns=max(n // 4, 1),
+                  parallelism=4)
+    walls.append(time.time() - t0)
+    sig = {{name: str(lake.state_checksum()["checksum"])
+            for name, lake in sorted(lakes.items())}}
+    shutil.rmtree(lroot, ignore_errors=True)
+
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "wall": min(walls), "walls": walls,
+    "events_per_sec": round(n / min(walls), 1),
+    "checksums": sig,
+}}))
+"""
+
+
+def _run(cmd, timeout=4000):
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+
+
+def run_level(repo: str, cpus: int, root: str, tag: str, n: int) -> dict:
+    script = WORKER.format(repo=repo)
+    cmd = [sys.executable, "-c", script, str(cpus), root, tag, str(n), str(N_TABLES)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = _run(cmd)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+    )
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8_000_000
+    lo, hi = 4, 16
+    if "--cpus" in sys.argv:
+        lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
+    factor = hi / lo
+    tmpfs = os.environ.get("SCALING_TMPFS")
+    if tmpfs:
+        os.makedirs(tmpfs, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="route_src_", dir=tmpfs or None)
+    load_pre = round(os.getloadavg()[0], 2)
+    try:
+        out = _run([sys.executable, "-c", BUILDER.format(repo=repo), root,
+                    str(n_events), str(N_TABLES)])
+        if not any(l.startswith("BUILT ") for l in out.stdout.splitlines()):
+            raise RuntimeError(f"builder failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+        rounds = int(os.environ.get("SCALING_INTERLEAVE", "2"))
+        r_lo = r_hi = None
+
+        def _better(a, b):
+            if a is None:
+                return b
+            best = dict(a if a["wall"] <= b["wall"] else b)
+            best["walls"] = a["walls"] + b["walls"]
+            return best
+
+        for i in range(max(1, rounds)):
+            r_lo = _better(r_lo, run_level(repo, lo, root, f"r{i}a", n_events))
+            r_hi = _better(r_hi, run_level(repo, hi, root, f"r{i}b", n_events))
+        load_post = round(os.getloadavg()[0], 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    if r_lo["checksums"] != r_hi["checksums"]:
+        raise RuntimeError(
+            f"cross-level state mismatch: {r_lo['checksums']} vs {r_hi['checksums']}"
+        )
+    result = {
+        "n_events": n_events,
+        "n_tables": N_TABLES,
+        f"local{lo}": r_lo,
+        f"local{hi}": r_hi,
+        "efficiency": round(r_lo["wall"] / (factor * r_hi["wall"]), 3),
+        "state_checksum_match": True,
+        "loadavg_pre_1m": load_pre,
+        "loadavg_post_1m": load_post,
+    }
+    out_path = None
+    if "--json" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+    print(json.dumps(result))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
