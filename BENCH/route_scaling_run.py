@@ -87,6 +87,7 @@ raw = spark.read.parquet(os.path.join(root, "raw"))
 raw.count()  # warm the scan; identical input bytes across levels
 
 n_trials = int(os.environ.get("SCALING_TRIALS", "2"))
+cache = os.environ.get("ROUTE_CACHE", "1") == "1"
 walls, sig = [], None
 for t in range(n_trials):
     lroot = tempfile.mkdtemp(prefix=f"route_{{trial_tag}}_{{t}}_")
@@ -95,7 +96,7 @@ for t in range(n_trials):
               for name in schemas}}
     t0 = time.time()
     replay_routed(lakes, raw, schemas, batch_lsns=max(n // 4, 1),
-                  parallelism=4)
+                  parallelism=4, cache_streams=cache)
     walls.append(time.time() - t0)
     sig = {{name: str(lake.state_checksum()["checksum"])
             for name, lake in sorted(lakes.items())}}
@@ -167,6 +168,7 @@ def main() -> None:
     result = {
         "n_events": n_events,
         "n_tables": N_TABLES,
+        "cache_streams": os.environ.get("ROUTE_CACHE", "1") == "1",
         f"local{lo}": r_lo,
         f"local{hi}": r_hi,
         "efficiency": round(r_lo["wall"] / (factor * r_hi["wall"]), 3),

@@ -201,46 +201,70 @@ def replay_routed(
     batch_id_prefix: str = "wal",
     json_col: str = "value",
     parallelism: int = 1,
+    cache_streams: bool = True,
     **apply_kw,
 ) -> list:
     """Bulk-replay a multi-table raw envelope stream in LSN slices.
 
     Decodes once (:func:`decode_maxwell_routed`), then applies successive
     global-LSN ranges with :func:`apply_routed` — the multi-table analogue
-    of :func:`~valentine_spark.cdc.apply.replay`.  The LSN range filter is
-    applied per table slice and pushes into that slice's decode plan.
-    Returns ``[{table: commit_result, ...}, ...]`` per slice; fully
-    resumable (slice x table batch ids repeat).
+    of :func:`~valentine_spark.cdc.apply.replay`.  Returns
+    ``[{table: commit_result, ...}, ...]`` per slice; fully resumable
+    (slice x table batch ids repeat).
+
+    ``cache_streams`` (default on) persists each table's DECODED canonical
+    stream for the duration of the replay: the per-slice LSN filter cannot
+    push below ``from_json``, so without the cache every slice re-reads
+    and re-parses the table's whole raw slice — an S-slice replay would
+    pay ~S+1 full parse passes (plus ~2 internal scans per apply).  With
+    it, the parse runs once per table (the LSN-bounds job materializes the
+    cache) and all slice scans are cache hits.  Turn off only when the
+    decoded stream is far larger than cluster storage memory — the cache
+    spills to executor disk before failing, so that trade is throughput,
+    not stability.
     """
+    from pyspark import StorageLevel
+
     routed = decode_maxwell_routed(raw, schemas, json_col=json_col)
-    bounds = [
-        df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
-        for df in routed.streams.values()
-    ]
-    bounds = [(b["lo"], b["hi"]) for b in bounds if b["hi"] is not None]
-    if not bounds:
-        return []
-    min_lsn = min(b[0] for b in bounds)
-    max_lsn = max(b[1] for b in bounds)
-    out = []
-    # Maxwell LSNs are file-packed (~2^40-sized); slicing from 0 would walk
-    # millions of empty ranges, so start at the stream's own floor.
-    lo = (min_lsn // batch_lsns) * batch_lsns
-    while lo <= max_lsn:
-        hi = lo + batch_lsns
-        sliced = {
-            name: df.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-            for name, df in routed.streams.items()
+    streams = routed.streams
+    if cache_streams:
+        streams = {
+            name: df.persist(StorageLevel.MEMORY_AND_DISK)
+            for name, df in streams.items()
         }
-        out.append(
-            apply_routed(
-                tables,
-                sliced,
-                f"{batch_id_prefix}-{lo}-{hi}",
-                parallelism=parallelism,
-                watermark_lsn=min(hi - 1, max_lsn),
-                **apply_kw,
+    try:
+        bounds = [
+            df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+            for df in streams.values()
+        ]
+        bounds = [(b["lo"], b["hi"]) for b in bounds if b["hi"] is not None]
+        if not bounds:
+            return []
+        min_lsn = min(b[0] for b in bounds)
+        max_lsn = max(b[1] for b in bounds)
+        out = []
+        # Maxwell LSNs are file-packed (~2^40-sized); slicing from 0 would
+        # walk millions of empty ranges, so start at the stream's own floor.
+        lo = (min_lsn // batch_lsns) * batch_lsns
+        while lo <= max_lsn:
+            hi = lo + batch_lsns
+            sliced = {
+                name: df.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+                for name, df in streams.items()
+            }
+            out.append(
+                apply_routed(
+                    tables,
+                    sliced,
+                    f"{batch_id_prefix}-{lo}-{hi}",
+                    parallelism=parallelism,
+                    watermark_lsn=min(hi - 1, max_lsn),
+                    **apply_kw,
+                )
             )
-        )
-        lo = hi
-    return out
+            lo = hi
+        return out
+    finally:
+        if cache_streams:
+            for df in streams.values():
+                df.unpersist()
