@@ -158,6 +158,48 @@ def test_parallel_equals_sequential(spark, tmp_path):
         assert seq[name].state_checksum() == par[name].state_checksum()
 
 
+def test_routed_drift_automap(spark, tmp_path):
+    """Composition with the schema-evolution subsystem: one routed table's
+    connector registers a drifted payload schema (lang -> language), and
+    apply_routed resolves it through the standard matcher cascade — the
+    mapping lands in that table's commit lineage, the other table is
+    untouched."""
+    drifted_files = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("commit", StringType()),
+            StructField("language", StringType()),
+            StructField("content", StringType()),
+        ]
+    )
+
+    def _env_drifted(i, offset):
+        d = _data("files", i)
+        d["language"] = d.pop("lang")
+        env = {
+            "database": "gh", "table": "files", "type": "insert",
+            "ts": 1_700_000_000 + i, "xid": i,
+            "position": f"mysql-bin.000001:{offset}", "data": d, "old": None,
+        }
+        return json.dumps(env)
+
+    rows = [_env_drifted(i, i + 1) for i in range(12)] + [
+        _env("reviews", i, "insert", offset=100 + i) for i in range(5)
+    ]
+    lakes = _mklakes(spark, tmp_path)
+    routed = decode_maxwell_routed(
+        _raw(spark, rows), {"files": drifted_files, "reviews": REVIEWS}
+    )
+    res = apply_routed(lakes, routed.streams, "b1")
+    assert not res["files"].get("skipped")
+    got = lakes["files"].read()
+    assert "lang" in got.columns and "language" not in got.columns
+    assert got.where(F.col("lang").isNotNull()).count() == 12
+    assert res["files"].get("drift_mapping") == {"language": "lang"}
+    assert lakes["reviews"].read().count() == 5
+
+
 def test_replay_routed_matches_oracle(spark, tmp_path):
     rows = []
     for i in range(30):
