@@ -212,6 +212,14 @@ def replay_routed(
     ``[{table: commit_result, ...}, ...]`` per slice; fully resumable
     (slice x table batch ids repeat).
 
+    Cross-slice precedence is APPLICATION order (slices commit in LSN
+    order; a later slice's MERGE overwrites), so convergence to the global
+    per-key (op_ts, lsn) LWW image relies on the binlog invariant every
+    replay in this engine assumes: op_ts non-decreasing in LSN.  A stream
+    violating it (commit timestamps jumping backwards across slice
+    boundaries) converges to LSN order, not timestamp order — the
+    router fuzz (tests/test_router_fuzz.py) pins this contract.
+
     ``cache_streams`` (default on) persists each table's DECODED canonical
     stream for the duration of the replay: the per-slice LSN filter cannot
     push below ``from_json``, so without the cache every slice re-reads
