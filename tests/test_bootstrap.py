@@ -95,6 +95,21 @@ def test_bootstrap_exactly_once_and_resume_idempotent(spark, tmp_path, stream):
     assert lake.state_checksum() == before
 
 
+def test_bootstrap_from_another_lakes_read(spark, tmp_path, stream):
+    """Seeding a new table from an existing lake's read() — read() keeps
+    the internal _bucket column, which must not collide with the target
+    merge's own bucket derivation (regression: COLUMN_ALREADY_EXISTS)."""
+    half = 4000
+    src = LakeTable.create(str(tmp_path / "src"), spark, n_buckets=8)
+    replay(src, stream.where(F.col("lsn") <= half), batch_lsns=3000, max_lsn=half)
+    late = LakeTable.create(str(tmp_path / "late"), spark, n_buckets=4)
+    bootstrap_snapshot(late, src.read(), half)
+    resume_replay(late, stream, batch_lsns=3000)
+    full = LakeTable.create(str(tmp_path / "full"), spark, n_buckets=4)
+    replay(full, stream, batch_lsns=3000)
+    assert late.state_checksum() == full.state_checksum()
+
+
 def test_snapshot_rejects_stream_metadata_columns(spark, tmp_path, stream):
     lake = LakeTable.create(str(tmp_path / "t"), spark, n_buckets=8)
     with pytest.raises(ValueError, match="lsn"):

@@ -369,6 +369,14 @@ def bootstrap_snapshot(
             f"found stream metadata column(s) {reserved} — a snapshot has no "
             "per-row LSN; pass the consistent point as snapshot_lsn"
         )
+    # seeding from another lake's read() is the natural cross-lake idiom,
+    # and read() keeps the internal bucket column — shed engine-internal
+    # names so MERGE can re-derive them against THIS table's layout
+    from .lake import BUCKET_COL, KHASH_COL
+
+    internal = [c for c in (BUCKET_COL, KHASH_COL) if c in snapshot.columns]
+    if internal:
+        snapshot = snapshot.drop(*internal)
     events = snapshot.select(
         F.lit(int(snapshot_lsn)).cast("long").alias("lsn"),
         F.timestamp_seconds(F.lit(op_ts_epoch)).alias("op_ts"),
