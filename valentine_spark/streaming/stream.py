@@ -111,3 +111,68 @@ def stream_apply(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def stream_route(
+    raw_stream: DataFrame,
+    tables,
+    schemas,
+    checkpoint_dir: str,
+    json_col: str = "value",
+    dlq_dir: Optional[str] = None,
+    trigger_seconds: Optional[int] = None,
+    available_now: bool = False,
+    parallelism: int = 1,
+    stream_id: str = "route",
+    **apply_kw,
+):
+    """Streaming multi-table WAL ingest: tail a raw Maxwell-envelope stream
+    (file drop-zone of JSON lines, Kafka value column, ...) and fan each
+    micro-batch out to N lake tables via the router (cdc/router.py).
+
+    Exactly-once composition is the same as :func:`stream_apply`, per
+    table: Structured Streaming replays micro-batches under stable ids,
+    and every table commits under ``{stream_id}-{batch_id}/{table}`` — a
+    replayed micro-batch skips exactly the tables that already committed,
+    finishing any crash-interrupted fan-out.  The ``stream_id`` caveats of
+    :func:`stream_apply` apply unchanged.
+
+    ``dlq_dir``: when set, each micro-batch OVERWRITES its dead letters to
+    ``{dlq_dir}/batch-{batch_id}`` — overwrite, not append, so replayed
+    micro-batches leave the quarantine exactly-once too.  Every table in
+    ``schemas`` commits one (possibly empty) version per micro-batch;
+    tables that change rarely belong on a slower tail (see
+    docs/OPERATIONS.md, multi-table ingest).
+
+    Delivery-order contract: cross-batch precedence is application order,
+    so the SOURCE must deliver events in WAL order across micro-batches
+    (Kafka partitions do within a key's partition; a file drop-zone must
+    ship files with monotonically increasing modification times — Spark's
+    file source orders pending files by mtime, and equal mtimes make
+    batch order arbitrary)."""
+    from ..cdc.router import apply_routed, decode_maxwell_routed
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        routed = decode_maxwell_routed(batch_df, schemas, json_col=json_col)
+        if dlq_dir is not None:
+            routed.dead_letters.write.mode("overwrite").parquet(
+                f"{dlq_dir}/batch-{batch_id}"
+            )
+        apply_routed(
+            tables,
+            routed.streams,
+            f"{stream_id}-{batch_id}",
+            parallelism=parallelism,
+            **apply_kw,
+        )
+
+    writer = raw_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
