@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_ngram_prefix",
     "cdc_wal_decode",
     "cdc_multi_table_route",
+    "cdc_snapshot_handoff",
     "cdc_merge_into",
     "cdc_wap_publish",
     "cdc_lww_stream",
