@@ -22,6 +22,14 @@ pairs — the per-table manifests carry exactly-once, no job-level state.
 ``--dlq-path`` appends the dead letters (table, raw, reason) as parquet —
 the quarantine a production tail must keep (malformed envelopes must
 never abort the batch NOR vanish).
+
+``--mode streaming`` tails the ``--raw-path`` drop zone as a Structured
+Streaming source instead (availableNow catch-up then exit — cron-style):
+Spark's checkpoint (``--checkpoint``) numbers the micro-batches and every
+table commits under ``{stream-N}/{table}``, so restarts and replays are
+exactly-once per (micro-batch, table); the DLQ becomes per-batch
+overwrite dirs under ``--dlq-path``.  Files must arrive with increasing
+mtimes (WAL-shipping order — see streaming/stream.py ``stream_route``).
 """
 
 from __future__ import annotations
@@ -77,7 +85,16 @@ def main() -> None:
     parser.add_argument("--parallelism", type=int, default=2)
     parser.add_argument("--dlq-path", default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--mode", choices=("batch", "streaming"), default="batch",
+                        help="streaming = Structured Streaming tail of the "
+                             "--raw-path drop zone (availableNow catch-up; "
+                             "Spark's checkpoint + per-table batch ids carry "
+                             "exactly-once across restarts)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="checkpoint dir (required for --mode streaming)")
     args = parser.parse_args()
+    if args.mode == "streaming" and not (args.raw_path and args.checkpoint):
+        parser.error("--mode streaming requires --raw-path and --checkpoint")
 
     from pyspark.sql import SparkSession, functions as F
     from pyspark.sql import types as T
@@ -122,20 +139,52 @@ def main() -> None:
         for name, schema in schemas.items()
     }
 
-    t0 = time.time()
-    slices = replay_routed(
-        lakes, raw, schemas,
-        batch_lsns=args.batch_lsns, parallelism=args.parallelism,
-    )
-    wall = time.time() - t0
+    if args.mode == "streaming":
+        from valentine_spark.streaming import stream_route
 
-    dlq = decode_maxwell_routed(raw, schemas).dead_letters
-    if args.dlq_path:
-        dlq.write.mode("append").parquet(args.dlq_path)
-    dlq_counts = {
-        r["reason"]: r["n"]
-        for r in dlq.groupBy("reason").agg(F.count("*").alias("n")).collect()
-    }
+        raw_stream = (
+            spark.readStream.schema("value string").text(args.raw_path)
+            if args.raw_format == "text"
+            else spark.readStream.schema("value string").parquet(args.raw_path)
+        )
+        t0 = time.time()
+        q = stream_route(
+            raw_stream, lakes, schemas,
+            checkpoint_dir=args.checkpoint,
+            dlq_dir=args.dlq_path,
+            available_now=True,
+            parallelism=args.parallelism,
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        slices = []
+        if args.dlq_path:
+            try:
+                dlq_src = spark.read.parquet(args.dlq_path + "/*")
+                dlq_counts = {
+                    r["reason"]: r["n"]
+                    for r in dlq_src.groupBy("reason")
+                    .agg(F.count("*").alias("n")).collect()
+                }
+            except Exception:
+                dlq_counts = {}  # no dead letters written -> no dirs to read
+        else:
+            dlq_counts = {}
+    else:
+        t0 = time.time()
+        slices = replay_routed(
+            lakes, raw, schemas,
+            batch_lsns=args.batch_lsns, parallelism=args.parallelism,
+        )
+        wall = time.time() - t0
+
+        dlq = decode_maxwell_routed(raw, schemas).dead_letters
+        if args.dlq_path:
+            dlq.write.mode("append").parquet(args.dlq_path)
+        dlq_counts = {
+            r["reason"]: r["n"]
+            for r in dlq.groupBy("reason").agg(F.count("*").alias("n")).collect()
+        }
 
     tables_out = {}
     for name, lake in sorted(lakes.items()):
@@ -152,6 +201,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "mode": args.mode,
                 "tables": tables_out,
                 "slices": len(slices),
                 "commits": applied,

@@ -123,3 +123,44 @@ def test_spark_submit_replay_mirror_loop(tmp_path):
     )[-1]
     assert rerun["commits"] == 0 and rerun["skipped"] >= 2
     assert rerun["tables"] == routed["tables"]
+
+    # 6. streaming mode of the routing entry point: availableNow catch-up
+    # over a jsonl drop zone, then a checkpointed re-run is a no-op
+    import json as _json
+    import time as _time
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    lines = []
+    for i in range(40):
+        tname = "t0" if i % 2 == 0 else "t1"
+        lines.append(_json.dumps({
+            "database": "gh", "table": tname, "type": "insert",
+            "ts": 1_700_000_000 + i, "xid": i,
+            "position": f"mysql-bin.000001:{i + 1}",
+            "data": {"repo": f"r{i % 3}", "path": f"p{i}", "commit": "head",
+                     "lang": "py", "content": f"c{i}"},
+        }))
+    f = drop / "a.jsonl"
+    f.write_text("\n".join(lines) + "\n")
+    os.utime(f, (_time.time(), _time.time()))
+    cfg = tmp_path / "tables.json"
+    ddl = "repo string, path string, commit string, lang string, content string"
+    cfg.write_text(_json.dumps({"t0": ddl, "t1": ddl}))
+    s1 = _submit(
+        "route_job.py", "--lake-root", str(tmp_path / "srouted"),
+        "--raw-path", str(drop), "--raw-format", "text",
+        "--tables-config", str(cfg), "--mode", "streaming",
+        "--checkpoint", str(tmp_path / "route_ckpt"),
+        "--n-buckets", "4", cwd=work,
+    )[-1]
+    assert s1["mode"] == "streaming"
+    assert s1["tables"]["t0"]["rows"] == 20 and s1["tables"]["t1"]["rows"] == 20
+    s2 = _submit(
+        "route_job.py", "--lake-root", str(tmp_path / "srouted"),
+        "--raw-path", str(drop), "--raw-format", "text",
+        "--tables-config", str(cfg), "--mode", "streaming",
+        "--checkpoint", str(tmp_path / "route_ckpt"),
+        "--n-buckets", "4", cwd=work,
+    )[-1]
+    assert s2["tables"] == s1["tables"]
