@@ -158,6 +158,25 @@ def test_parallel_equals_sequential(spark, tmp_path):
         assert seq[name].state_checksum() == par[name].state_checksum()
 
 
+def test_routed_decode_zero_shuffle_no_python(spark):
+    """The docstring claims for decode_maxwell_routed ('all decode work is
+    JVM from_json + projections, zero Python, zero shuffles'), asserted on
+    the physical plans of every output: no Exchange, no
+    BatchEvalPython/ArrowEvalPython, JVM codegen present."""
+    from valentine_spark.plans import explain_str
+
+    rows = [_env("files", i, "insert") for i in range(8)] + [
+        _env("reviews", i, "insert", offset=50 + i) for i in range(8)
+    ]
+    out = decode_maxwell_routed(_raw(spark, rows), SCHEMAS)
+    frames = {"dead_letters": out.dead_letters, **out.streams}
+    for name, df in frames.items():
+        plan = explain_str(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+        assert "codegen id" in plan or "WholeStageCodegen" in plan, (name, plan)
+
+
 def test_routed_drift_automap(spark, tmp_path):
     """Composition with the schema-evolution subsystem: one routed table's
     connector registers a drifted payload schema (lang -> language), and
