@@ -102,6 +102,44 @@ def test_routing_cascade_and_heterogeneous_payloads(spark):
     }
 
 
+def test_debezium_routing_by_source_table(spark):
+    """The Debezium-shaped router: route by source.table, decode each slice
+    with the Debezium envelope semantics (after-image, ts_ms milliseconds,
+    source.lsn), same cascade."""
+    from valentine_spark.cdc import decode_debezium_routed
+
+    def dbz(table, i, op="u"):
+        img = _data("files" if table == "files" else "reviews", i)
+        return json.dumps(
+            {
+                "before": img if op == "d" else None,
+                "after": None if op == "d" else img,
+                "op": op,
+                "ts_ms": 1_700_000_000_000 + i,
+                "source": {"lsn": i + 1, "table": table},
+            }
+        )
+
+    rows = [
+        dbz("files", 0), dbz("files", 1, "d"), dbz("reviews", 2, "c"),
+        dbz("ghosts", 3),                    # unknown_table
+        '{"op": "u", "source": {',           # unparseable
+        json.dumps({"op": "u", "after": {}, "ts_ms": 5, "source": {"lsn": 9}}),  # missing_table
+    ]
+    out = decode_debezium_routed(_raw(spark, rows), SCHEMAS)
+    files = {r["lsn"]: r for r in out.streams["files"].collect()}
+    assert set(files) == {1, 2} and files[2]["op"] == "delete"
+    assert files[1]["op_ts"].year == 2023  # ts_ms is milliseconds
+    reviews = out.streams["reviews"].collect()
+    assert len(reviews) == 1 and reviews[0]["reviewer"] == "rev2"
+    dead = {(r["table"], r["reason"]) for r in out.dead_letters.collect()}
+    assert dead == {
+        ("ghosts", "unknown_table"),
+        (None, "unparseable"),
+        (None, "missing_table"),
+    }
+
+
 def test_empty_schemas_rejected(spark):
     with pytest.raises(ValueError, match="at least one table"):
         decode_maxwell_routed(_raw(spark, ["{}"]), {})

@@ -27,7 +27,13 @@ from .ivm import aggregate_delta, init_aggregate, maintain_aggregate
 from .generator import KEY_COLS, PAYLOAD_COLS, STREAM_COLS, synth_base_table, synth_change_stream
 from .lake import BucketLayoutChangedError, CommitConflictError, LakeTable, bucket_expr
 from .merge_into import MergeCardinalityError, MergeIntoBuilder
-from .router import RoutedStream, apply_routed, decode_maxwell_routed, replay_routed
+from .router import (
+    RoutedStream,
+    apply_routed,
+    decode_debezium_routed,
+    decode_maxwell_routed,
+    replay_routed,
+)
 from .wal import (
     DecodedStream,
     debezium_envelope_schema,
@@ -73,6 +79,7 @@ __all__ = [
     "decode_debezium",
     "decode_maxwell",
     "decode_maxwell_routed",
+    "decode_debezium_routed",
     "apply_routed",
     "replay_routed",
     "debezium_envelope_schema",

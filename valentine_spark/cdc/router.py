@@ -3,10 +3,11 @@
 A real binlog/WAL carries changes for MANY tables interleaved in one
 totally-ordered stream (MySQL's binlog, Postgres' WAL).  Maxwell publishes
 that stream as-is: every envelope carries ``database``/``table`` fields and
-consumers demultiplex.  (Debezium instead demultiplexes UPSTREAM — one
-Kafka topic per table — so for Debezium the router is the topic
-subscription, not an in-band concern; this module is the Maxwell-shaped,
-in-band half.)
+consumers demultiplex.  Debezium usually demultiplexes UPSTREAM — one
+Kafka topic per table, where the router is the topic subscription — but
+its single-stream shapes (Debezium Server to one sink, merged topics)
+route in-band by ``source.table``; both wire formats are covered
+(:func:`decode_maxwell_routed`, :func:`decode_debezium_routed`).
 
 This module routes one raw envelope stream to N per-table canonical change
 streams and applies each to its own :class:`~valentine_spark.cdc.lake.LakeTable`
@@ -64,7 +65,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from .apply import apply_batch
 from .lake import LakeTable
-from .wal import CORRUPT_COL, DecodedStream, decode_maxwell
+from .wal import CORRUPT_COL, DecodedStream, decode_debezium, decode_maxwell
 
 
 class RoutedStream(NamedTuple):
@@ -82,6 +83,14 @@ class RoutedStream(NamedTuple):
 _SHELL = StructType(
     [
         StructField("table", StringType()),
+        StructField(CORRUPT_COL, StringType()),
+    ]
+)
+
+#: Debezium shell: the table name lives in the source block.
+_SHELL_DBZ = StructType(
+    [
+        StructField("source", StructType([StructField("table", StringType())])),
         StructField(CORRUPT_COL, StringType()),
     ]
 )
@@ -104,14 +113,44 @@ def decode_maxwell_routed(
     quarantine (missing op / lsn / ts / image / key) then applies with the
     table tag attached.
     """
+    return _decode_routed(raw, schemas, json_col, _SHELL, lambda s: s["table"], decode_maxwell)
+
+
+def decode_debezium_routed(
+    raw: DataFrame,
+    schemas: Dict[str, StructType],
+    json_col: str = "value",
+) -> RoutedStream:
+    """Demultiplex a multi-table Debezium envelope stream by
+    ``source.table``.  Debezium's usual deployment demuxes upstream (one
+    Kafka topic per table) — this covers the single-stream shapes (Debezium
+    Server to one sink, a merged multi-table topic) where routing is
+    in-band.  Same cascade and per-table quarantine as the Maxwell router,
+    with each slice decoded by
+    :func:`~valentine_spark.cdc.wal.decode_debezium`."""
+    return _decode_routed(
+        raw, schemas, json_col, _SHELL_DBZ, lambda s: s["source"]["table"], decode_debezium
+    )
+
+
+def _decode_routed(
+    raw: DataFrame,
+    schemas: Dict[str, StructType],
+    json_col: str,
+    shell_schema: StructType,
+    table_of,
+    decode_one,
+) -> RoutedStream:
     if not schemas:
-        raise ValueError("decode_maxwell_routed: schemas must name at least one table")
+        raise ValueError("routed decode: schemas must name at least one table")
     shell = raw.withColumn(
         "_shell",
-        F.from_json(F.col(json_col), _SHELL, {"columnNameOfCorruptRecord": CORRUPT_COL}),
+        F.from_json(
+            F.col(json_col), shell_schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
+        ),
     )
     s = F.col("_shell")
-    tbl = s["table"]
+    tbl = table_of(s)
     unparseable = s.isNull() | s[CORRUPT_COL].isNotNull()
     reason = (
         F.when(unparseable, F.lit("unparseable"))
@@ -132,7 +171,7 @@ def decode_maxwell_routed(
         slice_raw = tagged.where(
             F.col("_reason").isNull() & (F.col("_tbl") == name)
         ).select(json_col)
-        decoded: DecodedStream = decode_maxwell(slice_raw, schemas[name], json_col=json_col)
+        decoded: DecodedStream = decode_one(slice_raw, schemas[name], json_col=json_col)
         streams[name] = decoded.stream
         dead = dead.unionByName(
             decoded.dead_letters.select(
