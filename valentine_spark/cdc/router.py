@@ -241,11 +241,14 @@ def replay_routed(
     json_col: str = "value",
     parallelism: int = 1,
     cache_streams: bool = True,
+    decoder=None,
     **apply_kw,
 ) -> list:
     """Bulk-replay a multi-table raw envelope stream in LSN slices.
 
-    Decodes once (:func:`decode_maxwell_routed`), then applies successive
+    Decodes once (``decoder`` — :func:`decode_maxwell_routed` by default,
+    pass :func:`decode_debezium_routed` for Debezium-shaped single
+    streams), then applies successive
     global-LSN ranges with :func:`apply_routed` — the multi-table analogue
     of :func:`~valentine_spark.cdc.apply.replay`.  Returns
     ``[{table: commit_result, ...}, ...]`` per slice; fully resumable
@@ -272,7 +275,7 @@ def replay_routed(
     """
     from pyspark import StorageLevel
 
-    routed = decode_maxwell_routed(raw, schemas, json_col=json_col)
+    routed = (decoder or decode_maxwell_routed)(raw, schemas, json_col=json_col)
     streams = routed.streams
     if cache_streams:
         streams = {
