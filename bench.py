@@ -68,9 +68,36 @@ BENCH_QUERIES = [
 ]
 
 
-# 1-minute load average sampled BEFORE the session spins up (i.e. ambient
-# load from OTHER processes); compared against loadavg_post in the output
-LOAD_PRE = round(os.getloadavg()[0], 2)
+# Degenerate-tail cap (VERDICT r4 ask #8): dedup_ngram_prefix on the sf0.1
+# ~40-word-vocabulary corpus costs 47-84 s to restate a conclusion already
+# pinned in BENCH/ngram_crossover artifacts (§3d) — run it at the sibling
+# sf0.01 dir instead so suite wall re-centers on surfaces that can regress.
+SMALL_SF_QUERIES = {"dedup_ngram_prefix": "sf0.01"}
+
+
+# Quiet-host gate (VERDICT r4 ask #4): a contended host contaminates every
+# timing (BENCH_r04's cdc_replay read 1.85x worse than the same tree idle).
+# If ambient load is above the threshold, WAIT for a quiet window (up to
+# SPARK_GRAFT_LOAD_WAIT seconds, default 600); if it never comes, run anyway
+# but stamp the JSON so the artifact is machine-detectably contaminated.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+
+
+def wait_for_quiet_host() -> tuple[float, bool]:
+    """Returns (load_at_start, contaminated_flag)."""
+    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+    load = os.getloadavg()[0]
+    waited = 0.0
+    while load > LOAD_GATE and waited < budget:
+        print(
+            f"bench: ambient load {load:.2f} > gate {LOAD_GATE}; waiting "
+            f"({waited:.0f}/{budget:.0f}s)...",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+        load = os.getloadavg()[0]
+    return round(load, 2), load > LOAD_GATE
 
 
 def build_session(cpus: int) -> SparkSession:
@@ -99,8 +126,13 @@ def run_queries(spark: SparkSession, sf_dir: str) -> dict:
     timings = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
+        run_dir = sf_dir
+        if name in SMALL_SF_QUERIES:
+            cand = os.path.join(os.path.dirname(sf_dir.rstrip("/")), SMALL_SF_QUERIES[name])
+            if os.path.isdir(cand):
+                run_dir = cand
         t0 = time.time()
-        materialize(fn(spark, sf_dir))
+        materialize(fn(spark, run_dir))
         timings[name] = round(time.time() - t0, 3)
     return timings
 
@@ -164,6 +196,8 @@ def main() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    load_at_start, contaminated = wait_for_quiet_host()
+
     spark = build_session(cpus)
     try:
         # suite warmup: run the cheapest query once to pay JIT/codegen
@@ -193,9 +227,16 @@ def main() -> None:
             # host-contention stamp (VERDICT r2 #7): loadavg_pre is sampled
             # at session build, loadavg_post here — a contaminated run (like
             # BENCH_r02's 1.45x-uniform slowdown) is machine-detectable
-            "loadavg_pre_1m": LOAD_PRE,
+            "loadavg_pre_1m": load_at_start,
             "loadavg_post_1m": round(la1, 2),
             "loadavg_post_5m": round(la5, 2),
+            # quiet-host gate verdict: True means the gate's wait budget ran
+            # out on a loaded host and every timing above is suspect — compare
+            # against the pinned quiet-window artifacts in BENCH/ instead
+            "host_contaminated": contaminated,
+            # capped rows run at a smaller SF than the headline (see
+            # SMALL_SF_QUERIES); their timing is NOT comparable to rounds <= 4
+            "small_sf_queries": SMALL_SF_QUERIES,
             **extras,
         }
         print(json.dumps(result))

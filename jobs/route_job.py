@@ -85,6 +85,10 @@ def main() -> None:
     parser.add_argument("--parallelism", type=int, default=2)
     parser.add_argument("--dlq-path", default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--format", choices=("maxwell", "debezium"), default="maxwell",
+                        dest="envelope_format",
+                        help="wire format of the raw envelopes (picks the "
+                             "router decoder; synthetic mode is maxwell-only)")
     parser.add_argument("--mode", choices=("batch", "streaming"), default="batch",
                         help="streaming = Structured Streaming tail of the "
                              "--raw-path drop zone (availableNow catch-up; "
@@ -95,13 +99,23 @@ def main() -> None:
     args = parser.parse_args()
     if args.mode == "streaming" and not (args.raw_path and args.checkpoint):
         parser.error("--mode streaming requires --raw-path and --checkpoint")
+    if args.envelope_format == "debezium" and not args.raw_path:
+        parser.error("--format debezium requires --raw-path (the synthetic "
+                     "generator emits Maxwell envelopes)")
 
     from pyspark.sql import SparkSession, functions as F
     from pyspark.sql import types as T
 
     spark = SparkSession.builder.appName("valentine-cdc-route").getOrCreate()
 
-    from valentine_spark.cdc import LakeTable, decode_maxwell_routed, replay_routed
+    from valentine_spark.cdc import LakeTable, replay_routed
+    from valentine_spark.cdc.router import decode_debezium_routed, decode_maxwell_routed
+
+    decoder = (
+        decode_debezium_routed
+        if args.envelope_format == "debezium"
+        else decode_maxwell_routed
+    )
 
     default_ddl = (
         "repo string, path string, commit string, lang string, content string"
@@ -154,6 +168,7 @@ def main() -> None:
             dlq_dir=args.dlq_path,
             available_now=True,
             parallelism=args.parallelism,
+            decoder=decoder,
         )
         q.awaitTermination()
         wall = time.time() - t0
@@ -172,19 +187,29 @@ def main() -> None:
             dlq_counts = {}
     else:
         t0 = time.time()
-        slices = replay_routed(
+        slices, routed = replay_routed(
             lakes, raw, schemas,
             batch_lsns=args.batch_lsns, parallelism=args.parallelism,
+            decoder=decoder, return_routed=True,
         )
         wall = time.time() - t0
 
-        dlq = decode_maxwell_routed(raw, schemas).dead_letters
-        if args.dlq_path:
-            dlq.write.mode("append").parquet(args.dlq_path)
-        dlq_counts = {
-            r["reason"]: r["n"]
-            for r in dlq.groupBy("reason").agg(F.count("*").alias("n")).collect()
-        }
+        # one quarantine pass: reuse the replay's own routed decode (no
+        # second router plan over the raw stream), cache the small
+        # dead-letter set so the write and the census share one scan
+        dlq = routed.dead_letters.persist()
+        try:
+            dlq_counts = {
+                r["reason"]: r["n"]
+                for r in dlq.groupBy("reason").agg(F.count("*").alias("n")).collect()
+            }
+            if args.dlq_path:
+                # deterministic subdir + overwrite: re-running the job after
+                # a crash rewrites the same quarantine instead of appending
+                # duplicate rows (mirrors stream_route's per-batch DLQ dirs)
+                dlq.write.mode("overwrite").parquet(f"{args.dlq_path}/batch-bulk")
+        finally:
+            dlq.unpersist()
 
     tables_out = {}
     for name, lake in sorted(lakes.items()):

@@ -261,3 +261,39 @@ def test_commit_metrics_in_lineage(spark, tmp_path, stream):
     # and agree with a direct LWW count
     winners = lww_dedup(stream.where(F.col("lsn") < 3000))
     assert m["keys_touched"] == winners.count()
+
+
+def test_replay_file_packed_lsns_walks_only_occupied_slices(spark, tmp_path, stream):
+    """Single-table replay over a file-packed LSN space (a `mysql-bin.000007`
+    stream decoded by cdc/wal.py packs lsn ~ 7 * 2^40): the dense walk from
+    LSN 0 would iterate ~7.7M empty ranges before the first event.  The
+    occupied-slice derivation must produce the same final state as the
+    unshifted replay, in exactly the shifted stream's occupied slice count."""
+    base = 7 << 40
+    shifted = stream.withColumn("lsn", F.col("lsn") + F.lit(base))
+
+    plain = make_lake(spark, tmp_path, "plain")
+    replay(plain, stream, batch_lsns=1500)
+    far = make_lake(spark, tmp_path, "far")
+    commits = replay(far, shifted, batch_lsns=1500)
+
+    # occupied slices only: the shifted stream spans lsn [base, base+N);
+    # base is not a multiple of batch_lsns, so the span straddles
+    # (last_key - first_key + 1) slice boundaries
+    expect_slices = (base + N_EVENTS - 1) // 1500 - base // 1500 + 1
+    assert len(commits) == expect_slices
+    assert not any(c.get("skipped") for c in commits)
+    assert plain.state_checksum() == far.state_checksum()
+
+    # resumable: identical re-run skips every occupied slice, adds none
+    commits2 = replay(far, shifted, batch_lsns=1500)
+    assert len(commits2) == len(commits)
+    assert all(c["skipped"] for c in commits2)
+
+
+def test_replay_rejects_nonpositive_batch_lsns(spark, tmp_path, stream):
+    lake = make_lake(spark, tmp_path, "bad_batch_lsns")
+    with pytest.raises(ValueError, match="batch_lsns"):
+        replay(lake, stream, batch_lsns=0)
+    with pytest.raises(ValueError, match="batch_lsns"):
+        replay(lake, stream, batch_lsns=-5)

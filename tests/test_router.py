@@ -55,14 +55,14 @@ def _data(table, i, ver=0):
     return base
 
 
-def _env(table, i, typ="update", ver=0, offset=None, drop=()):
+def _env(table, i, typ="update", ver=0, offset=None, drop=(), binlog=1):
     env = {
         "database": "gh",
         "table": table,
         "type": typ,
         "ts": 1_700_000_000 + i,
         "xid": i,
-        "position": f"mysql-bin.000001:{offset if offset is not None else i + 1}",
+        "position": f"mysql-bin.{binlog:06d}:{offset if offset is not None else i + 1}",
         "data": _data(table, i, ver),
         "old": None,
     }
@@ -281,3 +281,68 @@ def test_replay_routed_matches_oracle(spark, tmp_path):
     # resumable: a second replay of the same raw stream is a no-op
     commits2 = replay_routed(lakes, _raw(spark, rows), SCHEMAS, batch_lsns=1 << 41)
     assert all(r["skipped"] for batch in commits2 for r in batch.values())
+
+
+def test_replay_routed_binlog_rollover_walks_only_occupied_slices(spark, tmp_path):
+    """A Maxwell stream spanning mysql-bin.000001 + 000002 (+ a far 000007):
+    consecutive binlog files are ~2^40 apart in packed-LSN space
+    (cdc/wal.py::maxwell_position_lsn), so a dense range walk would iterate
+    ~(2^40 / batch_lsns) empty slices per rollover — round 4's scale
+    defect.  The occupied-slice derivation must complete in O(occupied
+    slices), converge to the single-stream oracle, and stay resumable."""
+    rows = []
+    for i in range(12):
+        rows.append(_env("files", i % 5, "update", ver=i, offset=i + 4, binlog=1))
+    for i in range(12, 24):
+        # offsets restart in a fresh binlog file, ts keeps rising
+        rows.append(_env("files", i % 5, "update", ver=i, offset=i - 8, binlog=2))
+        rows.append(_env("reviews", i % 3, "update", ver=i, offset=200 + i, binlog=2))
+    # a far-future file: two rollover gaps, one of ~5 * 2^40 LSNs
+    rows.append(_env("files", 0, "delete", ver=99, offset=4, binlog=7))
+
+    lakes = _mklakes(spark, tmp_path)
+    batch_lsns = 1_000_000  # dense walk would need ~6 * 2^40 / 10^6 ~ 6.6M slices
+    commits = replay_routed(lakes, _raw(spark, rows), SCHEMAS, batch_lsns=batch_lsns)
+
+    # O(occupied): every event in a file sits in that file's first slices
+    # (offsets < batch_lsns), so exactly one occupied slice per binlog file
+    assert len(commits) == 3, f"expected 3 occupied slices, walked {len(commits)}"
+    # skip_empty: reviews only ever appear in file 2's slice
+    tables_per_slice = [sorted(batch) for batch in commits]
+    assert tables_per_slice == [["files"], ["files", "reviews"], ["files"]]
+
+    routed = decode_maxwell_routed(_raw(spark, rows), SCHEMAS)
+    for name in SCHEMAS:
+        want = oracle_replay(routed.streams[name].collect())
+        got = {
+            (r["repo"], r["path"], r["commit"]): r.asDict()
+            for r in lakes[name].read().collect()
+        }
+        assert set(got) == set(want), name
+        for k in want:
+            for c in want[k]:
+                assert got[k][c] == want[k][c], (name, k, c)
+
+    # resumable: identical re-run derives identical slice keys and skips all
+    commits2 = replay_routed(lakes, _raw(spark, rows), SCHEMAS, batch_lsns=batch_lsns)
+    assert [sorted(b) for b in commits2] == tables_per_slice
+    assert all(r["skipped"] for batch in commits2 for r in batch.values())
+
+
+def test_replay_routed_skip_empty_false_commits_every_table(spark, tmp_path):
+    rows = [_env("files", i, "update", offset=i + 4, binlog=3) for i in range(4)]
+    lakes = _mklakes(spark, tmp_path)
+    commits = replay_routed(
+        lakes, _raw(spark, rows), SCHEMAS, batch_lsns=1_000_000, skip_empty=False
+    )
+    assert len(commits) == 1
+    # reviews had no events anywhere but still gets its (empty) commit
+    assert sorted(commits[0]) == ["files", "reviews"]
+    assert lakes["reviews"].read().count() == 0
+
+
+def test_replay_routed_rejects_nonpositive_batch_lsns(spark, tmp_path):
+    lakes = _mklakes(spark, tmp_path)
+    raw = _raw(spark, [_env("files", 0, "update")])
+    with pytest.raises(ValueError, match="batch_lsns"):
+        replay_routed(lakes, raw, SCHEMAS, batch_lsns=0)

@@ -144,3 +144,106 @@ def test_router_equals_model_under_random_streams(spark, tmp_path, seed):
         .collect()
     }
     assert dlq == expected_dlq, f"dead-letter census diverged (seed {seed})"
+
+
+@pytest.mark.parametrize("seed", [7, 61])
+def test_replay_routed_fuzz_multi_binlog_files(spark, tmp_path, seed):
+    """Fuzz the occupied-slice derivation together with LSN packing and
+    cross-file ordering: envelopes draw binlog file numbers 1-3 (offsets
+    restart per file, op_ts non-decreasing in (file, offset) order — the
+    binlog invariant), random batch_lsns, random corruption.  replay_routed
+    must walk exactly the occupied slices (asserted against a Python
+    recomputation of `lsn DIV batch_lsns`), converge every lake to the
+    model, and keep the dead-letter census."""
+    from valentine_spark.cdc import replay_routed
+
+    rng = random.Random(seed)
+    keys = [(f"r{i % 4}", f"p{i}", "head") for i in range(10)]
+    n = 180
+    # two random rollover points split the stream into files 1..3
+    cut_a, cut_b = sorted(rng.sample(range(20, n - 20), 2))
+    envelopes, healthy, expected_dlq, lsns = [], [], {}, []
+
+    for i in range(1, n + 1):
+        fileno = 1 + (i > cut_a) + (i > cut_b)
+        offset = i - (0 if fileno == 1 else cut_a if fileno == 2 else cut_b) + 3
+        lsn = (fileno << 40) + offset
+        ts = 1_700_000_000 + i // 30  # plateaus; non-decreasing across files
+        table = rng.choice(["files", "reviews"])
+        op = "delete" if rng.random() < 0.25 else "update"
+        repo, path, commit = rng.choice(keys)
+        data = {"repo": repo, "path": path, "commit": commit}
+        if table == "files":
+            data.update({"lang": rng.choice(["py", "go"]),
+                         "content": f"c{i}-{rng.randint(0, 99)}"})
+        else:
+            data.update({"reviewer": f"u{rng.randint(0, 3)}",
+                         "score": rng.randint(0, 1000)})
+        env = {
+            "database": "gh", "table": table, "type": op, "ts": ts,
+            "xid": i, "position": f"mysql-bin.{fileno:06d}:{offset}",
+            "data": data, "old": None,
+        }
+        corrupt = rng.random()
+        if corrupt < 0.04:
+            envelopes.append(json.dumps(env)[:-5])
+            expected_dlq["unparseable"] = expected_dlq.get("unparseable", 0) + 1
+        elif corrupt < 0.08:
+            env["table"] = "phantom"
+            envelopes.append(json.dumps(env))
+            expected_dlq["unknown_table"] = expected_dlq.get("unknown_table", 0) + 1
+        else:
+            envelopes.append(json.dumps(env))
+            healthy.append((table, ts, lsn, op, data))
+            lsns.append((table, lsn))
+
+    model = {"files": {}, "reviews": {}}
+    for table, ts, lsn, op, data in sorted(healthy, key=lambda h: (h[1], h[2])):
+        key = (data["repo"], data["path"], data["commit"])
+        if op == "delete":
+            model[table].pop(key, None)
+        else:
+            model[table][key] = data
+
+    raw = spark.createDataFrame([(v,) for v in envelopes], ["value"])
+    lakes = {
+        "files": LakeTable.create(str(tmp_path / "files"), spark, n_buckets=4),
+        "reviews": LakeTable.create(
+            str(tmp_path / "reviews"), spark, schema=REVIEWS, n_buckets=4
+        ),
+    }
+    batch_lsns = rng.choice([1_000, 1_000_000, 1 << 39])
+    commits = replay_routed(lakes, raw, SCHEMAS, batch_lsns=batch_lsns)
+
+    # slice walk must be exactly the occupied keys (never the dense range,
+    # which spans >= 2 * 2^40 / batch_lsns slices here)
+    want_keys = sorted({l // batch_lsns for _, l in lsns})
+    assert len(commits) == len(want_keys), (seed, batch_lsns)
+    # per-slice membership = tables occupied in that slice (skip_empty)
+    per_table_keys = {
+        t: {l // batch_lsns for tt, l in lsns if tt == t} for t in SCHEMAS
+    }
+    for k, batch in zip(want_keys, commits):
+        want_members = sorted(t for t in SCHEMAS if k in per_table_keys[t])
+        assert sorted(batch) == want_members, (seed, k)
+
+    for name in SCHEMAS:
+        got = {
+            (r["repo"], r["path"], r["commit"]): r.asDict()
+            for r in lakes[name].read().collect()
+        }
+        want = model[name]
+        assert set(got) == set(want), f"{name}: key set diverged (seed {seed})"
+        for key, data in want.items():
+            for col, val in data.items():
+                assert got[key][col] == val, (name, key, col, seed)
+
+    routed = decode_maxwell_routed(raw, SCHEMAS)
+    from pyspark.sql import functions as F
+    dlq = {
+        r["reason"]: r["n"]
+        for r in routed.dead_letters.groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert dlq == expected_dlq, f"dead-letter census diverged (seed {seed})"

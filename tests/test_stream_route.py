@@ -136,3 +136,108 @@ def test_stream_route_exactly_once_across_restarts(spark, tmp_path):
     _write_drop(drop_dir, "c.jsonl", _lines(120, 140), seq=3)
     _drain(spark, drop_dir, tables, tmp_path)
     assert tables["files"].read().where(F.col("content") == "c121").count() == 1
+
+
+def test_stream_route_skip_empty_no_empty_commits(spark, tmp_path):
+    """skip_empty (default on): a micro-batch touching only `files` must not
+    commit a version to `reviews` — its version stays put while `files`
+    advances (VERDICT r4 ask #6: at 10^3 registered tables, a commit floor
+    per table per poll is the scale killer).  A later reviews-only batch
+    then advances only `reviews`."""
+    drop_dir = str(tmp_path / "drop")
+    tables = {
+        "files": LakeTable.create(str(tmp_path / "files"), spark, n_buckets=4),
+        "reviews": LakeTable.create(
+            str(tmp_path / "reviews"), spark, schema=REVIEWS, n_buckets=4
+        ),
+    }
+    files_only = [
+        _envelope("files", i + 1, "update",
+                  {"repo": "r0", "path": f"p{i}", "commit": "head",
+                   "lang": "py", "content": f"c{i}"})
+        for i in range(8)
+    ]
+    _write_drop(drop_dir, "a.jsonl", files_only, seq=1)
+    _drain(spark, drop_dir, tables, tmp_path)
+
+    v_files, v_reviews = tables["files"].version, tables["reviews"].version
+    assert v_reviews == 0, "reviews saw no events but committed a version"
+    assert v_files > 0
+    assert tables["files"].read().count() == 8
+
+    reviews_only = [
+        _envelope("reviews", 100 + i, "insert",
+                  {"repo": "r1", "path": f"q{i}", "commit": "head",
+                   "reviewer": "u1", "score": i})
+        for i in range(5)
+    ]
+    _write_drop(drop_dir, "b.jsonl", reviews_only, seq=2)
+    _drain(spark, drop_dir, tables, tmp_path)
+    assert tables["files"].version == v_files, "files committed on a reviews-only batch"
+    assert tables["reviews"].version > 0
+    assert tables["reviews"].read().count() == 5
+
+
+def test_stream_route_skip_empty_false_commits_every_table(spark, tmp_path):
+    drop_dir = str(tmp_path / "drop")
+    tables = {
+        "files": LakeTable.create(str(tmp_path / "files"), spark, n_buckets=4),
+        "reviews": LakeTable.create(
+            str(tmp_path / "reviews"), spark, schema=REVIEWS, n_buckets=4
+        ),
+    }
+    files_only = [
+        _envelope("files", i + 1, "update",
+                  {"repo": "r0", "path": f"p{i}", "commit": "head",
+                   "lang": "py", "content": f"c{i}"})
+        for i in range(4)
+    ]
+    _write_drop(drop_dir, "a.jsonl", files_only, seq=1)
+    raw = spark.readStream.schema("value string").text(drop_dir)
+    q = stream_route(
+        raw, tables, SCHEMAS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        skip_empty=False,
+    )
+    q.awaitTermination(180)
+    # legacy posture: the untouched table's watermark tracks the frontier
+    # via an empty commit
+    assert tables["reviews"].version > 0
+    assert tables["reviews"].read().count() == 0
+    assert tables["files"].read().count() == 4
+
+
+def test_stream_route_debezium_decoder(spark, tmp_path):
+    """The pluggable decoder (ADVICE r4): a Debezium-shaped single stream
+    tails through the same streaming front-end."""
+    from valentine_spark.cdc import decode_debezium_routed
+
+    drop_dir = str(tmp_path / "drop")
+    os.makedirs(drop_dir)
+    tables = {
+        "files": LakeTable.create(str(tmp_path / "files"), spark, n_buckets=4),
+        "reviews": LakeTable.create(
+            str(tmp_path / "reviews"), spark, schema=REVIEWS, n_buckets=4
+        ),
+    }
+    lines = []
+    for i in range(6):
+        img = {"repo": "r0", "path": f"p{i}", "commit": "head",
+               "lang": "py", "content": f"c{i}"}
+        lines.append(json.dumps({
+            "before": None, "after": img, "op": "c",
+            "ts_ms": 1_700_000_000_000 + i, "source": {"lsn": i + 1, "table": "files"},
+        }))
+    _write_drop(drop_dir, "a.jsonl", lines, seq=1)
+    raw = spark.readStream.schema("value string").text(drop_dir)
+    q = stream_route(
+        raw, tables, SCHEMAS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        decoder=decode_debezium_routed,
+    )
+    q.awaitTermination(180)
+    assert tables["files"].read().count() == 6
+    # skip_empty + debezium dialect probe: reviews stayed untouched
+    assert tables["reviews"].version == 0

@@ -24,7 +24,6 @@ three paths are asserted bit-identical in tests.
 from __future__ import annotations
 
 import json
-import math
 from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -271,15 +270,40 @@ def replay(
     ``range_watermarks=True`` (default): each slice is a complete LSN range,
     so the commit advances every bucket's watermark to the slice top and
     skips the per-bucket stats job (see apply_batch).  Set False for
-    independently-progressing partitioned sources."""
-    if max_lsn is None:
-        max_lsn = stream.agg(F.max("lsn")).collect()[0][0]
-        if max_lsn is None:
-            return []
+    independently-progressing partitioned sources.
+
+    Only OCCUPIED slices are applied: one small aggregation
+    (``lsn DIV batch_lsns`` -> per-slice max) yields the slice keys, and
+    the loop walks exactly those.  Dense LSN spaces (the synthetic
+    generator) see every slice as before; file-packed LSN spaces
+    (:func:`~valentine_spark.cdc.wal.maxwell_position_lsn` packs
+    ``fileno * 2**40 + offset``) no longer walk the ~2**40/batch_lsns
+    empty ranges between binlog files — or the millions below file 1 —
+    per rollover.  Batch ids stay ``{prefix}-{lo}-{hi}`` per occupied
+    slice, so resumability is unchanged (re-runs derive the same keys).
+
+    ``max_lsn``: optional cap — slices above ``max_lsn DIV batch_lsns``
+    are ignored (callers pre-filter the stream to ``lsn <= max_lsn``; the
+    cap keeps the contract explicit).  The occupied-slice aggregation runs
+    either way; it is also what bounds each slice's watermark."""
+    if batch_lsns <= 0:
+        raise ValueError(f"replay: batch_lsns must be positive, got {batch_lsns}")
+    # ONE pass: occupied slice keys + per-slice max lsn (driver-sized —
+    # one row per occupied slice, not per event)
+    occ = (
+        stream.groupBy(F.expr(f"lsn DIV {int(batch_lsns)}").alias("_k"))
+        .agg(F.max("lsn").alias("_mx"))
+        .collect()
+    )
+    slices = {int(r["_k"]): int(r["_mx"]) for r in occ if r["_k"] is not None}
+    if max_lsn is not None:
+        slices = {k: mx for k, mx in slices.items() if k <= max_lsn // batch_lsns}
+    if not slices:
+        return []
+    data_max = max(slices.values())
     commits = []
-    n_batches = math.floor(max_lsn / batch_lsns) + 1
-    for i in range(n_batches):
-        lo, hi = i * batch_lsns, (i + 1) * batch_lsns
+    for k in sorted(slices):
+        lo, hi = k * batch_lsns, (k + 1) * batch_lsns
         batch = stream.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
         commits.append(
             apply_batch(
@@ -288,7 +312,7 @@ def replay(
                 f"{batch_id_prefix}-{lo}-{hi}",
                 matcher=matcher,
                 n_salts=n_salts,
-                watermark_lsn=min(hi - 1, max_lsn) if range_watermarks else None,
+                watermark_lsn=min(hi - 1, data_max) if range_watermarks else None,
                 collect_metrics=collect_metrics,
                 mode=mode,
             )
@@ -401,8 +425,17 @@ def snapshot_then_stream(
     """The full initial-load handoff: :func:`bootstrap_snapshot`, then
     :func:`resume_replay` of the (possibly overlapping) tail.  Returns
     ``(bootstrap_commit, tail_commits)``.  Idempotent end-to-end — crash
-    anywhere and re-run with the same arguments."""
-    boot = bootstrap_snapshot(lake, snapshot, snapshot_lsn, batch_id=snapshot_batch_id)
+    anywhere and re-run with the same arguments.
+
+    The apply-relevant keywords (``mode``, ``matcher``, ``n_salts``) are
+    forwarded to BOTH legs, so e.g. ``mode="mor"`` applies the bootstrap
+    batch and the tail the same way; replay-only keywords
+    (``range_watermarks``, ``collect_metrics``, ...) go to the tail
+    alone."""
+    boot_kw = {k: replay_kw[k] for k in ("mode", "matcher", "n_salts") if k in replay_kw}
+    boot = bootstrap_snapshot(
+        lake, snapshot, snapshot_lsn, batch_id=snapshot_batch_id, **boot_kw
+    )
     commits = resume_replay(
         lake, stream, batch_lsns=batch_lsns, batch_id_prefix=batch_id_prefix,
         **replay_kw,

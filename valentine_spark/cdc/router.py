@@ -181,6 +181,44 @@ def _decode_routed(
     return RoutedStream(streams, dead)
 
 
+def shell_table_counts(
+    raw: DataFrame,
+    schemas: Dict[str, StructType],
+    json_col: str = "value",
+    dialect: str = "maxwell",
+) -> Dict[str, int]:
+    """ONE schema-pruned shell-parse pass over a raw envelope frame ->
+    ``{table: claimed-row count}`` for the tables named in ``schemas``.
+
+    This is the cheap per-micro-batch occupancy probe the streaming router
+    uses for ``skip_empty``: Catalyst prunes ``from_json`` to the table
+    field alone, so the pass reads no payloads.  Counts are an UPPER bound
+    on healthy rows (a row counted here may still quarantine at its
+    table's full decode — missing key, bad op, ...), which is the safe
+    direction: a table is only skipped when it provably has zero rows.
+
+    ``dialect``: "maxwell" (top-level ``table`` field) or "debezium"
+    (``source.table``)."""
+    if dialect == "maxwell":
+        shell, table_of = _SHELL, (lambda s: s["table"])
+    elif dialect == "debezium":
+        shell, table_of = _SHELL_DBZ, (lambda s: s["source"]["table"])
+    else:
+        raise ValueError(f"shell_table_counts: unknown dialect {dialect!r}")
+    s = F.from_json(F.col(json_col), shell)
+    tbl = table_of(s)
+    rows = (
+        raw.select(tbl.alias("_tbl"))
+        .where(F.col("_tbl").isin(*schemas))
+        .groupBy("_tbl")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    counts = {name: 0 for name in schemas}
+    counts.update({r["_tbl"]: int(r["_n"]) for r in rows})
+    return counts
+
+
 def apply_routed(
     tables: Dict[str, LakeTable],
     streams: Dict[str, DataFrame],
@@ -242,6 +280,8 @@ def replay_routed(
     parallelism: int = 1,
     cache_streams: bool = True,
     decoder=None,
+    skip_empty: bool = True,
+    return_routed: bool = False,
     **apply_kw,
 ) -> list:
     """Bulk-replay a multi-table raw envelope stream in LSN slices.
@@ -267,14 +307,41 @@ def replay_routed(
     push below ``from_json``, so without the cache every slice re-reads
     and re-parses the table's whole raw slice — an S-slice replay would
     pay ~S+1 full parse passes (plus ~2 internal scans per apply).  With
-    it, the parse runs once per table (the LSN-bounds job materializes the
-    cache) and all slice scans are cache hits.  Turn off only when the
+    it, the parse runs once per table (the occupied-slice job materializes
+    the cache) and all slice scans are cache hits.  Turn off only when the
     decoded stream is far larger than cluster storage memory — the cache
     spills to executor disk before failing, so that trade is throughput,
     not stability.
+
+    Only OCCUPIED slices are walked: one small per-table aggregation
+    (``lsn DIV batch_lsns`` -> per-slice max) replaces the old min/max
+    bounds job, and the loop iterates exactly the union of occupied slice
+    keys.  Maxwell LSNs are file-packed (``fileno * 2**40 + offset``,
+    cdc/wal.py::maxwell_position_lsn), so a stream spanning two binlog
+    files has a ~2**40-wide hole between them — the old dense walk from
+    the stream floor iterated ~2**40/batch_lsns (~10^6) empty ranges per
+    rollover, each paying per-table Spark jobs plus an empty commit.
+
+    ``skip_empty`` (default on): a table with no events in an occupied
+    slice is left out of that slice's :func:`apply_routed` call entirely —
+    no empty commit, no per-table jobs (membership falls out of the same
+    occupied-slice aggregation, so it costs nothing extra).  Consequence:
+    that table's watermark does not advance through the slice, so a later
+    :func:`~valentine_spark.cdc.apply.resume_replay` re-scans from its
+    older watermark — correct (the skipped range held none of its events),
+    just a wider re-read window.  Set False to restore a commit per table
+    per slice (every table's watermark tracks the global LSN frontier).
+
+    ``return_routed=True`` returns ``(commits, RoutedStream)`` so a caller
+    that also wants the dead letters (jobs/route_job.py) reuses this
+    decode's plan instead of re-running the router over the raw stream.
     """
     from pyspark import StorageLevel
 
+    if batch_lsns <= 0:
+        raise ValueError(
+            f"replay_routed: batch_lsns must be positive, got {batch_lsns}"
+        )
     routed = (decoder or decode_maxwell_routed)(raw, schemas, json_col=json_col)
     streams = routed.streams
     if cache_streams:
@@ -283,24 +350,37 @@ def replay_routed(
             for name, df in streams.items()
         }
     try:
-        bounds = [
-            df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
-            for df in streams.values()
-        ]
-        bounds = [(b["lo"], b["hi"]) for b in bounds if b["hi"] is not None]
-        if not bounds:
-            return []
-        min_lsn = min(b[0] for b in bounds)
-        max_lsn = max(b[1] for b in bounds)
+        # one driver-sized agg per table: occupied slice key -> max lsn
+        # (rows = occupied slices, never events); also materializes the
+        # cache.  Union of keys drives the walk; per-table membership
+        # drives skip_empty.
+        per_table: Dict[str, Dict[int, int]] = {}
+        for name, df in streams.items():
+            occ = (
+                df.groupBy(F.expr(f"lsn DIV {int(batch_lsns)}").alias("_k"))
+                .agg(F.max("lsn").alias("_mx"))
+                .collect()
+            )
+            per_table[name] = {
+                int(r["_k"]): int(r["_mx"]) for r in occ if r["_k"] is not None
+            }
+        keys = sorted(set().union(*per_table.values())) if per_table else []
+        if not keys:
+            return ([], routed) if return_routed else []
+        max_lsn = max(mx for d in per_table.values() for mx in d.values())
         out = []
-        # Maxwell LSNs are file-packed (~2^40-sized); slicing from 0 would
-        # walk millions of empty ranges, so start at the stream's own floor.
-        lo = (min_lsn // batch_lsns) * batch_lsns
-        while lo <= max_lsn:
-            hi = lo + batch_lsns
+        for k in keys:
+            lo, hi = k * batch_lsns, (k + 1) * batch_lsns
+            members = (
+                [n for n in sorted(streams) if k in per_table[n]]
+                if skip_empty
+                else sorted(streams)
+            )
             sliced = {
-                name: df.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-                for name, df in streams.items()
+                name: streams[name].where(
+                    (F.col("lsn") >= lo) & (F.col("lsn") < hi)
+                )
+                for name in members
             }
             out.append(
                 apply_routed(
@@ -312,8 +392,7 @@ def replay_routed(
                     **apply_kw,
                 )
             )
-            lo = hi
-        return out
+        return (out, routed) if return_routed else out
     finally:
         if cache_streams:
             for df in streams.values():

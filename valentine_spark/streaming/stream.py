@@ -124,11 +124,18 @@ def stream_route(
     available_now: bool = False,
     parallelism: int = 1,
     stream_id: str = "route",
+    decoder=None,
+    skip_empty: bool = True,
     **apply_kw,
 ):
-    """Streaming multi-table WAL ingest: tail a raw Maxwell-envelope stream
+    """Streaming multi-table WAL ingest: tail a raw envelope stream
     (file drop-zone of JSON lines, Kafka value column, ...) and fan each
     micro-batch out to N lake tables via the router (cdc/router.py).
+
+    ``decoder``: :func:`~valentine_spark.cdc.router.decode_maxwell_routed`
+    by default; pass :func:`~valentine_spark.cdc.router.decode_debezium_routed`
+    to tail a Debezium-shaped single stream — same pluggability as the
+    batch :func:`~valentine_spark.cdc.router.replay_routed`.
 
     Exactly-once composition is the same as :func:`stream_apply`, per
     table: Structured Streaming replays micro-batches under stable ids,
@@ -139,9 +146,22 @@ def stream_route(
 
     ``dlq_dir``: when set, each micro-batch OVERWRITES its dead letters to
     ``{dlq_dir}/batch-{batch_id}`` — overwrite, not append, so replayed
-    micro-batches leave the quarantine exactly-once too.  Every table in
-    ``schemas`` commits one (possibly empty) version per micro-batch;
-    tables that change rarely belong on a slower tail (see
+    micro-batches leave the quarantine exactly-once too.
+
+    ``skip_empty`` (default on): ONE schema-pruned shell-parse pass per
+    micro-batch (:func:`~valentine_spark.cdc.router.shell_table_counts`)
+    finds which tables the batch actually touches, and only those decode
+    and commit — with 10^3 registered tables and a typical batch touching
+    a handful, this removes ~10^3 per-table decode passes and commit
+    floors per poll.  Consequence: an untouched table's watermark does not
+    advance through the micro-batch, so a batch-mode
+    :func:`~valentine_spark.cdc.apply.resume_replay` over the same range
+    re-scans from that table's older watermark — correct (the skipped
+    batches held none of its events), just a wider re-read window.  Set
+    False to restore a (possibly empty) commit per table per micro-batch.
+    With a CUSTOM ``decoder`` (neither Maxwell nor Debezium) the probe's
+    dialect is unknown, so every table is treated as occupied.  Tables
+    that change rarely belong on a slower tail either way (see
     docs/OPERATIONS.md, multi-table ingest).
 
     Delivery-order contract: cross-batch precedence is application order,
@@ -150,19 +170,38 @@ def stream_route(
     ship files with monotonically increasing modification times — Spark's
     file source orders pending files by mtime, and equal mtimes make
     batch order arbitrary)."""
-    from ..cdc.router import apply_routed, decode_maxwell_routed
+    from ..cdc.router import (
+        apply_routed,
+        decode_debezium_routed,
+        decode_maxwell_routed,
+        shell_table_counts,
+    )
+
+    decode = decoder or decode_maxwell_routed
+    dialect = {
+        decode_maxwell_routed: "maxwell",
+        decode_debezium_routed: "debezium",
+    }.get(decode)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        routed = decode_maxwell_routed(batch_df, schemas, json_col=json_col)
+        routed = decode(batch_df, schemas, json_col=json_col)
         if dlq_dir is not None:
             routed.dead_letters.write.mode("overwrite").parquet(
                 f"{dlq_dir}/batch-{batch_id}"
             )
+        streams = routed.streams
+        if skip_empty and dialect is not None:
+            counts = shell_table_counts(
+                batch_df, schemas, json_col=json_col, dialect=dialect
+            )
+            streams = {n: df for n, df in streams.items() if counts.get(n)}
+            if not streams:
+                return
         apply_routed(
             tables,
-            routed.streams,
+            streams,
             f"{stream_id}-{batch_id}",
             parallelism=parallelism,
             **apply_kw,
