@@ -36,11 +36,16 @@ def main() -> None:
         .getOrCreate()
     )
     import test_lake_fuzz as tf
+    import test_router_fuzz as rf
 
     props = [
         ("model", 1, tf.test_lake_equals_model_under_random_ops),
         ("changes", 2, tf.test_changes_reconstructs_model_deltas),
         ("ivm", 3, tf.test_ivm_minmax_equals_recompute_under_random_ops),
+        ("router", 4, rf.test_router_equals_model_under_random_streams),
+        # multi-binlog-file arm: LSN packing + occupied-slice derivation +
+        # cross-file ordering (round-5 replay_routed fix)
+        ("router_multifile", 5, rf.test_replay_routed_fuzz_multi_binlog_files),
     ]
     for name, offset, fn in props:
         # fresh seeds disjoint from the committed pytest sets; offsets keep
