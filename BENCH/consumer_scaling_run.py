@@ -66,7 +66,10 @@ v_q3 = int(sys.argv[5])
 builder = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.driver.memory", "16g")
+         # 64 M + the catch-up arm needs more heap than the 16 g default
+         # (GCLocker allocation stalls killed the 16-core worker at 64 M);
+         # SCALING_DRIVER_MEM sizes it without touching smaller fixtures
+         .config("spark.driver.memory", os.environ.get("SCALING_DRIVER_MEM", "16g"))
          .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false"))
