@@ -10,7 +10,10 @@ replays by adding the seed to the pytest parametrize list.
 
 Usage: python tests/soak_fuzz.py [n_seeds_per_property]
 Last full sweep (2026-08-20, round 4): 58 fresh seeds across the three
-properties (16+6+6 ad-hoc + 8 per property via this driver), all green.
+lake properties (16+6+6 ad-hoc + 8 per property via this driver), all
+green.  Round-5 sweep (2026-08-21): 3 fresh seeds per property across
+all FIVE properties (lake model / changes / ivm + router model +
+multi-binlog-file replay_routed), all green.
 """
 import pathlib
 import sys
